@@ -1,44 +1,154 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship transcripts→triples KG pipeline on sf0.001-scale
+deterministic synthetic transcripts (BASELINE input_hint shape).
+``queries()``/``oracle_sql()``: one entry per implemented operator
+family (SURVEY.md §2), checked against DuckDB at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers import this package by module path; if the driver's cwd is
+# not the repo, ship the package by value instead.
+def _ensure_worker_importable() -> None:
+    try:
+        import import_ray
+
+        if os.getcwd() != _REPO:
+            from ray import cloudpickle
+
+            cloudpickle.register_pickle_by_value(import_ray)
+    except Exception:
+        pass
+
+
+_ensure_worker_importable()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic transcripts (derived scale sf0.001)
+    → canonical (subject, predicate, object) triples."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    return build_triples(path)
+
+
+def _kg_transcript_triples(sf_dir: str):
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return build_triples(ensure_transcripts(sf_dir))
+
+
+def _dedup_exact_docs(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+def _token_stats(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.text import token_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow")
+
+
+def _quality(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.text import quality_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow")
+
+
+def _lang_id(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+_KNN_QUERIES = 5
+_KNN_K = 10
+
+
+def _knn(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from import_ray.stages.similarity import knn_cosine
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    queries = {
+        r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_cosine(ds, _KNN_QUERIES, _KNN_K, query_vectors=queries)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from import_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_region_revenue": R.q5_region_revenue,
+        "events_daily_counts": R.events_daily_counts,
+        "distinct_mktsegment": R.distinct_mktsegment,
+        "filter_project_lineitem": R.filter_project_lineitem,
+        "version_diff_orders": R.version_diff_orders,
+        "dedup_exact_docs": _dedup_exact_docs,
+        "token_stats_docs": _token_stats,
+        "quality_docs": _quality,
+        "lang_id_docs": _lang_id,
+        "knn_cosine": _knn,
+        "kg_transcript_triples": _kg_transcript_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from import_ray.pipelines import relational as R
+    from import_ray.stages.similarity import KNN_SQL_TEMPLATE
+    from import_ray.stages.text import QUALITY_SQL, TOKEN_STATS_SQL
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_orders": R.Q3_SQL,
+        "q5_region_revenue": R.Q5_SQL,
+        "events_daily_counts": R.EVENTS_DAILY_SQL,
+        "distinct_mktsegment": R.DISTINCT_SQL,
+        "filter_project_lineitem": R.FILTER_PROJECT_SQL,
+        "version_diff_orders": R.VERSION_DIFF_SQL,
+        "dedup_exact_docs": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "token_stats_docs": TOKEN_STATS_SQL,
+        "quality_docs": QUALITY_SQL,
+        "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
+        # lang_id_docs / kg_transcript_triples: not SQL-expressible → rows-only
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness.
+
+Headline: flagship transcripts→triples KG pipeline (deterministic
+synthetic transcripts scaled to $GRAFT_SF_DIR) — wall seconds and
+triples/sec. Also times representative operator pipelines from
+``__ray_entry__.queries()``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples": N,
+   "triples_per_sec": N}
+
+``--scaling``: reruns the headline in fresh processes at 8 and 32 CPUs
+on the same input and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_daily_counts",
+    "dedup_exact_docs",
+    "token_stats_docs",
+    "knn_cosine",
+]
+
+
+def _consume(res) -> int:
+    """Execute a lazy result and return its row count without collecting."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    try:
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            return res.num_rows
+    except ImportError:
+        pass
+    return res.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    # ---- headline: KG pipeline -------------------------------------------
+    tx_path = ensure_transcripts(SF_DIR)
+    # warm the page cache so we measure compute+shuffle, not first read
+    with open(tx_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    t0 = time.time()
+    n_triples = build_triples(tx_path).count()
+    headline = time.time() - t0
+
+    # ---- representative operator pipelines -------------------------------
+    qs = E.queries()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "kg_transcripts_to_triples_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "triples": int(n_triples),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,102 @@
+"""Flagship pipeline: Parquet transcripts → canonical (s, p, o) triples.
+
+Dataflow (SURVEY.md §7.1, north-star shape):
+
+    read_parquet(transcripts)                       # column-pruned
+      ├─ map_batches(TranscriptTripleExtractor)     # per-turn + mention triples,
+      │                                             # SVObs content-hash dcids
+      ├─ map_batches(ConversationPartials)          # tiny partial rows (skew guard)
+      │    └─ groupby(conv_id).map_groups(merge)    # conversation triples
+      └─ union → exact_dedup_triples                # canonicalization groupby-dedup
+           └─ write_parquet(partition_cols=[part_key]) + lineage manifest
+
+No stage materializes the full dataset; the only all-to-all exchanges
+are the partial-row conv groupby (rows ≈ #convs × #batches, tiny) and
+the final distinct.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from import_ray.stages.dedup import exact_dedup_triples
+from import_ray.stages.extract import (
+    ConversationPartials,
+    TranscriptTripleExtractor,
+    merge_conversation_partials,
+)
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def build_triples(
+    transcripts_path: str | list[str],
+    provenance: str = "transcripts",
+    batch_size: int = 4096,
+    dedup: bool = True,
+    conv_aggregates: bool = True,
+):
+    """Lazy Dataset of canonical triples from a transcripts parquet path."""
+    import ray.data
+
+    ds = ray.data.read_parquet(transcripts_path, columns=TRANSCRIPT_COLS)
+
+    turn_triples = ds.map_batches(
+        TranscriptTripleExtractor(provenance=provenance),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    if conv_aggregates:
+        partials = ds.map_batches(
+            ConversationPartials(), batch_format="pyarrow", batch_size=batch_size
+        )
+        conv_triples = partials.groupby("conv_id").map_groups(
+            merge_conversation_partials, batch_format="pandas"
+        )
+        # align schemas (map_groups emits pandas → object cols)
+        conv_triples = conv_triples.map_batches(_normalize_triples, batch_format="pyarrow")
+        all_triples = turn_triples.union(conv_triples)
+    else:
+        all_triples = turn_triples
+
+    if dedup:
+        all_triples = exact_dedup_triples(all_triples)
+    return all_triples
+
+
+def _normalize_triples(batch: pa.Table) -> pa.Table:
+    cols = {}
+    for name, typ in (
+        ("subject_id", pa.string()),
+        ("predicate", pa.string()),
+        ("object_id", pa.string()),
+        ("object_value", pa.large_string()),
+        ("provenance", pa.string()),
+    ):
+        cols[name] = batch[name].cast(typ) if name in batch.column_names else pa.nulls(
+            len(batch), typ
+        )
+    return pa.table(cols)
+
+
+def add_part_key(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """Partition key = hash(subject_id) % n_buckets, for resumable,
+    co-located output (FIXTURES.md §F5; SURVEY.md §4 resume row)."""
+    import pandas as pd
+
+    s = batch["subject_id"].to_pandas()
+    h = pd.util.hash_array(s.to_numpy(dtype=object)) % n_buckets
+    return batch.append_column("part_key", pa.array(h.astype(np.int32), pa.int32()))
+
+
+def write_triples(ds, out_dir: str, n_buckets: int = 64):
+    ds = ds.map_batches(lambda b: add_part_key(b, n_buckets), batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["part_key"])
+
+
+def restore_turn_order(transcripts_ds):
+    """Stable (conv_id, turn_idx) ordering — the per-turn text-equality
+    invariant's ordering contract (BASELINE input_hint)."""
+    return transcripts_ds.sort(["conv_id", "turn_idx"])

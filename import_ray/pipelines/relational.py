@@ -1,0 +1,383 @@
+"""Relational operator pipelines over the testdata tables.
+
+Each query demonstrates one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline, and has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` computing the same result.
+
+Float determinism convention: monetary aggregates are computed as
+**integer cents** — ``sum(cast(round(x*100) as bigint))`` — identically
+in Ray (numpy) and DuckDB, so cross-engine value hashes match exactly
+(double summation order is engine-dependent; integer sums are not).
+
+Join strategy (SURVEY.md §2.6):
+- dimension tables (region/nation/customer/supplier/part) are
+  **broadcast**: read once, shipped to tasks as a pandas map inside the
+  kernel closure — no shuffle;
+- fact-fact joins (lineitem ⋈ orders) use ``Dataset.join`` (hash
+  shuffle join) with an explicit partition count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_pandas(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    """Driver-side read of a SMALL dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    # round-half-away-from-zero, matching DuckDB's ROUND() (numpy's
+    # np.round is banker's rounding and diverges on exact .5)
+    y = x * 100.0
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+
+
+# --- q1: grouped aggregation (TPC-H Q1 shape; SURVEY §2.7) -------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from datetime import datetime
+
+        t = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(datetime(1999, 1, 1))))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "base_cents": pa.array(_cents(ep)),
+                "disc_cents": pa.array(_cents(ep * (1.0 - disc))),
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        # pre-aggregate inside the batch → the groupby shuffles ≤8 rows/batch
+        return tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"), ("one", "sum")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: broadcast join + shuffle join + top-k (SURVEY §2.6/2.8) -------------
+
+
+def q3_top_orders(sf_dir: str):
+    cust = _read_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            np.isin(batch["o_custkey"].to_numpy(zero_copy_only=False), list(building))
+        )
+        return batch.filter(mask)
+
+    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    top = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q5: multi-way broadcast join + grouped sum ------------------------------
+
+
+def q5_region_revenue(sf_dir: str):
+    nation = _read_pandas(sf_dir, "nation")
+    region = _read_pandas(sf_dir, "region")
+    cust = _read_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nk_to_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def order_nation(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_pylist()
+        nk = [cust_nation.get(c, -1) for c in ck]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "n_name": pa.array([nk_to_name.get(k, "") for k in nk], pa.string()),
+                "r_name": pa.array([nk_to_region.get(k, "") for k in nk], pa.string()),
+            }
+        )
+
+    orders = orders.map_batches(order_nation, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum
+
+    return joined.groupby(["r_name", "n_name"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- events: date truncation + grouped counts (events_importer,
+#     simple/stats/events_importer.py:152-196,336-343) ------------------------
+
+
+def events_daily_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "value_cents": pa.array(_cents(v)),
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        ).group_by(["event_type", "day"]).aggregate(
+            [("value_cents", "sum"), ("one", "sum")]
+        ).rename_columns(["event_type", "day", "sum_value_cents", "n_events"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, day
+"""
+
+
+# --- distinct / filter+project (SURVEY §2.9 / §2.3) --------------------------
+
+
+def distinct_mktsegment(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    return pd.DataFrame({"c_mktsegment": sorted(ds.unique("c_mktsegment"))})
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def filter_project_lineitem(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        from datetime import datetime
+
+        m = pc.and_(
+            pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+            pc.less(batch["l_shipdate"], pa.scalar(datetime(1996, 1, 1))),
+        )
+        t = batch.filter(m)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty": pa.array(t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "revenue_cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+# --- version diff (DifferPipeline semantics,
+#     pipeline/differ/.../DifferUtils.java:97-139) ----------------------------
+
+
+def version_diff_orders(sf_dir: str):
+    """Synthesize 'previous' vs 'current' versions of orders
+    deterministically, diff them: ADDED / DELETED / MODIFIED.
+
+    previous = orders except keys ≡ 0 (mod 97), with totalprice*1.10 for
+    keys ≡ 0 (mod 13); current = orders as stored. Key = o_orderkey.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def diff(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        cur = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        in_prev = key % 97 != 0
+        prev = np.where(key % 13 == 0, _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 1.10), cur)
+        diff_type = np.where(~in_prev, "ADDED", np.where(prev != cur, "MODIFIED", "SAME"))
+        keep = diff_type != "SAME"
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[keep]),
+                "value_current_cents": pa.array(cur[keep]),
+                "value_previous_cents": pa.array(
+                    np.where(in_prev, prev, np.int64(-1))[keep]
+                ),
+                "diff_type": pa.array(diff_type[keep].astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(diff, batch_format="pyarrow")
+
+
+VERSION_DIFF_SQL = """
+WITH cur AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders
+), prev AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN CAST(ROUND(o_totalprice*1.10*100) AS BIGINT)
+              ELSE CAST(ROUND(o_totalprice*100) AS BIGINT) END AS v
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT cur.o_orderkey,
+       cur.v AS value_current_cents,
+       COALESCE(prev.v, -1) AS value_previous_cents,
+       CASE WHEN prev.o_orderkey IS NULL THEN 'ADDED'
+            WHEN prev.v <> cur.v THEN 'MODIFIED' END AS diff_type
+FROM cur LEFT JOIN prev USING (o_orderkey)
+WHERE prev.o_orderkey IS NULL OR prev.v <> cur.v
+"""

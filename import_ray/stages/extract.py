@@ -1,0 +1,253 @@
+"""Transcript → candidate-triple extraction kernels.
+
+The engine-specific "template" mapping a conversation turn onto KG
+nodes (SURVEY.md §2.3 "mention/StatVar extraction from transcripts").
+Semantics follow the reference's TMCF template application
+(util/.../TmcfCsvParser.java:115-374): each turn row instantiates
+deterministic local nodes, references are resolved through the ranked
+external-id rules (DcidGenerator.forPlace, java:213-229), and
+StatVarObservations get content-hash dcids
+(DcidGenerator.forStatVarObs, java:181-212) — bit-compatible.
+
+Node-id scheme (deterministic, TEST-mode style — TmcfCsvParser.java:41,137):
+- conversation: ``conv/<conv_id>``
+- turn:         ``conv/<conv_id>/t<turn_idx>``
+- SVObs:        content-hash ``dc/o/...``
+- places:       ``iso/..`` / ``geoId/..`` / ``wikidataId/..`` / ``nuts/..``
+- coordinates:  ``latLong/<lat_e5>_<lng_e5>``
+
+Per-turn text equality: the turn node carries the verbatim turn text as
+``text`` (object_value), so output triples preserve every turn's text.
+
+Implemented as a callable class for ``map_batches`` (actor pool):
+regexes compile once per actor in ``__init__``; ``__call__`` is
+vectorized Arrow for the per-turn triples and compiled-regex scans for
+mention extraction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from import_ray.functions.complex_values import parse_complex_value
+from import_ray.functions.dcid import for_stat_var_obs
+from import_ray.functions.farmhash import fingerprint64
+
+# place external-id mention: prop:value (prop from the ranked list)
+_PLACE_PROPS = {
+    "isoCode": "iso",
+    "nutsCode": "nuts",
+    "geoId": "geoId",
+    "wikidataId": "wikidataId",
+}
+
+_SVOBS_RE = re.compile(
+    r"([A-Za-z][A-Za-z0-9_]*)=(\d+(?:\.\d+)?) @ "
+    r"(isoCode|nutsCode|geoId|wikidataId)[:/]([A-Za-z0-9\-]+) on (\d{4}(?:-\d{2})?(?:-\d{2})?)"
+)
+_PLACE_RE = re.compile(r"(isoCode|nutsCode|wikidataId):([A-Za-z0-9\-]+)|geoId/([0-9]+)")
+_LATLONG_RE = re.compile(r"\[LatLong [^\]]+\]")
+
+_TRIPLE_FIELDS = ("subject_id", "predicate", "object_id", "object_value", "provenance")
+
+
+def place_dcid(prop: str, value: str) -> str:
+    """DcidGenerator.forPlace prefix rules (java:213-229)."""
+    return f"{_PLACE_PROPS[prop]}/{value}"
+
+
+def _triples_table(cols: dict[str, list]) -> pa.Table:
+    return pa.table(
+        {
+            "subject_id": pa.array(cols["subject_id"], pa.string()),
+            "predicate": pa.array(cols["predicate"], pa.string()),
+            "object_id": pa.array(cols["object_id"], pa.string()),
+            "object_value": pa.array(cols["object_value"], pa.large_string()),
+            "provenance": pa.array(cols["provenance"], pa.string()),
+        }
+    )
+
+
+class TranscriptTripleExtractor:
+    """map_batches kernel: transcript rows → triple rows.
+
+    Stateless w.r.t. data (safe as tasks or actors); regexes and the
+    optional gazetteer are built once per actor in ``__init__``.
+    """
+
+    def __init__(self, provenance: str = "transcripts", gazetteer: dict | None = None):
+        self.provenance = provenance
+        self.gazetteer = gazetteer or {}
+        self.svobs_re = _SVOBS_RE
+        self.place_re = _PLACE_RE
+        self.latlong_re = _LATLONG_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        prov = self.provenance
+        n = len(batch)
+        conv = batch["conv_id"].to_pylist()
+        tidx = batch["turn_idx"].to_pylist()
+        role = batch["role"].to_pylist()
+        text = batch["text"].to_pylist()
+        tool = batch["tool"].to_pylist()
+        # ISO-rendered timestamps, vectorized
+        ts = pc.strftime(batch["ts"], format="%Y-%m-%dT%H:%M:%S").to_pylist()
+
+        subj = [f"conv/{c}/t{t}" for c, t in zip(conv, tidx)]
+
+        out = {k: [] for k in _TRIPLE_FIELDS}
+        add = self._add
+
+        # --- per-turn structural triples (one pass, list building) -----
+        for i in range(n):
+            s = subj[i]
+            cnode = f"conv/{conv[i]}"
+            add(out, s, "typeOf", "ConversationTurn", None, prov)
+            add(out, s, "partOf", cnode, None, prov)
+            add(out, s, "turnNumber", None, str(tidx[i]), prov)
+            add(out, s, "role", None, role[i], prov)
+            add(out, s, "text", None, text[i], prov)
+            add(out, s, "startTime", None, ts[i], prov)
+            if tool[i]:
+                add(out, s, "tool", None, tool[i], prov)
+
+        # --- mention extraction ---------------------------------------
+        for i in range(n):
+            s = subj[i]
+            t = text[i]
+            if "=" in t and " @ " in t:
+                for m in self.svobs_re.finditer(t):
+                    sv, val, pprop, pval, date = m.groups()
+                    about = place_dcid(pprop, pval)
+                    dcid, _ = for_stat_var_obs(
+                        {
+                            "typeOf": "StatVarObservation",
+                            "observationAbout": about,
+                            "variableMeasured": sv,
+                            "observationDate": date,
+                            "value": val,
+                        }
+                    )
+                    if not dcid:
+                        continue
+                    add(out, dcid, "typeOf", "StatVarObservation", None, prov)
+                    add(out, dcid, "observationAbout", about, None, prov)
+                    add(out, dcid, "variableMeasured", sv, None, prov)
+                    add(out, dcid, "observationDate", None, date, prov)
+                    add(out, dcid, "value", None, val, prov)
+                    add(out, s, "mentions", dcid, None, prov)
+                    self._emit_place(out, pprop, pval, about, prov)
+            if ":" in t or "geoId/" in t:
+                for m in self.place_re.finditer(t):
+                    if m.group(3) is not None:
+                        pprop, pval = "geoId", m.group(3)
+                    else:
+                        pprop, pval = m.group(1), m.group(2)
+                    pd = place_dcid(pprop, pval)
+                    add(out, s, "mentionsPlace", pd, None, prov)
+                    self._emit_place(out, pprop, pval, pd, prov)
+            if "[LatLong" in t:
+                for mv in self.latlong_re.findall(t):
+                    res = parse_complex_value("", None, "location", mv, build_node=False)
+                    if res.error_counter:
+                        continue
+                    add(out, res.dcid, "typeOf", "GeoCoordinates", None, prov)
+                    add(out, res.dcid, "name", None, res.name, prov)
+                    add(out, s, "mentionsLocation", res.dcid, None, prov)
+        return _triples_table(out)
+
+    @staticmethod
+    def _add(out, s, p, oid, oval, prov):
+        out["subject_id"].append(s)
+        out["predicate"].append(p)
+        out["object_id"].append(oid)
+        out["object_value"].append(oval)
+        out["provenance"].append(prov)
+
+    def _emit_place(self, out, prop, value, dcid, prov):
+        self._add(out, dcid, "typeOf", "Place", None, prov)
+        self._add(out, dcid, prop, None, value, prov)
+        name = self.gazetteer.get(dcid)
+        if name:
+            self._add(out, dcid, "name", None, name, prov)
+
+
+class ConversationPartials:
+    """Per-batch partial aggregation for conversation-level triples.
+
+    Emits one row per (conv_id, batch): turn count, min/max ts, and an
+    order-independent 64-bit checksum sum(fingerprint64(f"{idx}:{text}"))
+    mod 2^64. Partials are associative, so the wide ``groupby(conv_id)``
+    only shuffles tiny partial rows — this is the skew guard for
+    mega-conversations (SURVEY.md §4: two-level aggregation instead of
+    shuffling raw turn rows).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        conv = batch["conv_id"].to_pylist()
+        tidx = batch["turn_idx"].to_pylist()
+        text = batch["text"].to_pylist()
+        ts = batch["ts"].to_pylist()
+        acc: dict[str, list] = {}
+        for c, i, x, t in zip(conv, tidx, text, ts):
+            e = acc.get(c)
+            h = fingerprint64(f"{i}:{x}")
+            if e is None:
+                acc[c] = [1, t, t, h, i]
+            else:
+                e[0] += 1
+                if t < e[1]:
+                    e[1] = t
+                if t > e[2]:
+                    e[2] = t
+                e[3] = (e[3] + h) & 0xFFFFFFFFFFFFFFFF
+                if i > e[4]:
+                    e[4] = i
+        return pa.table(
+            {
+                "conv_id": pa.array(list(acc), pa.string()),
+                "n_turns": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "min_ts": pa.array([v[1] for v in acc.values()], pa.timestamp("us")),
+                "max_ts": pa.array([v[2] for v in acc.values()], pa.timestamp("us")),
+                "checksum": pa.array(
+                    [np.uint64(v[3]) for v in acc.values()], pa.uint64()
+                ),
+                "max_turn_idx": pa.array([v[4] for v in acc.values()], pa.int64()),
+            }
+        )
+
+
+def merge_conversation_partials(df):
+    """map_groups merge of ConversationPartials rows → conversation triples."""
+    import pandas as pd
+
+    conv_id = df["conv_id"].iloc[0]
+    n = int(df["n_turns"].sum())
+    mn = df["min_ts"].min()
+    mx = df["max_ts"].max()
+    ck = np.uint64(df["checksum"].astype(np.uint64).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
+    max_idx = int(df["max_turn_idx"].max())
+    s = f"conv/{conv_id}"
+    rows = [
+        (s, "typeOf", "Conversation", None),
+        (s, "turnCount", None, str(n)),
+        (s, "startTime", None, mn.isoformat()),
+        (s, "endTime", None, mx.isoformat()),
+        (s, "turnChecksum", None, str(int(ck))),
+        (s, "lastTurnNumber", None, str(max_idx)),
+    ]
+    return pd.DataFrame(
+        {
+            "subject_id": [r[0] for r in rows],
+            "predicate": [r[1] for r in rows],
+            "object_id": [r[2] for r in rows],
+            "object_value": [r[3] for r in rows],
+            "provenance": "transcripts",
+        }
+    )

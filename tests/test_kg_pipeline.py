@@ -1,0 +1,98 @@
+"""Flagship transcripts→triples pipeline tests (Ray)."""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pytest
+
+from import_ray.sources.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tx") / "transcripts.parquet"
+    return synthesize_transcripts(str(p), n_convs=40, seed=42)
+
+
+def test_determinism(tmp_path):
+    a = synthesize_transcripts(str(tmp_path / "a.parquet"), n_convs=10, seed=7)
+    b = synthesize_transcripts(str(tmp_path / "b.parquet"), n_convs=10, seed=7)
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(a).equals(pq.read_table(b))
+
+
+def test_per_turn_text_equality(ray_session, transcripts_path):
+    """Triples must carry every turn's text verbatim, recoverable under
+    stable (conv_id, turn_idx) ordering — the BASELINE input invariant."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from import_ray.pipelines.kg import build_triples
+
+    src = pq.read_table(transcripts_path)
+    ds = build_triples(transcripts_path, conv_aggregates=False, dedup=False)
+    t = ds.take_all()
+    text_triples = {
+        r["subject_id"]: r["object_value"] for r in t if r["predicate"] == "text"
+    }
+    # every turn appears exactly once with its exact text
+    assert len(text_triples) == src.num_rows
+    for conv, idx, text in zip(
+        src["conv_id"].to_pylist(),
+        src["turn_idx"].to_pylist(),
+        src["text"].to_pylist(),
+    ):
+        assert text_triples[f"conv/{conv}/t{idx}"] == text
+
+
+def test_conversation_aggregates_stable_under_shuffle(ray_session, tmp_path):
+    """Conversation checksum/turn-count is identical whether the input
+    arrives shuffled or ordered (stable-ordering invariant)."""
+    import ray.data
+
+    from import_ray.pipelines.kg import build_triples
+
+    p1 = synthesize_transcripts(str(tmp_path / "s.parquet"), n_convs=12, shuffle=True)
+    p2 = synthesize_transcripts(str(tmp_path / "o.parquet"), n_convs=12, shuffle=False)
+
+    def conv_map(path):
+        ds = build_triples(path, dedup=False)
+        rows = ds.take_all()
+        return {
+            (r["subject_id"], r["predicate"]): r["object_value"]
+            for r in rows
+            if r["predicate"] in ("turnChecksum", "turnCount", "startTime", "endTime")
+        }
+
+    assert conv_map(p1) == conv_map(p2)
+
+
+def test_dedup_and_svobs_dcids(ray_session, transcripts_path):
+    from import_ray.pipelines.kg import build_triples
+
+    ds = build_triples(transcripts_path)
+    t = ds.take_all()
+    keys = [
+        (r["subject_id"], r["predicate"], r["object_id"], r["object_value"]) for r in t
+    ]
+    assert len(keys) == len(set(keys)), "exact dedup must leave no duplicate tuples"
+    svobs = [r for r in t if r["subject_id"].startswith("dc/o/")]
+    assert svobs, "expected content-hash SVObs dcids in the output"
+    places = {
+        r["subject_id"]
+        for r in t
+        if r["predicate"] == "typeOf" and r["object_id"] == "Place"
+    }
+    assert any(s.startswith("iso/") or s.startswith("geoId/") for s in places)
+
+
+def test_write_partitioned(ray_session, transcripts_path, tmp_path):
+    import glob
+
+    from import_ray.pipelines.kg import build_triples, write_triples
+
+    ds = build_triples(transcripts_path, conv_aggregates=False)
+    write_triples(ds, str(tmp_path / "out"), n_buckets=4)
+    parts = glob.glob(str(tmp_path / "out" / "part_key=*"))
+    assert len(parts) >= 2
