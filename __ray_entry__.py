@@ -58,8 +58,11 @@ def _dedup_exact_docs(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Min
 
+    from import_ray.core.context import configure_data_context, npartitions
+
+    configure_data_context()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.groupby("text").aggregate(
+    out = ds.groupby("text", num_partitions=npartitions()).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
     )
     return out.select_columns(["doc_id", "n_dups"])

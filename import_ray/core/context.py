@@ -1,0 +1,44 @@
+"""Engine-wide Ray Data execution configuration.
+
+The engine standardizes on HASH_SHUFFLE for keyed exchanges (groupby /
+repartition-by-key / join): hash shuffle streams rows to per-partition
+aggregator actors instead of a global sort — the right topology for
+groupby-dedup and partial-aggregate merges at 100 TB, and measurably
+faster than the default sort shuffle on string keys.
+
+IMPORTANT: with hash shuffle, every keyed op must pass an explicit
+``num_partitions`` — the default parallelism spawns more aggregator
+actors than a small cluster has CPUs and the job stalls. Use
+``npartitions()`` everywhere.
+"""
+
+from __future__ import annotations
+
+
+def configure_data_context() -> None:
+    """Idempotent engine defaults for the current DataContext."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def cluster_cpus() -> int:
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 8))
+    return 8
+
+
+def npartitions(scale: float = 1.0, lo: int = 4, hi: int = 64) -> int:
+    """Shuffle partition count sized to the cluster: ~1×CPUs by default.
+
+    On a real multi-node cluster ``hi`` should rise with node count —
+    partitions bound both aggregator-actor parallelism and the size of
+    each output block.
+    """
+    n = int(cluster_cpus() * scale)
+    return max(lo, min(hi, n))

@@ -137,6 +137,95 @@ def for_stat_var(pvs: dict[str, str]) -> tuple[str, str]:
     return for_serialized_prop_vals(type_of, key_string), key_string
 
 
+# DcidGenerator.java:88-120 — ordered legacy Observation key props;
+# props up to and including measuredProperty are required.
+ORDERED_LEGACY_OBS_KEY_PROPS = (
+    vocab.OBSERVED_NODE,
+    vocab.OBSERVATION_DATE,
+    vocab.MEASURED_PROP,
+    vocab.OBSERVATION_PERIOD,
+    vocab.UNIT,
+    vocab.MEASURED_VALUE,
+    vocab.MIN_VALUE,
+    vocab.MAX_VALUE,
+    vocab.SUM_VALUE,
+    vocab.MEAN_VALUE,
+    vocab.MEDIAN_VALUE,
+    vocab.MARGIN_OF_ERROR,
+    vocab.MEASUREMENT_METHOD,
+    vocab.MEASUREMENT_RESULT,
+    vocab.STD_ERROR,
+    vocab.SAMPLE_SIZE,
+    vocab.PERCENTILE_10,
+    vocab.PERCENTILE_25,
+    vocab.PERCENTILE_75,
+    vocab.PERCENTILE_90,
+    vocab.MEAN_STD_ERROR,
+    vocab.GROWTH_RATE,
+    vocab.STD_DEVIATION_VALUE,
+    vocab.CONFIDENCE_INTERVAL_LOWER_LIMIT,
+    vocab.CONFIDENCE_INTERVAL_UPPER_LIMIT,
+    vocab.KURTOSIS,
+    vocab.SKEWNESS,
+    vocab.MEASUREMENT_DENOMINATOR,
+    vocab.MEASUREMENT_QUALIFIER,
+    vocab.SCALING_FACTOR,
+)
+LAST_REQUIRED_LEGACY_OBS_PROP_INDEX = ORDERED_LEGACY_OBS_KEY_PROPS.index(
+    vocab.MEASURED_PROP
+)
+
+
+def for_observation(pvs: dict[str, str]) -> tuple[str, str]:
+    """(dcid, key_string) for a legacy Observation node
+    (DcidGenerator.forObservation, java:289-311)."""
+    parts = []
+    for i, prop in enumerate(ORDERED_LEGACY_OBS_KEY_PROPS):
+        val = pvs.get(prop)
+        if val is None or val == "":
+            if i <= LAST_REQUIRED_LEGACY_OBS_PROP_INDEX:
+                return "", ""
+            continue
+        parts.append(f"{prop}={val}")
+    key_string = "".join(parts)
+    return OBS_NAMESPACE + long_id(key_string), key_string
+
+
+def for_population(node_id: str, node: dict) -> tuple[str, str]:
+    """(dcid, key_string) for a legacy StatisticalPopulation node
+    (DcidGenerator.forPopulation, java:237-287). ``node`` is a Node
+    (prop → [(value, type)]); complex values must already be resolved.
+    """
+    pv_map: dict[str, str] = {}
+    constraints: set[str] = set()
+    for prop, tvs in node.items():
+        if not tvs:
+            continue
+        if prop == vocab.CONSTRAINT_PROPS:
+            constraints.update(v for v, _ in tvs)
+        else:
+            val = tvs[0][0]
+            if prop == vocab.LOCATION and val.startswith(vocab.INTERNAL_REF_PREFIX):
+                return "", ""
+            pv_map[prop] = val
+    ordered_cprops = sorted(
+        p
+        for p in pv_map
+        if p not in vocab.NON_CONSTRAINT_STAT_VAR_PROPERTIES
+        and (not constraints or p in constraints)
+    )
+    pop_type = pv_map.get(vocab.POPULATION_TYPE, "")
+    if not pop_type:
+        return "", ""
+    location = pv_map.get(vocab.LOCATION, "")
+    if not location:
+        return "", ""
+    parts = [pop_type, location, pv_map.get(vocab.MEMBER_OF, "")]
+    parts += [f"{p}{pv_map[p]}" for p in ordered_cprops]
+    key_string = "".join(parts)
+    return POP_NAMESPACE + long_id(key_string), key_string
+
+
 def for_place(pvs: dict[str, str]) -> str:
     """dcid from the highest-ranked external id present, or "".
 

@@ -1,0 +1,183 @@
+"""dc-import ``genmcf`` equivalent: TMCF+CSV / MCF → resolved nodes.
+
+Mirrors the reference tool's flow (tool/.../Processor.java:59-405):
+
+- table path (processTables, java:263-405): per CSV row → template
+  instantiation (TmcfCsvParser) → McfMutator → scope-local resolution
+  (resolveCommon runs the McfResolver on the per-row graph) → success /
+  failed node sets.
+- instance path (processLoadedGraph + resolveNodes, java:187-261,
+  421-448): merged instance-MCF graph → mutate → one resolver pass.
+
+Ray dataflow (scales to arbitrarily many rows):
+
+    read rows (+__row_num) → map_batches(TemplateApplier)      # node-PV rows + scope
+      → repartition(keys=[scope]) → map_batches(ResolveScopes)  # mutate+fixpoint per row scope
+      → node-PV rows (resolved | failed)
+
+Local-ref scopes never cross a row (TMCF semantics), so the fixpoint is
+embarrassingly parallel after the scope partition.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from import_ray.core.model import Graph, merge_graphs
+from import_ray.sources.mcf import parse_mcf_file
+from import_ray.sources.tmcf_csv import TemplateApplier, read_csv_with_row_numbers
+from import_ray.stages.mutate import mutate_graph
+from import_ray.stages.resolve import make_external_id_resolver, resolve_graph
+
+
+def _rows_to_graphs(batch: pa.Table) -> dict[str, Graph]:
+    """Group node-PV rows by scope and rebuild Graph dicts."""
+    scopes: dict[str, Graph] = {}
+    for scope, node_id, prop, value, vtype in zip(
+        batch["scope"].to_pylist(),
+        batch["node_id"].to_pylist(),
+        batch["prop"].to_pylist(),
+        batch["value"].to_pylist(),
+        batch["value_type"].to_pylist(),
+    ):
+        scopes.setdefault(scope, {}).setdefault(node_id, {}).setdefault(prop, []).append(
+            (value, int(vtype))
+        )
+    return scopes
+
+
+def _graphs_to_rows(scoped: dict[str, tuple[Graph, Graph]]) -> pa.Table:
+    out = {
+        "scope": [],
+        "node_id": [],
+        "prop": [],
+        "value": [],
+        "value_type": [],
+        "failed": [],
+    }
+    for scope, (resolved, failed) in scoped.items():
+        for is_failed, graph in ((False, resolved), (True, failed)):
+            for node_id, node in graph.items():
+                for prop, tvs in node.items():
+                    for value, vtype in tvs:
+                        out["scope"].append(scope)
+                        out["node_id"].append(node_id)
+                        out["prop"].append(prop)
+                        out["value"].append(value)
+                        out["value_type"].append(vtype)
+                        out["failed"].append(is_failed)
+    return pa.table(
+        {
+            "scope": pa.array(out["scope"], pa.string()),
+            "node_id": pa.array(out["node_id"], pa.string()),
+            "prop": pa.array(out["prop"], pa.large_string()),
+            "value": pa.array(out["value"], pa.large_string()),
+            "value_type": pa.array(out["value_type"], pa.int8()),
+            "failed": pa.array(out["failed"], pa.bool_()),
+        }
+    )
+
+
+class ResolveScopes:
+    """map_batches kernel: mutate + fixpoint-resolve each scope's graph.
+
+    The external-id map is broadcast once per actor via the constructor.
+    """
+
+    def __init__(
+        self,
+        external_id_map: dict | None = None,
+        coordinates_map: dict | None = None,
+        name_map: dict | None = None,
+    ):
+        self.id_resolver = make_external_id_resolver(
+            external_id_map, coordinates_map, name_map
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scopes = _rows_to_graphs(batch)
+        out: dict[str, tuple[Graph, Graph]] = {}
+        for scope, graph in scopes.items():
+            mutate_graph(graph)
+            res = resolve_graph(graph, id_resolver=self.id_resolver)
+            out[scope] = (res.resolved, res.failed)
+        return _graphs_to_rows(out)
+
+
+def genmcf_table_ds(
+    tmcf_path: str,
+    csv_path: str,
+    external_id_map: dict | None = None,
+    coordinates_map: dict | None = None,
+    name_map: dict | None = None,
+    batch_size: int = 2048,
+):
+    """Ray Dataset of resolved/failed node-PV rows for a TMCF+CSV pair."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context, npartitions
+
+    configure_data_context()
+    with open(tmcf_path) as f:
+        tmcf_text = f.read()
+    table = read_csv_with_row_numbers(csv_path)
+    ds = ray.data.from_arrow(table)
+    ds = ds.map_batches(
+        TemplateApplier(tmcf_text), batch_format="pyarrow", batch_size=batch_size
+    )
+    # rows of one scope always come from one input row → they are already
+    # in one block; the repartition keeps correctness if an upstream ever
+    # splits them (cheap: rows are small)
+    ds = ds.repartition(npartitions(), keys=["scope"])
+    return ds.map_batches(
+        ResolveScopes(external_id_map, coordinates_map, name_map),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def genmcf_instance(
+    mcf_paths: list[str],
+    external_id_map: dict | None = None,
+    coordinates_map: dict | None = None,
+    name_map: dict | None = None,
+) -> tuple[Graph, Graph, list]:
+    """Instance-MCF path (driver-side; instance files are small schema
+    inputs in the reference tool). Returns (resolved, failed, issues)."""
+    graphs = []
+    issues: list = []
+    for p in mcf_paths:
+        r = parse_mcf_file(p)
+        issues.extend(r.issues)
+        graphs.append(r.graph)
+    merged = merge_graphs(graphs)
+    mutate_graph(merged, issues)
+    res = resolve_graph(
+        merged,
+        id_resolver=make_external_id_resolver(
+            external_id_map, coordinates_map, name_map
+        ),
+    )
+    issues.extend(res.issues)
+    return res.resolved, res.failed, issues
+
+
+def nodes_rows_to_graph(batch_or_table: pa.Table, include_failed: bool = False) -> Graph:
+    """Collect node-PV rows back into a Graph (test/golden helper)."""
+    g: Graph = {}
+    failed_col = (
+        batch_or_table["failed"].to_pylist()
+        if "failed" in batch_or_table.column_names
+        else [False] * len(batch_or_table)
+    )
+    for node_id, prop, value, vtype, failed in zip(
+        batch_or_table["node_id"].to_pylist(),
+        batch_or_table["prop"].to_pylist(),
+        batch_or_table["value"].to_pylist(),
+        batch_or_table["value_type"].to_pylist(),
+        failed_col,
+    ):
+        if failed and not include_failed:
+            continue
+        g.setdefault(node_id, {}).setdefault(prop, []).append((value, int(vtype)))
+    return g

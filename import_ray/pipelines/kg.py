@@ -24,7 +24,7 @@ from import_ray.stages.dedup import exact_dedup_triples
 from import_ray.stages.extract import (
     ConversationPartials,
     TranscriptTripleExtractor,
-    merge_conversation_partials,
+    merge_conversation_partials_block,
 )
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -40,6 +40,9 @@ def build_triples(
     """Lazy Dataset of canonical triples from a transcripts parquet path."""
     import ray.data
 
+    from import_ray.core.context import configure_data_context, npartitions
+
+    configure_data_context()
     ds = ray.data.read_parquet(transcripts_path, columns=TRANSCRIPT_COLS)
 
     turn_triples = ds.map_batches(
@@ -52,11 +55,9 @@ def build_triples(
         partials = ds.map_batches(
             ConversationPartials(), batch_format="pyarrow", batch_size=batch_size
         )
-        conv_triples = partials.groupby("conv_id").map_groups(
-            merge_conversation_partials, batch_format="pandas"
+        conv_triples = partials.repartition(npartitions(), keys=["conv_id"]).map_batches(
+            merge_conversation_partials_block, batch_format="pyarrow"
         )
-        # align schemas (map_groups emits pandas → object cols)
-        conv_triples = conv_triples.map_batches(_normalize_triples, batch_format="pyarrow")
         all_triples = turn_triples.union(conv_triples)
     else:
         all_triples = turn_triples

@@ -28,6 +28,9 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
+    from import_ray.core.context import configure_data_context
+
+    configure_data_context()
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -36,6 +39,12 @@ def _read_pandas(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _np() -> int:
+    from import_ray.core.context import npartitions
+
+    return npartitions()
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -90,7 +99,7 @@ def q1_pricing_summary(sf_dir: str):
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np())
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_cents", alias_name="sum_base_cents"),
@@ -146,13 +155,13 @@ def q3_top_orders(sf_dir: str):
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_np(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
     from ray.data.aggregate import Sum
 
-    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=_np()).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents")
     )
     top = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
@@ -217,13 +226,13 @@ def q5_region_revenue(sf_dir: str):
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_np(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
     from ray.data.aggregate import Sum
 
-    return joined.groupby(["r_name", "n_name"]).aggregate(
+    return joined.groupby(["r_name", "n_name"], num_partitions=_np()).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents")
     )
 
@@ -265,7 +274,7 @@ def events_daily_counts(sf_dir: str):
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
+        .groupby(["event_type", "day"], num_partitions=_np())
         .aggregate(
             Sum("sum_value_cents", alias_name="sum_value_cents"),
             Sum("n_events", alias_name="n_events"),

@@ -136,8 +136,11 @@ def parse_mcf_string(
     mcf: str,
     file_name: str = "<memory>",
     is_resolved: bool = False,
+    is_template: bool = False,
 ) -> ParseResult:
-    """Parse instance-MCF text into a Graph (node merge + PV dedup)."""
+    """Parse instance- or template-MCF text into a Graph (node merge +
+    PV dedup). Template mode (TMCF): node names must be ``E:`` terms and
+    values classify as TABLE_ENTITY/TABLE_COLUMN/constant."""
     res = ParseResult()
     cur_entity = ""
     cur_entity_line_idx = 0
@@ -184,12 +187,25 @@ def parse_mcf_string(
                     )
                 )
                 continue
+            if is_template:
+                term = parse_schema_term(rhs)
+                if term is None or term[0] != "entity":
+                    res.issues.append(
+                        ParseIssue(
+                            "TMCF_MalformedEntity",
+                            f"Found malformed entity name that is not an entity "
+                            f"prefix (E:) :: name: '{rhs}'",
+                            rhs,
+                            line_num,
+                        )
+                    )
+                    continue
             cur_entity = rhs
             cur_entity_line_idx = 0
             node = res.graph.setdefault(cur_entity, {})
             res.locations.setdefault(cur_entity, (file_name, line_num))
             # parseNodeName: a global-ref node name implies its dcid
-            if vocab.is_global_reference(rhs):
+            if not is_template and vocab.is_global_reference(rhs):
                 dcid_val = rhs[rhs.index(vocab.REFERENCE_DELIMITER) + 1 :]
                 node.setdefault(vocab.DCID, [(dcid_val, ValueType.TEXT)])
             continue
@@ -203,7 +219,7 @@ def parse_mcf_string(
                 )
             )
             continue
-        _parse_values(res, cur_entity, lhs, rhs, is_resolved, line_num)
+        _parse_values(res, cur_entity, lhs, rhs, is_resolved, line_num, is_template)
         cur_entity_line_idx += 1
     if cur_entity and cur_entity_line_idx == 0:
         res.issues.append(
@@ -223,6 +239,7 @@ def _parse_values(
     values: str,
     is_resolved: bool,
     line_num: int,
+    is_template: bool = False,
 ) -> None:
     """McfParser.parseValues (java:276-314)."""
     if not prop or not values:
@@ -249,7 +266,7 @@ def _parse_values(
     new_tvs = list(existing)
     seen = set(new_tvs)
     for f in fields:
-        tv = parse_typed_value(prop, f, is_resolved=is_resolved)
+        tv = parse_typed_value(prop, f, is_resolved=is_resolved, is_template=is_template)
         if isinstance(tv, ParseIssue):
             tv.node_id = cur_entity
             tv.line_num = line_num

@@ -223,31 +223,45 @@ class ConversationPartials:
         )
 
 
-def merge_conversation_partials(df):
-    """map_groups merge of ConversationPartials rows → conversation triples."""
+def merge_conversation_partials_block(batch: pa.Table) -> pa.Table:
+    """Vectorized merge of ConversationPartials rows → conversation
+    triples. Runs per BLOCK after a hash repartition on ``conv_id`` (all
+    partials of a conversation co-located), so the merge is a single
+    pandas groupby — no per-group Python.
+    """
     import pandas as pd
 
-    conv_id = df["conv_id"].iloc[0]
-    n = int(df["n_turns"].sum())
-    mn = df["min_ts"].min()
-    mx = df["max_ts"].max()
-    ck = np.uint64(df["checksum"].astype(np.uint64).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
-    max_idx = int(df["max_turn_idx"].max())
-    s = f"conv/{conv_id}"
-    rows = [
-        (s, "typeOf", "Conversation", None),
-        (s, "turnCount", None, str(n)),
-        (s, "startTime", None, mn.isoformat()),
-        (s, "endTime", None, mx.isoformat()),
-        (s, "turnChecksum", None, str(int(ck))),
-        (s, "lastTurnNumber", None, str(max_idx)),
-    ]
-    return pd.DataFrame(
+    df = batch.to_pandas()
+    g = df.groupby("conv_id", sort=False)
+    agg = g.agg(
+        n_turns=("n_turns", "sum"),
+        min_ts=("min_ts", "min"),
+        max_ts=("max_ts", "max"),
+        checksum=("checksum", "sum"),  # uint64 wraps mod 2^64
+        max_turn_idx=("max_turn_idx", "max"),
+    ).reset_index()
+    n = len(agg)
+    subj = ("conv/" + agg["conv_id"]).to_numpy(dtype=object)
+    preds = np.array(
+        ["typeOf", "turnCount", "startTime", "endTime", "turnChecksum", "lastTurnNumber"],
+        dtype=object,
+    )
+    vals = np.empty((n, 6), dtype=object)
+    vals[:, 0] = None
+    vals[:, 1] = agg["n_turns"].astype(str).to_numpy(dtype=object)
+    vals[:, 2] = agg["min_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S").to_numpy(dtype=object)
+    vals[:, 3] = agg["max_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S").to_numpy(dtype=object)
+    vals[:, 4] = agg["checksum"].astype(np.uint64).astype(str).to_numpy(dtype=object)
+    vals[:, 5] = agg["max_turn_idx"].astype(str).to_numpy(dtype=object)
+    oid = np.empty((n, 6), dtype=object)
+    oid[:, 0] = "Conversation"
+    oid[:, 1:] = None
+    return pa.table(
         {
-            "subject_id": [r[0] for r in rows],
-            "predicate": [r[1] for r in rows],
-            "object_id": [r[2] for r in rows],
-            "object_value": [r[3] for r in rows],
-            "provenance": "transcripts",
+            "subject_id": pa.array(np.repeat(subj, 6), pa.string()),
+            "predicate": pa.array(np.tile(preds, n), pa.string()),
+            "object_id": pa.array(oid.ravel(), pa.string()),
+            "object_value": pa.array(vals.ravel(), pa.large_string()),
+            "provenance": pa.array(np.repeat("transcripts", 6 * n), pa.string()),
         }
     )

@@ -78,7 +78,9 @@ def knn_cosine(embeddings_ds, n_queries: int, k: int, query_vectors: dict | None
         query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
     partial = PartialTopK(query_vectors, k)
     partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(
+    from import_ray.core.context import npartitions
+
+    return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )
 
