@@ -114,6 +114,53 @@ def _knn(sf_dir: str):
     return knn_cosine(ds, _KNN_QUERIES, _KNN_K, query_vectors=queries)
 
 
+def _minhash_dedup_docs(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.neardup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.7)
+
+
+def _simhash_pairs_docs(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.neardup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+def _ngram_jaccard_docs(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.neardup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def _doc_fingerprints(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.text import doc_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_fingerprint, batch_format="pyarrow")
+
+
+def _multimodal_features(sf_dir: str):
+    import ray.data
+
+    from import_ray.stages.multimodal import extract_media_features, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(n=96))
+    return extract_media_features(ds).select_columns(
+        ["media_id", "media_type", "payload_bytes"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from import_ray.pipelines import relational as R
 
@@ -130,6 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
         "knn_cosine": _knn,
+        "melt_part": R.melt_part,
+        "minhash_dedup_docs": _minhash_dedup_docs,
+        "simhash_pairs_docs": _simhash_pairs_docs,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "doc_fingerprints": _doc_fingerprints,
+        "multimodal_features": _multimodal_features,
         "kg_transcript_triples": _kg_transcript_triples,
     }
 
@@ -153,5 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_docs": TOKEN_STATS_SQL,
         "quality_docs": QUALITY_SQL,
         "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
-        # lang_id_docs / kg_transcript_triples: not SQL-expressible → rows-only
+        "melt_part": R.MELT_PART_SQL,
+        # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
+        # multimodal_features, kg_transcript_triples: not SQL-expressible
+        # → rows-only checks
     }

@@ -25,6 +25,20 @@ def configure_data_context() -> None:
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
+def ensure_hash_shuffle(ds):
+    """Datasets snapshot the DataContext at creation; a dataset created
+    before ``configure_data_context()`` ran would still sort-shuffle.
+    Fix up its captured context in place and return it."""
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ds.context.enable_progress_bars = False
+    except AttributeError:
+        pass
+    return ds
+
+
 def cluster_cpus() -> int:
     import ray
 
@@ -38,7 +52,9 @@ def npartitions(scale: float = 1.0, lo: int = 4, hi: int = 64) -> int:
 
     On a real multi-node cluster ``hi`` should rise with node count —
     partitions bound both aggregator-actor parallelism and the size of
-    each output block.
+    each output block. Also ensures the engine DataContext defaults
+    (hash shuffle) are applied — every keyed op calls this.
     """
+    configure_data_context()
     n = int(cluster_cpus() * scale)
     return max(lo, min(hi, n))

@@ -390,3 +390,38 @@ SELECT cur.o_orderkey,
 FROM cur LEFT JOIN prev USING (o_orderkey)
 WHERE prev.o_orderkey IS NULL OR prev.v <> cur.v
 """
+
+
+# --- wide→long melt (observations_importer semantics,
+#     simple/stats/observations_importer.py:130-146) --------------------------
+
+
+def melt_part(sf_dir: str):
+    """part(p_partkey, p_size, p_retailprice) → long rows
+    (p_partkey, variable, value_cents)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        size_cents = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64) * 100
+        price_cents = _cents(batch["p_retailprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.concatenate([keys, keys])),
+                "variable": pa.array(
+                    ["p_size"] * n + ["p_retailprice"] * n, pa.string()
+                ),
+                "value_cents": pa.array(np.concatenate([size_cents, price_cents])),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+MELT_PART_SQL = """
+SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS BIGINT)*100 AS value_cents FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS variable,
+       CAST(ROUND(p_retailprice*100) AS BIGINT) AS value_cents FROM part
+"""

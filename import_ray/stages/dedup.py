@@ -57,6 +57,9 @@ def _local_distinct(batch: pa.Table) -> pa.Table:
 
 def exact_dedup_triples(ds, num_partitions: int | None = None):
     """Global exact dedup of triple rows (keeps min-provenance copy)."""
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
     n = num_partitions or npartitions()
     ds = ds.map_batches(_hash_and_local_distinct, batch_format="pyarrow")
     ds = ds.repartition(n, keys=["h1"])
@@ -74,6 +77,9 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 def exact_dedup_documents(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Exact document dedup: hash-partition on content hash, keep the
     first (min id) doc per identical text."""
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
     from ray.data.aggregate import Min
 
     ds = ds.map_batches(lambda b: add_text_hash(b, text_col), batch_format="pyarrow")

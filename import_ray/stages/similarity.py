@@ -73,6 +73,9 @@ def _final_topk_factory(k: int):
 def knn_cosine(embeddings_ds, n_queries: int, k: int, query_vectors: dict | None = None):
     """Exact brute-force cosine top-k. Query vectors default to the
     embeddings with vec_id < n_queries (read driver-side, broadcast)."""
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(embeddings_ds)
     if query_vectors is None:
         q = embeddings_ds.filter(lambda r: r["vec_id"] < n_queries).take_all()
         query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}

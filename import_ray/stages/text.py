@@ -13,6 +13,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from import_ray.functions.farmhash import fingerprint64
+
 
 def token_stats(batch: pa.Table) -> pa.Table:
     """n_tokens = split on single space (DuckDB ``string_split(text,' ')``
@@ -118,8 +120,6 @@ class LangId:
 def doc_fingerprint(batch: pa.Table) -> pa.Table:
     """Rolling-hash document fingerprint: min of 8-gram rolling hashes
     (winnowing-style sketch). Deterministic; no SQL oracle."""
-    from import_ray.functions.farmhash import fingerprint64
-
     texts = batch["text"].to_pylist()
     fps = np.empty(len(texts), np.uint64)
     for i, t in enumerate(texts):
