@@ -36,13 +36,30 @@ def build_triples(
     batch_size: int = 4096,
     dedup: bool = True,
     conv_aggregates: bool = True,
+    dedup_strategy: str = "shuffle",
 ):
     """Lazy Dataset of canonical triples from a transcripts parquet path."""
     import ray.data
 
-    from import_ray.core.context import configure_data_context, npartitions
+    import os
+
+    from import_ray.core.context import configure_data_context, npartitions_for_bytes
 
     configure_data_context()
+    paths = (
+        [transcripts_path] if isinstance(transcripts_path, str) else list(transcripts_path)
+    )
+    def _size(path):
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path) if os.path.exists(path) else 0
+
+    input_bytes = sum(_size(p) for p in paths)
+    n_parts = npartitions_for_bytes(input_bytes)
     ds = ray.data.read_parquet(transcripts_path, columns=TRANSCRIPT_COLS)
 
     turn_triples = ds.map_batches(
@@ -55,7 +72,7 @@ def build_triples(
         partials = ds.map_batches(
             ConversationPartials(), batch_format="pyarrow", batch_size=batch_size
         )
-        conv_triples = partials.repartition(npartitions(), keys=["conv_id"]).map_batches(
+        conv_triples = partials.repartition(n_parts, keys=["conv_id"]).map_batches(
             merge_conversation_partials_block, batch_format="pyarrow"
         )
         all_triples = turn_triples.union(conv_triples)
@@ -63,7 +80,9 @@ def build_triples(
         all_triples = turn_triples
 
     if dedup:
-        all_triples = exact_dedup_triples(all_triples)
+        all_triples = exact_dedup_triples(
+            all_triples, num_partitions=n_parts, strategy=dedup_strategy
+        )
     return all_triples
 
 

@@ -92,11 +92,16 @@ def synthesize_transcripts(
     mega_turns: int = 400,
     shuffle: bool = True,
     words: list[str] | None = None,
+    n_files: int = 1,
 ) -> str:
-    """Write a deterministic transcripts parquet file; returns the path.
+    """Write deterministic transcripts parquet; returns the path.
 
-    Every ``mega_every``-th conversation is a mega-conversation with
-    ``mega_turns`` turns (skew); others have 2-14 turns.
+    ``n_files=1`` writes a single file at ``out_path``; otherwise
+    ``out_path`` is treated as a directory of ``part-XXXXX.parquet``
+    shards (the realistic many-file layout — a single file serializes
+    the read stage). Every ``mega_every``-th conversation is a
+    mega-conversation with ``mega_turns`` turns (skew); others have
+    2-14 turns.
     """
     if words is None:
         words = (
@@ -134,8 +139,17 @@ def synthesize_transcripts(
     if shuffle:
         order = np.random.default_rng(seed).permutation(len(table))
         table = table.take(pa.array(order))
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    pq.write_table(table, out_path)
+    if n_files <= 1:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        pq.write_table(table, out_path)
+    else:
+        os.makedirs(out_path, exist_ok=True)
+        rows = len(table)
+        per = (rows + n_files - 1) // n_files
+        for k in range(n_files):
+            part = table.slice(k * per, per)
+            if len(part):
+                pq.write_table(part, os.path.join(out_path, f"part-{k:05d}.parquet"))
     return out_path
 
 
@@ -147,12 +161,15 @@ def default_transcripts_path(sf_dir: str, n_convs: int | None = None) -> tuple[s
         scale = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}.get(sf_name, 200)
     else:
         scale = n_convs
-    path = f"/tmp/raydc_transcripts/{sf_name}_{scale}/transcripts.parquet"
+    n_files = 1 if scale <= 500 else 32
+    suffix = "transcripts.parquet" if n_files == 1 else "shards"
+    path = f"/tmp/raydc_transcripts/{sf_name}_{scale}/{suffix}"
     return path, scale
 
 
 def ensure_transcripts(sf_dir: str, n_convs: int | None = None, seed: int = 42) -> str:
     path, scale = default_transcripts_path(sf_dir, n_convs)
+    n_files = 1 if scale <= 500 else 32
     if not os.path.exists(path):
-        synthesize_transcripts(path, n_convs=scale, seed=seed)
+        synthesize_transcripts(path, n_convs=scale, seed=seed, n_files=n_files)
     return path

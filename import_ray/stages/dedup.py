@@ -34,13 +34,23 @@ _HASH_KEY_2 = "9e3779b97f4a7c15"  # second, independent 16-byte hash key
 
 
 def _hash_and_local_distinct(batch: pa.Table) -> pa.Table:
-    """Append h1/h2 content hashes and drop in-batch duplicates."""
-    h1 = np.zeros(len(batch), np.uint64)
-    h2 = np.zeros(len(batch), np.uint64)
+    """Append h1/h2 content hashes and drop in-batch duplicates.
+
+    One hash pass per key column; h1/h2 are two independent 64-bit
+    linear combinations of the per-column hashes (any column-hash
+    difference flips both except with ~2^-128 probability).
+    """
+    col_hashes = []
     for c in TRIPLE_KEY:
         col = batch[c].to_pandas().fillna("\x00").to_numpy(dtype=object)
-        h1 = h1 * np.uint64(1099511628211) + pd.util.hash_array(col)
-        h2 = h2 * np.uint64(0x9E3779B9) + pd.util.hash_array(col, hash_key=_HASH_KEY_2)
+        col_hashes.append(pd.util.hash_array(col))
+    h1 = np.zeros(len(batch), np.uint64)
+    h2 = np.zeros(len(batch), np.uint64)
+    a1 = (np.uint64(1099511628211), np.uint64(0x100000001B3), np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
+    a2 = (np.uint64(0x2545F4914F6CDD1D), np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53), np.uint64(0x165667B19E3779F9))
+    for i, ch in enumerate(col_hashes):
+        h1 += a1[i] * ch
+        h2 += a2[i] * ch
     t = batch.append_column("h1", pa.array(h1.view(np.int64))).append_column(
         "h2", pa.array(h2.view(np.int64))
     )
@@ -48,23 +58,177 @@ def _hash_and_local_distinct(batch: pa.Table) -> pa.Table:
 
 
 def _local_distinct(batch: pa.Table) -> pa.Table:
-    df = batch.to_pandas()
-    df = df.sort_values("provenance", kind="mergesort").drop_duplicates(
-        ["h1", "h2"], keep="first"
+    """Distinct on (h1, h2) via numpy lexsort + run-boundary mask +
+    Arrow take — no pandas round trip, no per-group aggregation.
+    Survivor choice is deterministic (min provenance-hash within a
+    group), independent of row/partition order."""
+    n = len(batch)
+    if n == 0:
+        return batch
+    batch = batch.combine_chunks()
+    h1 = batch["h1"].to_numpy(zero_copy_only=False)
+    h2 = batch["h2"].to_numpy(zero_copy_only=False)
+    ph = pd.util.hash_array(
+        batch["provenance"].to_pandas().fillna("").to_numpy(dtype=object)
     )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    order = np.lexsort((ph, h2, h1))
+    h1s = h1[order]
+    h2s = h2[order]
+    keep = np.empty(n, bool)
+    keep[0] = True
+    keep[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    idx = np.sort(order[keep])
+    return batch.take(pa.array(idx))
 
 
-def exact_dedup_triples(ds, num_partitions: int | None = None):
-    """Global exact dedup of triple rows (keeps min-provenance copy)."""
+def exact_dedup_triples(ds, num_partitions: int | None = None, strategy: str = "shuffle"):
+    """Global exact dedup of triple rows (keeps the min-provenance-hash
+    copy per tuple).
+
+    ``strategy="shuffle"`` (default): per-batch local distinct (the Beam
+    bundle-cache trick, GraphReader.java:201-238) then hash-repartition
+    on the 64-bit content hash and a numpy run-mask distinct per block.
+    Fastest locally (rows move once through the object store).
+
+    ``strategy="broadcast"``: never shuffles full rows —
+
+    Duplicate ratios in triple extraction are low (repeated entity/
+    place triples), so instead of an all-to-all exchange of wide rows:
+
+      1. per-batch local distinct + 128-bit content hash + per-row tag;
+         materialize (blocks stay put in the object store);
+      2. shuffle ONLY (h1, h2, prov-rank, tag) — 32 bytes/row — and find
+         keys seen more than once; per duplicated key pick the winner =
+         min (prov_hash, tag);
+      3. broadcast the (small) {key → winner_tag} map; filter blocks in
+         place: keep non-duplicated keys and winner rows.
+
+    The surviving row's CONTENT is deterministic (all copies are equal
+    except provenance, and min prov-hash wins); which physical copy
+    emits it is irrelevant. Exchange volume drops from full rows to 32
+    bytes per row — the difference between shuffling ~100 TB and
+    shuffling ~3 TB at the target scale. Falls back safely: if the
+    duplicate-key map is huge the broadcast still works, just costs
+    memory proportional to distinct duplicated keys (not duplicate
+    rows).
+    """
+    import ray
+
     from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(ds)
     n = num_partitions or npartitions()
-    ds = ds.map_batches(_hash_and_local_distinct, batch_format="pyarrow")
-    ds = ds.repartition(n, keys=["h1"])
-    ds = ds.map_batches(_local_distinct, batch_format="pyarrow")
-    return ds.drop_columns(["h1", "h2"])
+    if strategy not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown dedup strategy: {strategy!r} (use 'shuffle' or 'broadcast')")
+    if strategy == "shuffle":
+        out = ds.map_batches(_hash_and_local_distinct, batch_format="pyarrow")
+        out = out.repartition(n, keys=["h1"])
+        out = out.map_batches(_local_distinct, batch_format="pyarrow")
+        return out.drop_columns(["h1", "h2"])
+    hashed = ds.map_batches(_hash_tag_local_distinct, batch_format="pyarrow").materialize()
+
+    keys = hashed.map_batches(
+        lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
+    )
+    # keys are 32 bytes/row — few partitions beat aggregator-actor churn
+    keys = keys.repartition(min(n, 8), keys=["h1"])
+    dup_rows = keys.map_batches(_find_dup_winners, batch_format="pyarrow").take_all()
+    # sorted parallel arrays for vectorized lookup in the filter pass
+    if dup_rows:
+        dup_h1 = np.array([r["h1"] for r in dup_rows], np.int64)
+        dup_h2 = np.array([r["h2"] for r in dup_rows], np.int64)
+        dup_w = np.array([r["winner_tag"] for r in dup_rows], np.int64)
+        o = np.lexsort((dup_h2, dup_h1))
+        dup_h1, dup_h2, dup_w = dup_h1[o], dup_h2[o], dup_w[o]
+    else:
+        dup_h1 = dup_h2 = dup_w = np.array([], np.int64)
+    dup_ref = ray.put((dup_h1, dup_h2, dup_w))
+
+    def filter_dups(batch: pa.Table) -> pa.Table:
+        d1, d2, dw = ray.get(dup_ref)
+        cols_to_drop = ["h1", "h2", "ph", "tag"]
+        if len(d1) == 0 or len(batch) == 0:
+            return batch.drop_columns(cols_to_drop)
+        h1 = batch["h1"].to_numpy(zero_copy_only=False)
+        h2 = batch["h2"].to_numpy(zero_copy_only=False)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d1, h1)
+        pos_c = np.clip(pos, 0, len(d1) - 1)
+        # candidate rows whose h1 exists in the dup table
+        cand = d1[pos_c] == h1
+        keep = np.ones(len(batch), bool)
+        # walk forward over (rare) h1 runs to match h2 exactly
+        for i in np.flatnonzero(cand):
+            j = pos[i]
+            while j < len(d1) and d1[j] == h1[i]:
+                if d2[j] == h2[i]:
+                    if tag[i] != dw[j]:
+                        keep[i] = False
+                    break
+                j += 1
+        return batch.filter(pa.array(keep)).drop_columns(cols_to_drop)
+
+    return hashed.map_batches(filter_dups, batch_format="pyarrow")
+
+
+def _hash_tag_local_distinct(batch: pa.Table) -> pa.Table:
+    """Local distinct + content hashes + per-row tag (unique among copies
+    of the same key: mixes a block-content hash with the row position)."""
+    t = _hash_and_local_distinct(batch)
+    n = len(t)
+    h1 = t["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ph = pd.util.hash_array(
+        t["provenance"].to_pandas().fillna("").to_numpy(dtype=object)
+    )
+    block_h = np.uint64(np.bitwise_xor.reduce(h1) * np.uint64(0x9E3779B97F4A7C15)) if n else np.uint64(0)
+    pos = np.arange(n, dtype=np.uint64)
+    tag = (block_h + pos * np.uint64(0xC2B2AE3D27D4EB4F) + h1) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    t = t.append_column("ph", pa.array(ph.view(np.int64)))
+    return t.append_column("tag", pa.array(tag.view(np.int64)))
+
+
+def _find_dup_winners(batch: pa.Table) -> pa.Table:
+    """Per shuffle partition: keys appearing >1 times → winner tag
+    (min (prov-hash, tag))."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "winner_tag": pa.array([], pa.int64()),
+            }
+        )
+    batch = batch.combine_chunks()
+    h1 = batch["h1"].to_numpy(zero_copy_only=False)
+    h2 = batch["h2"].to_numpy(zero_copy_only=False)
+    ph = batch["ph"].to_numpy(zero_copy_only=False).view(np.uint64)
+    tag = batch["tag"].to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.lexsort((tag, ph, h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    new_run = np.empty(n, bool)
+    new_run[0] = True
+    new_run[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    run_ids = np.cumsum(new_run) - 1
+    run_sizes = np.bincount(run_ids)
+    dup_runs = np.flatnonzero(run_sizes > 1)
+    if len(dup_runs) == 0:
+        return pa.table(
+            {
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "winner_tag": pa.array([], pa.int64()),
+            }
+        )
+    run_starts = np.flatnonzero(new_run)
+    first_idx = order[run_starts[dup_runs]]
+    return pa.table(
+        {
+            "h1": pa.array(h1[first_idx]),
+            "h2": pa.array(h2[first_idx]),
+            "winner_tag": pa.array(tag[first_idx].view(np.int64)),
+        }
+    )
 
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:

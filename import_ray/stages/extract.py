@@ -87,35 +87,42 @@ class TranscriptTripleExtractor:
         self.latlong_re = _LATLONG_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         prov = self.provenance
         n = len(batch)
-        conv = batch["conv_id"].to_pylist()
-        tidx = batch["turn_idx"].to_pylist()
-        role = batch["role"].to_pylist()
-        text = batch["text"].to_pylist()
-        tool = batch["tool"].to_pylist()
-        # ISO-rendered timestamps, vectorized
-        ts = pc.strftime(batch["ts"], format="%Y-%m-%dT%H:%M:%S").to_pylist()
+        conv_s = batch["conv_id"].to_pandas()
+        tidx_s = batch["turn_idx"].to_pandas()
+        role_np = batch["role"].to_pandas().to_numpy(dtype=object)
+        text_np = batch["text"].to_pandas().to_numpy(dtype=object)
+        tool_np = batch["tool"].to_pandas().to_numpy(dtype=object)
+        ts_np = (
+            pc.strftime(batch["ts"], format="%Y-%m-%dT%H:%M:%S")
+            .to_pandas()
+            .to_numpy(dtype=object)
+        )
+        subj_np = ("conv/" + conv_s + "/t" + tidx_s.astype(str)).to_numpy(dtype=object)
+        cnode_np = ("conv/" + conv_s).to_numpy(dtype=object)
+        tidx_np = tidx_s.astype(str).to_numpy(dtype=object)
 
-        subj = [f"conv/{c}/t{t}" for c, t in zip(conv, tidx)]
+        # --- per-turn structural triples: vectorized segments -----------
+        segs: list[tuple] = [
+            (subj_np, "typeOf", np.full(n, "ConversationTurn", object), None),
+            (subj_np, "partOf", cnode_np, None),
+            (subj_np, "turnNumber", None, tidx_np),
+            (subj_np, "role", None, role_np),
+            (subj_np, "text", None, text_np),
+            (subj_np, "startTime", None, ts_np),
+        ]
+        tool_mask = tool_np != ""
+        if tool_mask.any():
+            segs.append((subj_np[tool_mask], "tool", None, tool_np[tool_mask]))
 
+        # --- mention extraction (loop only over pre-filtered rows) ------
         out = {k: [] for k in _TRIPLE_FIELDS}
         add = self._add
-
-        # --- per-turn structural triples (one pass, list building) -----
-        for i in range(n):
-            s = subj[i]
-            cnode = f"conv/{conv[i]}"
-            add(out, s, "typeOf", "ConversationTurn", None, prov)
-            add(out, s, "partOf", cnode, None, prov)
-            add(out, s, "turnNumber", None, str(tidx[i]), prov)
-            add(out, s, "role", None, role[i], prov)
-            add(out, s, "text", None, text[i], prov)
-            add(out, s, "startTime", None, ts[i], prov)
-            if tool[i]:
-                add(out, s, "tool", None, tool[i], prov)
-
-        # --- mention extraction ---------------------------------------
+        subj = subj_np
+        text = text_np
         for i in range(n):
             s = subj[i]
             t = text[i]
@@ -158,7 +165,38 @@ class TranscriptTripleExtractor:
                     add(out, res.dcid, "typeOf", "GeoCoordinates", None, prov)
                     add(out, res.dcid, "name", None, res.name, prov)
                     add(out, s, "mentionsLocation", res.dcid, None, prov)
-        return _triples_table(out)
+
+        # --- assemble: vectorized segments + mention rows ----------------
+        total_struct = sum(len(seg[0]) for seg in segs)
+        parts_subj = [seg[0] for seg in segs]
+        parts_pred = [np.full(len(seg[0]), seg[1], object) for seg in segs]
+        parts_oid = [
+            seg[2] if seg[2] is not None else np.full(len(seg[0]), None, object)
+            for seg in segs
+        ]
+        parts_oval = [
+            seg[3] if seg[3] is not None else np.full(len(seg[0]), None, object)
+            for seg in segs
+        ]
+        if out["subject_id"]:
+            parts_subj.append(np.array(out["subject_id"], object))
+            parts_pred.append(np.array(out["predicate"], object))
+            parts_oid.append(np.array(out["object_id"], object))
+            parts_oval.append(np.array(out["object_value"], object))
+        subj_all = np.concatenate(parts_subj)
+        return pa.table(
+            {
+                "subject_id": pa.array(subj_all, pa.string()),
+                "predicate": pa.array(np.concatenate(parts_pred), pa.string()),
+                "object_id": pa.array(np.concatenate(parts_oid), pa.string()),
+                "object_value": pa.array(
+                    np.concatenate(parts_oval), pa.large_string()
+                ),
+                "provenance": pa.array(
+                    np.full(len(subj_all), prov, object), pa.string()
+                ),
+            }
+        )
 
     @staticmethod
     def _add(out, s, p, oid, oval, prov):
@@ -190,35 +228,30 @@ class ConversationPartials:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        conv = batch["conv_id"].to_pylist()
-        tidx = batch["turn_idx"].to_pylist()
-        text = batch["text"].to_pylist()
-        ts = batch["ts"].to_pylist()
-        acc: dict[str, list] = {}
-        for c, i, x, t in zip(conv, tidx, text, ts):
-            e = acc.get(c)
-            h = fingerprint64(f"{i}:{x}")
-            if e is None:
-                acc[c] = [1, t, t, h, i]
-            else:
-                e[0] += 1
-                if t < e[1]:
-                    e[1] = t
-                if t > e[2]:
-                    e[2] = t
-                e[3] = (e[3] + h) & 0xFFFFFFFFFFFFFFFF
-                if i > e[4]:
-                    e[4] = i
+        df = batch.select(["conv_id", "turn_idx", "text", "ts"]).to_pandas()
+        # order-independent per-turn hash: vectorized siphash of
+        # "<idx>:<text>" (deterministic across processes)
+        keyed = (df["turn_idx"].astype(str) + ":" + df["text"]).to_numpy(dtype=object)
+        df["h"] = pd.util.hash_array(keyed)
+        agg = (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("turn_idx", "size"),
+                min_ts=("ts", "min"),
+                max_ts=("ts", "max"),
+                checksum=("h", "sum"),  # uint64 wraps mod 2^64
+                max_turn_idx=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
         return pa.table(
             {
-                "conv_id": pa.array(list(acc), pa.string()),
-                "n_turns": pa.array([v[0] for v in acc.values()], pa.int64()),
-                "min_ts": pa.array([v[1] for v in acc.values()], pa.timestamp("us")),
-                "max_ts": pa.array([v[2] for v in acc.values()], pa.timestamp("us")),
-                "checksum": pa.array(
-                    [np.uint64(v[3]) for v in acc.values()], pa.uint64()
-                ),
-                "max_turn_idx": pa.array([v[4] for v in acc.values()], pa.int64()),
+                "conv_id": pa.array(agg["conv_id"], pa.string()),
+                "n_turns": pa.array(agg["n_turns"], pa.int64()),
+                "min_ts": pa.array(agg["min_ts"], pa.timestamp("us")),
+                "max_ts": pa.array(agg["max_ts"], pa.timestamp("us")),
+                "checksum": pa.array(agg["checksum"].astype(np.uint64), pa.uint64()),
+                "max_turn_idx": pa.array(agg["max_turn_idx"].astype(np.int64), pa.int64()),
             }
         )
 
