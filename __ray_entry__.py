@@ -161,6 +161,53 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _ivf_knn(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from import_ray.stages.similarity import ivf_knn
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    queries = {
+        r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_knn(ds, queries, _KNN_K, n_clusters=8, n_probe=5)
+
+
+def _events_series(sf_dir: str):
+    """Series grouping (optimized-graph shape) using events as obs rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from import_ray.stages.observations import group_series
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"])
+
+    def to_obs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pc.cast(batch["user_id"], pa.string()),
+                "variable": batch["event_type"],
+                "date": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "value": pc.cast(batch["value"], pa.string()),
+                "measurement_method": pa.array([""] * len(batch), pa.string()),
+                "observation_period": pa.array([""] * len(batch), pa.string()),
+                "scaling_factor": pa.array([""] * len(batch), pa.string()),
+                "unit": pa.array([""] * len(batch), pa.string()),
+            }
+        )
+
+    obs = ds.map_batches(to_obs, batch_format="pyarrow")
+    series = group_series(obs)
+    return series.select_columns(["entity", "variable"]).map_batches(
+        lambda b: b.append_column("n", pa.array([1] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from import_ray.pipelines import relational as R
 
@@ -183,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "doc_fingerprints": _doc_fingerprints,
         "multimodal_features": _multimodal_features,
+        "ivf_knn": _ivf_knn,
+        "events_series_groups": _events_series,
         "kg_transcript_triples": _kg_transcript_triples,
     }
 
@@ -207,6 +256,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": QUALITY_SQL,
         "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
         "melt_part": R.MELT_PART_SQL,
+        "events_series_groups": (
+            "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "
+            "1 AS n FROM events GROUP BY user_id, event_type"
+        ),
         # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
         # multimodal_features, kg_transcript_triples: not SQL-expressible
         # → rows-only checks

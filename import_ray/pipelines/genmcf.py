@@ -26,8 +26,10 @@ import pyarrow as pa
 from import_ray.core.model import Graph, merge_graphs
 from import_ray.sources.mcf import parse_mcf_file
 from import_ray.sources.tmcf_csv import TemplateApplier, read_csv_with_row_numbers
+from import_ray.stages.check import NodeChecker
 from import_ray.stages.mutate import mutate_graph
 from import_ray.stages.resolve import make_external_id_resolver, resolve_graph
+from import_ray.state.counters import LEVEL_ERROR, CounterSet
 
 
 def _rows_to_graphs(batch: pa.Table) -> dict[str, Graph]:
@@ -79,29 +81,75 @@ def _graphs_to_rows(scoped: dict[str, tuple[Graph, Graph]]) -> pa.Table:
 
 
 class ResolveScopes:
-    """map_batches kernel: mutate + fixpoint-resolve each scope's graph.
+    """map_batches kernel: mutate + check + fixpoint-resolve each scope's
+    graph (the reference's processTables order: McfMutator → McfChecker
+    → resolveCommon, Processor.java:263-405). Nodes failing sanity
+    checks are routed to the failed output before resolution.
 
     The external-id map is broadcast once per actor via the constructor.
+    Counters (check + resolution issues) are emitted as sentinel rows
+    (node_id=``__counters__``) for a downstream reduce.
     """
+
+    COUNTER_SENTINEL = "__counters__"
 
     def __init__(
         self,
         external_id_map: dict | None = None,
         coordinates_map: dict | None = None,
         name_map: dict | None = None,
+        run_checks: bool = True,
+        allow_nan_svobs: bool = True,
+        known_dcids: set | None = None,
     ):
         self.id_resolver = make_external_id_resolver(
             external_id_map, coordinates_map, name_map
         )
+        self.run_checks = run_checks
+        self.allow_nan_svobs = allow_nan_svobs
+        self.known_dcids = known_dcids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        counters = CounterSet()
         scopes = _rows_to_graphs(batch)
         out: dict[str, tuple[Graph, Graph]] = {}
         for scope, graph in scopes.items():
             mutate_graph(graph)
+            check_failed: Graph = {}
+            if self.run_checks:
+                checker = NodeChecker(
+                    counters,
+                    allow_nan_svobs=self.allow_nan_svobs,
+                    known_dcids=self.known_dcids,
+                )
+                for node_id in list(graph):
+                    if not checker.check_node(node_id, graph[node_id]):
+                        check_failed[node_id] = graph.pop(node_id)
             res = resolve_graph(graph, id_resolver=self.id_resolver)
-            out[scope] = (res.resolved, res.failed)
-        return _graphs_to_rows(out)
+            for issue in res.issues:
+                counters.add(LEVEL_ERROR, issue.counter, str(issue))
+            failed = dict(res.failed)
+            failed.update(check_failed)
+            out[scope] = (res.resolved, failed)
+        result = _graphs_to_rows(out)
+        if counters.counts:
+            crows = [
+                {
+                    "scope": "",
+                    "node_id": self.COUNTER_SENTINEL,
+                    "prop": json.dumps([level, counter]),
+                    "value": str(n),
+                    "value_type": 0,
+                    "failed": False,
+                }
+                for (level, counter), n in counters.counts.items()
+            ]
+            result = pa.concat_tables(
+                [result, pa.Table.from_pylist(crows, schema=result.schema)]
+            )
+        return result
 
 
 def genmcf_table_ds(
@@ -111,6 +159,9 @@ def genmcf_table_ds(
     coordinates_map: dict | None = None,
     name_map: dict | None = None,
     batch_size: int = 2048,
+    run_checks: bool = True,
+    allow_nan_svobs: bool = True,
+    known_dcids: set | None = None,
 ):
     """Ray Dataset of resolved/failed node-PV rows for a TMCF+CSV pair."""
     import ray.data
@@ -130,10 +181,63 @@ def genmcf_table_ds(
     # splits them (cheap: rows are small)
     ds = ds.repartition(npartitions(), keys=["scope"])
     return ds.map_batches(
-        ResolveScopes(external_id_map, coordinates_map, name_map),
+        ResolveScopes(
+            external_id_map,
+            coordinates_map,
+            name_map,
+            run_checks=run_checks,
+            allow_nan_svobs=allow_nan_svobs,
+            known_dcids=known_dcids,
+        ),
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def split_counters(rows: list[dict]):
+    """Split take_all() rows into (node rows, CounterSet)."""
+    import json
+
+    cs = CounterSet()
+    node_rows = []
+    for r in rows:
+        if r["node_id"] == ResolveScopes.COUNTER_SENTINEL:
+            level, counter = json.loads(r["prop"])
+            cs.add(level, counter, n=int(r["value"]))
+        else:
+            node_rows.append(r)
+    return node_rows, cs
+
+
+def genmcf_report(
+    tmcf_path: str,
+    csv_path: str,
+    report_path: str | None = None,
+    run_stat_checks: bool = True,
+    **kwargs,
+):
+    """Run the table pipeline and produce (node rows, CounterSet),
+    optionally writing the reference-shaped ``report.json``
+    (LogWrapper.persistLog semantics). Stat checks (StatChecker
+    semantics) run over the resolved SVObs nodes and merge into the
+    same counter set, mirroring Processor.checkStats
+    (Processor.java:535-540)."""
+    import ray.data
+
+    ds = genmcf_table_ds(tmcf_path, csv_path, **kwargs)
+    all_rows = ds.take_all()
+    node_rows, counters = split_counters(all_rows)
+    if run_stat_checks and node_rows:
+        from import_ray.stages.observations import svobs_rows_to_observations
+        from import_ray.stages.statcheck import stat_check
+
+        table = pa.Table.from_pylist(node_rows)
+        obs = svobs_rows_to_observations(table)
+        if len(obs):
+            counters.merge(stat_check(ray.data.from_arrow(obs)))
+    if report_path:
+        counters.write_report(report_path)
+    return node_rows, counters
 
 
 def genmcf_instance(
@@ -177,6 +281,8 @@ def nodes_rows_to_graph(batch_or_table: pa.Table, include_failed: bool = False) 
         batch_or_table["value_type"].to_pylist(),
         failed_col,
     ):
+        if node_id == ResolveScopes.COUNTER_SENTINEL:
+            continue
         if failed and not include_failed:
             continue
         g.setdefault(node_id, {}).setdefault(prop, []).append((value, int(vtype)))

@@ -1,0 +1,124 @@
+"""Config-driven import surface (simple importer semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    (tmp_path / "countries.csv").write_text(
+        "place,year,Count_Person,Median_Income\n"
+        "India,2020,1380,2000\n"
+        "India,2021,1393,2100\n"
+        "USA,2020,331,65000\n"
+        "USA,2021,NaN,67000\n"
+    )
+    (tmp_path / "variable_per_row.csv").write_text(
+        "entity,variable,date,value\n"
+        "country/IND,Count_Farm,2020,9000\n"
+        "country/USA,Count_Farm,2020,2000\n"
+    )
+    (tmp_path / "floods.csv").write_text(
+        "place,date,severity\n"
+        "country/IND,2020-05-03,high\n"
+        "country/IND,2020-05-20,low\n"
+        "country/USA,2020-06-01,high\n"
+    )
+    (tmp_path / "authors.csv").write_text(
+        "author_id,author_name,author_country\n"
+        "a1,Alice,India\n"
+        "a2,Bob,USA\n"
+    )
+    return str(tmp_path)
+
+
+CONFIG = {
+    "inputFiles": {
+        "countries.csv": {
+            "importType": "observations",
+            "format": "variablePerColumn",
+            "entityType": "Country",
+            "provenance": "Prov1",
+            "columnMappings": {
+                "dcid:observationAbout": "place",
+                "dcid:observationDate": "year",
+            },
+        },
+        "variable_per_row.csv": {
+            "importType": "observations",
+            "format": "variablePerRow",
+            "provenance": "Prov1",
+        },
+        "floods.csv": {
+            "importType": "events",
+            "eventType": "FloodEvent",
+            "provenance": "Prov2",
+            "aggregation": {"period": "month"},
+        },
+        "authors.csv": {
+            "importType": "entities",
+            "rowEntityType": "Author",
+            "idColumn": "author_id",
+            "columnsToResolve": ["author_country"],
+            "provenance": "Prov2",
+        },
+    }
+}
+
+RESOLVER = {"India": "country/IND", "USA": "country/USA"}
+
+
+def test_config_import(input_dir):
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(input_dir, CONFIG, resolver_map=RESOLVER)
+    obs = out["observations"]
+    triples = out["triples"]
+
+    # melt + resolve + invalid-value drop: 8 wide cells minus 1 NaN = 7
+    wide = obs[obs["provenance"] == "Prov1"]
+    assert len(wide[wide["variable"].isin(["Count_Person", "Median_Income"])]) == 7
+    assert set(wide["entity"]) == {"country/IND", "country/USA"}
+    row = wide[(wide["entity"] == "country/IND") & (wide["variable"] == "Count_Person") & (wide["date"] == "2020")]
+    assert row["value"].iloc[0] == "1380"
+
+    # variablePerRow
+    assert len(wide[wide["variable"] == "Count_Farm"]) == 2
+
+    # events: monthly counts
+    ev = obs[obs["variable"] == "Count_FloodEvent"].set_index(["entity", "date"])
+    assert ev.loc[("country/IND", "2020-05"), "value"] == "2"
+    assert ev.loc[("country/USA", "2020-06"), "value"] == "1"
+
+    # event triples with generated ids
+    t = triples
+    assert ((t["subject_id"] == "FloodEvent_0") & (t["predicate"] == "typeOf")).any()
+    sev = t[(t["subject_id"] == "FloodEvent_0") & (t["predicate"] == "severity")]
+    assert sev["object_value"].iloc[0] == "high"
+
+    # entity rows + resolved ref column
+    a1 = t[t["subject_id"] == "a1"]
+    assert (a1[a1["predicate"] == "typeOf"]["object_id"] == "Author").all()
+    assert (a1[a1["predicate"] == "author_country"]["object_id"] == "country/IND").all()
+
+    # schema-less StatVar synthesis (data.py:125-138)
+    sv = t[t["subject_id"] == "Count_Person"]
+    got = dict(zip(sv["predicate"], sv["object_id"].fillna(sv["object_value"])))
+    assert got["populationType"] == "Thing"
+    assert got["measuredProperty"] == "Count_Person"
+    assert got["statType"] == "measuredValue"
+
+    # entity typeOf triples
+    assert (
+        (t["subject_id"] == "country/IND") & (t["predicate"] == "typeOf") & (t["object_id"] == "Country")
+    ).any()
+
+
+def test_unknown_import_type(input_dir):
+    from import_ray.pipelines.config_import import run_config_import
+
+    with pytest.raises(ValueError, match="unknown importType"):
+        run_config_import(
+            input_dir, {"inputFiles": {"countries.csv": {"importType": "bogus"}}}
+        )
