@@ -1,0 +1,108 @@
+"""JSON-LD → node graph.
+
+Reimplements the reference's JsonLdParser semantics
+(util/src/main/java/org/datacommons/util/parser/jsonld/JsonLdParser.java:18-208):
+
+- ``@id`` (required) → node id + auto ``dcid`` PV, with
+  ``https://datacommons.org/browser/`` and ``https://schema.org/``
+  prefixes stripped (java:24-38);
+- keys cleaned to their last ``/``/``#`` segment (java:39-57);
+- ``@type`` → ``typeOf`` RESOLVED_REF;
+- value items: ``{"@value": v}`` → TEXT, ``{"@id": ref}`` →
+  RESOLVED_REF (UNRESOLVED_REF for ``l:``), scalars → TEXT.
+
+Deviation (documented): the reference runs full W3C JSON-LD 1.1
+expansion first (jsonld-java); no such library exists here, so this
+parser accepts documents already in expanded form, plus the common
+compacted shapes (top-level list, single node map, or ``@graph``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from import_ray.core.model import Graph, Node, ValueType
+
+_DCID_PREFIX = "https://datacommons.org/browser/"
+_SCHEMA_PREFIX = "https://schema.org/"
+
+
+def _strip_prefix(value: str) -> str:
+    if value.startswith(_DCID_PREFIX):
+        return value[len(_DCID_PREFIX) :]
+    if value.startswith(_SCHEMA_PREFIX):
+        return value[len(_SCHEMA_PREFIX) :]
+    return value
+
+
+def _clean_key(key: str) -> str:
+    while key.endswith("/") or key.endswith("#"):
+        if len(key) <= 1:
+            return ""
+        key = key[:-1]
+    if "/" in key:
+        key = key.rsplit("/", 1)[1]
+    if "#" in key:
+        key = key.rsplit("#", 1)[1]
+    return key
+
+
+def _add(node: Node, prop: str, value: str, vtype: int) -> None:
+    node.setdefault(prop, []).append((value, vtype))
+
+
+def _process_value_item(node: Node, prop: str, item) -> None:
+    if isinstance(item, dict):
+        if "@value" in item:
+            _add(node, prop, str(item["@value"]), ValueType.TEXT)
+        elif "@id" in item:
+            ref = _strip_prefix(str(item["@id"]))
+            vtype = (
+                ValueType.UNRESOLVED_REF if ref.startswith("l:") else ValueType.RESOLVED_REF
+            )
+            _add(node, prop, ref, vtype)
+            for k, v in item.items():
+                if k == "@id":
+                    continue
+                ck = _clean_key(k)
+                if ck == "observationProperties":
+                    for inner in v if isinstance(v, list) else [v]:
+                        _process_value_item(node, ck, inner)
+        # unsupported object → ignored (java:186-188)
+    elif item is not None:
+        _add(node, prop, str(item), ValueType.TEXT)
+
+
+def _parse_node(node_map: dict, graph: Graph) -> None:
+    node_id = node_map.get("@id")
+    if node_id is None:
+        return
+    node_id = _strip_prefix(str(node_id))
+    node: Node = {}
+    _add(node, "dcid", node_id, ValueType.TEXT)
+    for key, value in node_map.items():
+        ck = _clean_key(key) if key not in ("@id", "@type") else key
+        if not ck or ck == "@id":
+            continue
+        if ck == "@type":
+            for t in value if isinstance(value, list) else [value]:
+                if t is not None:
+                    _add(node, "typeOf", _strip_prefix(str(t)), ValueType.RESOLVED_REF)
+            continue
+        for item in value if isinstance(value, list) else [value]:
+            _process_value_item(node, ck, item)
+    graph[node_id] = node
+
+
+def parse_jsonld(text_or_obj) -> Graph:
+    obj = json.loads(text_or_obj) if isinstance(text_or_obj, str) else text_or_obj
+    if isinstance(obj, dict) and "@graph" in obj:
+        obj = obj["@graph"]
+    graph: Graph = {}
+    if isinstance(obj, list):
+        for entry in obj:
+            if isinstance(entry, dict):
+                _parse_node(entry, graph)
+    elif isinstance(obj, dict):
+        _parse_node(obj, graph)
+    return graph

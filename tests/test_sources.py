@@ -1,0 +1,69 @@
+"""JSON-LD parsing + distributed MCF/JSON-LD readers."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_jsonld_parse_semantics():
+    from import_ray.core.model import ValueType
+    from import_ray.sources.jsonld import parse_jsonld
+
+    doc = [
+        {
+            "@id": "https://datacommons.org/browser/geoId/06",
+            "@type": ["https://schema.org/State"],
+            "https://schema.org/name": [{"@value": "California"}],
+            "https://datacommons.org/browser/containedInPlace": [
+                {"@id": "https://datacommons.org/browser/country/USA"}
+            ],
+        },
+        {"no_id": True},
+    ]
+    g = parse_jsonld(doc)
+    assert list(g) == ["geoId/06"]
+    node = g["geoId/06"]
+    assert node["dcid"] == [("geoId/06", ValueType.TEXT)]
+    assert node["typeOf"] == [("State", ValueType.RESOLVED_REF)]
+    assert node["name"] == [("California", ValueType.TEXT)]
+    assert node["containedInPlace"] == [("country/USA", ValueType.RESOLVED_REF)]
+
+
+def test_jsonld_graph_wrapper_and_local_ref():
+    from import_ray.core.model import ValueType
+    from import_ray.sources.jsonld import parse_jsonld
+
+    doc = {"@graph": [{"@id": "X", "p": {"@id": "l:Other"}}]}
+    g = parse_jsonld(json.dumps(doc))
+    assert g["X"]["p"] == [("l:Other", ValueType.UNRESOLVED_REF)]
+
+
+def test_read_mcf_distributed(ray_session, tmp_path):
+    from import_ray.sources.readers import read_mcf
+
+    for i in range(3):
+        (tmp_path / f"f{i}.mcf").write_text(
+            f"Node: dcid:Thing{i}\ntypeOf: dcs:Class\nsubClassOf: dcs:Thing\n"
+            f'name: "Thing{i}"\n'
+        )
+    ds = read_mcf([str(tmp_path / f"f{i}.mcf") for i in range(3)])
+    rows = ds.take_all()
+    nodes = {r["node_id"] for r in rows}
+    assert nodes == {"dcid:Thing0", "dcid:Thing1", "dcid:Thing2"}
+    scopes = {r["scope"] for r in rows}
+    assert len(scopes) == 3  # one scope per file
+
+
+def test_read_jsonld_distributed(ray_session, tmp_path):
+    from import_ray.sources.readers import read_jsonld
+
+    (tmp_path / "a.jsonld").write_text(
+        json.dumps([{"@id": "N1", "@type": "City", "name": {"@value": "X"}}])
+    )
+    ds = read_jsonld(str(tmp_path / "a.jsonld"))
+    rows = ds.take_all()
+    assert {(r["node_id"], r["prop"]) for r in rows} == {
+        ("N1", "dcid"),
+        ("N1", "typeOf"),
+        ("N1", "name"),
+    }
