@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_mktsegment": R.distinct_mktsegment,
         "filter_project_lineitem": R.filter_project_lineitem,
         "version_diff_orders": R.version_diff_orders,
+        "customers_without_orders": R.customers_without_orders,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_mktsegment": R.DISTINCT_SQL,
         "filter_project_lineitem": R.FILTER_PROJECT_SQL,
         "version_diff_orders": R.VERSION_DIFF_SQL,
+        "customers_without_orders": R.ANTI_JOIN_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

@@ -120,3 +120,43 @@ def restore_turn_order(transcripts_ds):
     """Stable (conv_id, turn_idx) ordering — the per-turn text-equality
     invariant's ordering contract (BASELINE input_hint)."""
     return transcripts_ds.sort(["conv_id", "turn_idx"])
+
+
+def run_kg_job(
+    input_path: str,
+    out_dir: str,
+    shard_size: int = 8,
+    n_buckets: int = 64,
+    dedup_strategy: str = "shuffle",
+) -> dict:
+    """End-to-end resumable KG job: transcript shards → canonical triples
+    in ``<out_dir>/shard=*/part_key=*/`` with per-shard lineage
+    manifests; a rerun skips completed shards (north rule: checkpoint
+    resume + per-partition lineage).
+
+    ``input_path`` is a file or a directory of parquet shards; each
+    lineage shard groups ``shard_size`` input files.
+    """
+    import glob
+    import os
+
+    from import_ray.state.lineage import run_resumable
+
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+
+    def build(shard_files):
+        ds = build_triples(shard_files, dedup_strategy=dedup_strategy)
+        return ds.map_batches(
+            lambda b: add_part_key(b, n_buckets), batch_format="pyarrow"
+        )
+
+    return run_resumable(
+        files,
+        out_dir,
+        build,
+        shard_size=shard_size,
+        write_kwargs={"partition_cols": ["part_key"]},
+    )

@@ -425,3 +425,33 @@ UNION ALL
 SELECT p_partkey, 'p_retailprice' AS variable,
        CAST(ROUND(p_retailprice*100) AS BIGINT) AS value_cents FROM part
 """
+
+
+# --- anti join: customers with no orders (broadcast key-set filter,
+#     SURVEY §2.6 "semi/anti join") ------------------------------------------
+
+
+def customers_without_orders(sf_dir: str):
+    """Customers with no orders after 2001-01-01 (anti join via broadcast
+    key set; the date filter keeps the result non-trivial)."""
+    orders = _read_pandas(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    orders = orders[orders["o_orderdate"] >= "2001-01-01"]
+    with_orders = set(orders["o_custkey"].unique())
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(keys, list(with_orders))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+)
+"""
