@@ -130,8 +130,11 @@ def exact_dedup_triples(ds, num_partitions: int | None = None, strategy: str = "
     keys = hashed.map_batches(
         lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
     )
-    # keys are 32 bytes/row — few partitions beat aggregator-actor churn
-    keys = keys.repartition(min(n, 8), keys=["h1"])
+    # keys are 32 bytes/row — bound partitions low, but let bigger
+    # clusters use more (aggregator churn vs parallelism tradeoff)
+    from import_ray.core.context import cluster_cpus
+
+    keys = keys.repartition(min(n, max(8, cluster_cpus() // 2)), keys=["h1"])
     dup_rows = keys.map_batches(_find_dup_winners, batch_format="pyarrow").take_all()
     # sorted parallel arrays for vectorized lookup in the filter pass
     if dup_rows:
