@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_lineitem": R.filter_project_lineitem,
         "version_diff_orders": R.version_diff_orders,
         "customers_without_orders": R.customers_without_orders,
+        "orders_running_total": R.orders_running_total,
+        "purchase_last_signup": R.purchase_last_signup,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
@@ -251,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_project_lineitem": R.FILTER_PROJECT_SQL,
         "version_diff_orders": R.VERSION_DIFF_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
+        "orders_running_total": R.RUNNING_TOTAL_SQL,
+        "purchase_last_signup": R.ASOF_JOIN_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

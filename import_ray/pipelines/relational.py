@@ -455,3 +455,88 @@ WHERE NOT EXISTS (
   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
 )
 """
+
+
+# --- windowed aggregate: running total per customer (custom operator —
+#     Ray Data has no window functions; hash-partition by key + per-block
+#     sorted cumsum, SURVEY "Custom operators" note) --------------------------
+
+
+def orders_running_total(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_cents"] = _cents(df["o_totalprice"].to_numpy())
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        df["running_cents"] = df.groupby("o_custkey", sort=False)["price_cents"].cumsum()
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "o_custkey", "running_cents"]], preserve_index=False
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np(), keys=["o_custkey"]).map_batches(
+        per_block, batch_format="pyarrow"
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_cents
+FROM orders
+"""
+
+
+# --- as-of join: for each purchase event, the most recent signup by the
+#     same user at-or-before it (merge_asof per user-hash bucket) -------------
+
+
+def purchase_last_signup(sf_dir: str):
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        purchases = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        signups = df[df["event_type"] == "signup"].sort_values("ts", kind="mergesort")
+        if purchases.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "signup_event_id": pa.array([], pa.int64()),
+                }
+            )
+        joined = pd.merge_asof(
+            purchases,
+            signups[["user_id", "ts", "event_id"]].rename(
+                columns={"event_id": "signup_event_id"}
+            ),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = joined[["event_id", "user_id", "signup_event_id"]].copy()
+        out["signup_event_id"] = out["signup_event_id"].astype("Int64").fillna(-1).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np(), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow"
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       COALESCE(s.event_id, -1) AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+"""

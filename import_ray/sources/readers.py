@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from import_ray.core.model import Graph
+from import_ray.core.model import Graph, ValueType
 from import_ray.sources.jsonld import parse_jsonld
 from import_ray.sources.mcf import parse_mcf_string
 
@@ -69,3 +69,32 @@ def read_jsonld(paths: list[str] | str):
         return _graph_to_pv_rows(graph, scope=row["path"]).to_pylist()
 
     return files.flat_map(parse)
+
+
+def write_jsonld(nodes_ds, out_dir: str):
+    """JSON-LD shard writer (jsonld_stream_db.py analog): node-PV rows →
+    one JSON-LD doc per node, written as sharded JSON files per block."""
+    import json
+
+    from import_ray.pipelines.genmcf import nodes_rows_to_graph
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        graph = nodes_rows_to_graph(batch)
+        docs = []
+        for node_id, node in graph.items():
+            doc = {"@id": node_id}
+            for prop, tvs in node.items():
+                vals = []
+                for value, vtype in tvs:
+                    if vtype in (ValueType.RESOLVED_REF, ValueType.UNRESOLVED_REF):
+                        vals.append({"@id": value})
+                    else:
+                        vals.append({"@value": value})
+                if prop == "typeOf":
+                    doc["@type"] = [v.get("@id", v.get("@value")) for v in vals]
+                else:
+                    doc[prop] = vals
+            docs.append(json.dumps(doc, sort_keys=True))
+        return pa.table({"jsonld": pa.array(docs, pa.large_string())})
+
+    nodes_ds.map_batches(to_docs, batch_format="pyarrow").write_json(out_dir)

@@ -99,3 +99,17 @@ def mcf_to_triples(mcf_text: str) -> list[list]:
                 else:
                     out.append([node_id, prop, value, "VALUE"])
     return out
+
+
+def compress_value(value: str) -> bytes:
+    """Gzip string compression for oversized literal values (geoJson
+    etc.) — PipelineUtils.compressString semantics (java:463-474)."""
+    import gzip
+
+    return gzip.compress(value.encode("utf-8"))
+
+
+def decompress_value(data: bytes) -> str:
+    import gzip
+
+    return gzip.decompress(data).decode("utf-8")

@@ -67,3 +67,37 @@ def test_read_jsonld_distributed(ray_session, tmp_path):
         ("N1", "typeOf"),
         ("N1", "name"),
     }
+
+
+def test_write_jsonld_roundtrip(ray_session, tmp_path):
+    import glob
+    import json as _json
+
+    from import_ray.sources.readers import read_mcf, write_jsonld
+
+    (tmp_path / "in.mcf").write_text(
+        'Node: dcid:geoId/06\ntypeOf: dcs:State\nname: "California"\n'
+    )
+    nodes = read_mcf(str(tmp_path / "in.mcf"))
+    out = str(tmp_path / "out")
+    write_jsonld(nodes, out)
+    files = glob.glob(out + "/*.json")
+    assert files
+    docs = []
+    for f in files:
+        for line in open(f):
+            row = _json.loads(line)
+            docs.append(_json.loads(row["jsonld"]))
+    (doc,) = docs
+    assert doc["@id"] == "dcid:geoId/06"
+    assert doc["@type"] == ["State"]
+    assert {"@value": "California"} in doc["name"]
+
+
+def test_gzip_value_roundtrip():
+    from import_ray.stages.explode import compress_value, decompress_value
+
+    s = '{"type":"Polygon","coordinates":[[1,2],[3,4]]}' * 100
+    z = compress_value(s)
+    assert len(z) < len(s)
+    assert decompress_value(z) == s
