@@ -156,6 +156,36 @@ def test_latlng_resolution_matches_golden(ray_session):
     )
 
 
+@pytest.mark.parametrize(
+    "case,tmcf,csv,golden_file,min_p,min_r",
+    [
+        # P=1.0 R=1.0
+        ("measurementresult", "acre.tmcf", "acre.csv", "table_mcf_nodes_acre.mcf", 0.99, 0.99),
+        # P=0.995 R=0.957: (a) the golden's Quantity nodes carry `unit`
+        # where current ComplexValueParser.java:196-199 emits
+        # `unitOfMeasure` (golden predates the rename); (b) one SVObs row
+        # with a malformed place cascades differently. Both above target.
+        ("successtmcf", "SuccessMcf.tmcf", "SuccessTmcf.csv", "table_mcf_nodes_SuccessTmcf.mcf", 0.95, 0.95),
+    ],
+)
+def test_more_table_cases(ray_session, case, tmcf, csv, golden_file, min_p, min_r):
+    import pyarrow as pa
+
+    from import_ray.pipelines.genmcf import genmcf_table_ds, nodes_rows_to_graph
+
+    base = os.path.join(os.path.dirname(REF), case)
+    ds = genmcf_table_ds(
+        os.path.join(base, "input", tmcf),
+        os.path.join(base, "input", csv),
+        external_id_map={},
+    )
+    rows = pa.Table.from_pylist(ds.take_all())
+    got = graph_to_tuples(nodes_rows_to_graph(rows))
+    want = graph_to_tuples(golden_graph(os.path.join(base, "output", golden_file)))
+    p, r = prf(got, want)
+    assert p >= min_p and r >= min_r, f"{case}: P={p:.3f} R={r:.3f}"
+
+
 def test_instance_path_matches_golden():
     from import_ray.pipelines.genmcf import genmcf_instance
 
