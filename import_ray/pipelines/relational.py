@@ -112,9 +112,9 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1999-01-01'
@@ -126,18 +126,26 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str):
-    cust = _read_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    # customer scales with SF — keep it distributed: filter to the BUILDING
+    # segment inside map_batches, then a hash semi-join onto orders (only
+    # the 8-byte key column ever shuffles from the customer side).
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["c_mktsegment"], pa.scalar("BUILDING"))
+        ).select(["c_custkey"])
+
+    cust = cust.map_batches(building_keys, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def filter_orders(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            np.isin(batch["o_custkey"].to_numpy(zero_copy_only=False), list(building))
-        )
-        return batch.filter(mask)
-
-    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+    orders = orders.join(
+        cust,
+        join_type="left_semi",
+        num_partitions=_np(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -170,7 +178,7 @@ def q3_top_orders(sf_dir: str):
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -184,28 +192,35 @@ LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str):
+    # nation/region are genuinely tiny (25/5 rows) → broadcast as dense
+    # numpy lookup arrays indexed by nationkey (vectorized fancy-index,
+    # no per-row Python). customer scales with SF → distributed hash join.
     nation = _read_pandas(sf_dir, "nation")
     region = _read_pandas(sf_dir, "region")
-    cust = _read_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nk_to_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    nk_to_region = dict(
-        zip(
-            nation["n_nationkey"],
-            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
-        )
-    )
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    r_names = dict(zip(region["r_regionkey"], region["r_name"]))
+    size = int(nation["n_nationkey"].max()) + 1
+    nk_name = np.full(size, "", dtype=object)
+    nk_region = np.full(size, "", dtype=object)
+    nk_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nk_region[nation["n_nationkey"].to_numpy()] = nation["n_regionkey"].map(r_names).to_numpy()
 
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_np(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
 
     def order_nation(batch: pa.Table) -> pa.Table:
-        ck = batch["o_custkey"].to_pylist()
-        nk = [cust_nation.get(c, -1) for c in ck]
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "o_orderkey": batch["o_orderkey"],
-                "n_name": pa.array([nk_to_name.get(k, "") for k in nk], pa.string()),
-                "r_name": pa.array([nk_to_region.get(k, "") for k in nk], pa.string()),
+                "n_name": pa.array(nk_name[nk], pa.string()),
+                "r_name": pa.array(nk_region[nk], pa.string()),
             }
         )
 
@@ -239,7 +254,7 @@ def q5_region_revenue(sf_dir: str):
 
 Q5_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
 JOIN customer ON o_custkey   = c_custkey
@@ -284,7 +299,7 @@ def events_daily_counts(sf_dir: str):
 
 EVENTS_DAILY_SQL = """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type, day
@@ -432,20 +447,27 @@ SELECT p_partkey, 'p_retailprice' AS variable,
 
 
 def customers_without_orders(sf_dir: str):
-    """Customers with no orders after 2001-01-01 (anti join via broadcast
-    key set; the date filter keeps the result non-trivial)."""
-    orders = _read_pandas(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    orders = orders[orders["o_orderdate"] >= "2001-01-01"]
-    with_orders = set(orders["o_custkey"].unique())
+    """Customers with no orders after 2001-01-01: a distributed hash
+    anti-join — orders (fact-scaled) never touches the driver, only its
+    filtered 8-byte key column shuffles."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        from datetime import datetime
 
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        mask = ~np.isin(keys, list(with_orders))
-        return batch.filter(pa.array(mask))
+        return batch.filter(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(datetime(2001, 1, 1)))
+        ).select(["o_custkey"])
 
-    return ds.map_batches(anti, batch_format="pyarrow")
+    orders = orders.map_batches(recent_keys, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=_np(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
 
 
 ANTI_JOIN_SQL = """
@@ -484,8 +506,8 @@ def orders_running_total(sf_dir: str):
 
 RUNNING_TOTAL_SQL = """
 SELECT o_orderkey, o_custkey,
-       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
 FROM orders
 """
 
