@@ -123,6 +123,71 @@ def _minhash_dedup_docs(sf_dir: str):
     return minhash_dedup(ds, threshold=0.7)
 
 
+_PLANT_OFFSET = 1_000_000
+
+
+def _minhash_planted_clusters(sf_dir: str):
+    """Oracle-checkable near-dup fixture: plant a near-duplicate copy
+    (first token dropped, doc_id + 1e6) of every 20th document, run the
+    fully-distributed minhash dedup over originals+copies, and report
+    per copy whether it landed in its source's cluster (always TRUE —
+    the oracle states exactly that)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from import_ray.core.context import npartitions
+    from import_ray.stages.neardup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 20 == 0))
+        rest = pc.replace_substring_regex(
+            sub["text"], pattern=r"^\S+ ?", replacement="", max_replacements=1
+        )
+        copies = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "text": rest,
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    labels = minhash_dedup(ds.map_batches(plant, batch_format="pyarrow"), threshold=0.7)
+    copies = labels.filter(expr=f"doc_id >= {_PLANT_OFFSET}")
+    sources = labels.filter(expr=f"doc_id < {_PLANT_OFFSET}").map_batches(
+        lambda b: pa.table({"src_id": b["doc_id"], "src_cluster": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+    def with_src(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "src_id", pc.subtract(b["doc_id"], pa.scalar(_PLANT_OFFSET, pa.int64()))
+        )
+
+    joined = copies.map_batches(with_src, batch_format="pyarrow").join(
+        sources,
+        join_type="inner",
+        num_partitions=npartitions(),
+        on=("src_id",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "same_cluster": pc.equal(b["cluster_id"], b["src_cluster"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _simhash_pairs_docs(sf_dir: str):
     import ray.data
 
@@ -229,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _knn,
         "melt_part": R.melt_part,
         "minhash_dedup_docs": _minhash_dedup_docs,
+        "minhash_planted_clusters": _minhash_planted_clusters,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "doc_fingerprints": _doc_fingerprints,
@@ -262,6 +328,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": QUALITY_SQL,
         "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
         "melt_part": R.MELT_PART_SQL,
+        "minhash_planted_clusters": (
+            f"SELECT doc_id + {_PLANT_OFFSET} AS doc_id, TRUE AS same_cluster "
+            "FROM documents WHERE doc_id % 20 = 0"
+        ),
         "events_series_groups": (
             "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "
             "1 AS n FROM events GROUP BY user_id, event_type"

@@ -10,7 +10,15 @@ SURVEY.md §2.9). All follow the scalable LSH shape:
     → repartition(keys=[band_hash])       # hash shuffle, int64 keys
     → per-block candidate pairs (capped per bucket, logged when capped)
     → signature-based similarity verify (no second data pass)
-    → connected components via iterative min-label propagation
+    → connected components via DISTRIBUTED iterative min-label
+      propagation (groupby rounds; no O(N) driver structure)
+
+Vectorization: token hashing, shingling, minhash permutations, band
+hashing and simhash bit-voting are all flat numpy array ops over the
+whole batch (segment boundaries via ``np.minimum.reduceat`` /
+``np.add.reduceat``) — no per-document Python loops. Arithmetic is
+uint64 wraparound (multiply-add universal hashing with odd multipliers)
+instead of object-dtype Mersenne math.
 
 Determinism: hash seeds are fixed; candidate pair order is normalized
 (lo,hi); min-label propagation converges to min-doc_id cluster labels
@@ -19,109 +27,202 @@ independent of partitioning.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from import_ray.functions.farmhash import fingerprint64
+logger = logging.getLogger(__name__)
 
-_MERSENNE = (1 << 61) - 1
 MAX_PAIRS_PER_BUCKET = 1000  # skew guard; buckets larger than this are sampled
+MAX_BUCKET_MEMBERS = 200  # simhash skew guard (see simhash_pairs)
+
+# odd multipliers for wraparound polynomial combines (splitmix64 constants)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C = np.uint64(0xBF58476D1CE4E5B9)
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """64-bit hashes of word n-gram shingles."""
-    toks = text.split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
-        return np.zeros(1, np.uint64)
-    import pandas as pd
+def _split_flat(batch: pa.Table):
+    """Split ``text`` on single spaces → (counts, flat token hashes).
 
-    return pd.util.hash_array(np.array(grams, dtype=object)).astype(np.uint64)
+    counts[i] ≥ 1 for every doc (splitting "" yields [""]). Token
+    hashing goes through a dictionary encode so only UNIQUE tokens are
+    hashed (Zipf text repeats heavily), then fancy-indexes back.
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text, pattern=" ")
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return counts, np.zeros(0, np.uint64)
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    return counts, pd.util.hash_array(uniq).astype(np.uint64)[codes]
+
+
+def _shingle_hashes_flat(counts: np.ndarray, h: np.ndarray, n: int = 3):
+    """Rolling-polynomial word-``n``-gram shingle hashes for a whole
+    batch at once.
+
+    Docs with ≥n tokens contribute ``c - n + 1`` windows; shorter docs
+    contribute one shingle (polynomial over all their tokens). Returns
+    (shingle_counts_per_doc, flat_shingles) with shingles grouped in
+    doc order — ready for ``np.minimum.reduceat`` segmentation.
+    """
+    ndocs = len(counts)
+    starts = np.zeros(ndocs, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sh_counts = np.maximum(counts - n + 1, 1)
+    offsets = np.zeros(ndocs, np.int64)
+    np.cumsum(sh_counts[:-1], out=offsets[1:])
+    out = np.zeros(int(sh_counts.sum()), np.uint64)
+
+    total = len(h)
+    if total >= n:
+        # full windows over the flat array; windows crossing a doc
+        # boundary are dropped by the doc-equality mask
+        w = h[: total - n + 1].copy()
+        for k in range(1, n):
+            w = w * _POLY_B + h[k : total - n + 1 + k]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        valid = doc_of[: total - n + 1] == doc_of[n - 1 :]
+        starts_rep = np.repeat(starts, counts)
+        out_idx = offsets[doc_of[: total - n + 1]] + (
+            np.arange(total - n + 1, dtype=np.int64) - starts_rep[: total - n + 1]
+        )
+        out[out_idx[valid]] = w[valid]
+
+    short = counts < n
+    if short.any():
+        s_starts = starts[short]
+        s_counts = counts[short]
+        s_off = offsets[short]
+        acc = h[s_starts].copy()
+        for k in range(1, n - 1):
+            more = s_counts > k
+            acc[more] = acc[more] * _POLY_B + h[s_starts[more] + k]
+        out[s_off] = acc
+    return sh_counts, out
 
 
 class MinHashSignatures:
-    """map_batches kernel: doc rows → (doc_id, band_id, band_hash) rows."""
+    """map_batches kernel: doc rows → (doc_id, band_id, band_hash,
+    signature) rows — one fully-vectorized pass per batch.
+
+    Memory: ``num_perm × total_shingles × 8 B`` for the permutation
+    matrix — size ``batch_size`` so that stays ≲ tens of MB (the
+    pipeline below passes ``batch_size=512``).
+    """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = (rng.integers(1, 1 << 62, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self.band_salt = rng.integers(1, 1 << 62, bands, dtype=np.uint64) | np.uint64(1)
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_n).astype(np.object_)
-        # (k, m) universal hashing over the Mersenne prime (object dtype
-        # avoids uint64 overflow; m is small per doc)
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
-        return np.min(vals, axis=1).astype(np.uint64)
+    def signatures(self, batch: pa.Table) -> np.ndarray:
+        """(num_perm, n_docs) uint64 minhash matrix for the batch."""
+        counts, h = _split_flat(batch)
+        sh_counts, sh = _shingle_hashes_flat(counts, h, self.shingle_n)
+        seg = np.zeros(len(counts), np.int64)
+        np.cumsum(sh_counts[:-1], out=seg[1:])
+        # (k, S) wraparound universal hashing, then per-doc segmented min
+        vals = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return np.minimum.reduceat(vals, seg, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_doc, out_band, out_hash, out_sig = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text)
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                # deterministic across processes (Python's hash() is salted)
-                bh = fingerprint64(bytes([b]) + band.tobytes()) & 0x7FFFFFFFFFFFFFFF
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(bh)
-                out_sig.append(sig_bytes)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = self.signatures(batch)  # (num_perm, n)
+        # band hash: polynomial combine of the band's rows + band salt,
+        # finalized with a xor-shift mix (deterministic across processes)
+        bh = np.empty((self.bands, n), np.uint64)
+        for b in range(self.bands):
+            acc = np.full(n, self.band_salt[b], np.uint64)
+            for r in range(self.rows_per_band):
+                acc = acc * _POLY_B + sig[b * self.rows_per_band + r]
+            acc ^= acc >> np.uint64(31)
+            acc *= _MIX_C
+            acc ^= acc >> np.uint64(29)
+            bh[b] = acc
+        width = 8 * self.num_perm
+        sig_tiled = np.tile(np.ascontiguousarray(sig.T), (self.bands, 1))
+        sig_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), n * self.bands, [None, pa.py_buffer(sig_tiled.tobytes())]
+        )
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "signature": pa.array(out_sig, pa.binary()),
+                "doc_id": pa.array(np.tile(ids, self.bands), pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(
+                    (bh.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64),
+                    pa.int64(),
+                ),
+                "signature": sig_col,
             }
         )
 
 
 def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
-    """Per-block: group by (band_id, band_hash); emit verified pairs."""
-    by_bucket: dict = {}
-    for doc_id, band_id, band_hash, sig in zip(
-        batch["doc_id"].to_pylist(),
-        batch["band_id"].to_pylist(),
-        batch["band_hash"].to_pylist(),
-        batch["signature"].to_pylist(),
-    ):
-        by_bucket.setdefault((band_id, band_hash), []).append((doc_id, sig))
+    """Per-block: group by (band_id, band_hash); emit verified pairs.
+
+    Bucket grouping is a pandas hash groupby; within each bucket the
+    pair similarity check is a vectorized signature-matrix comparison.
+    Buckets larger than the skew cap are truncated and LOGGED.
+    """
+    df = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "key": batch["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) << 48
+            ^ batch["band_hash"].to_numpy(zero_copy_only=False),
+            "row": np.arange(len(batch)),
+        }
+    )
+    sigs_flat = np.frombuffer(
+        b"".join(batch["signature"].to_pylist()) if len(batch) else b"", np.uint64
+    ).reshape(len(batch), num_perm)
     lo_out, hi_out, sim_out = [], [], []
-    seen = set()
-    for bucket, members in by_bucket.items():
-        if len(members) < 2:
+    seen: set = set()
+    capped = 0
+    for _, grp in df.groupby("key", sort=False):
+        m = len(grp)
+        if m < 2:
             continue
-        members.sort()
-        n_pairs = 0
-        for i in range(len(members)):
-            if n_pairs >= MAX_PAIRS_PER_BUCKET:
-                break
-            for j in range(i + 1, len(members)):
-                if n_pairs >= MAX_PAIRS_PER_BUCKET:
-                    break
-                a, b = members[i], members[j]
-                key = (a[0], b[0])
-                if key in seen:
-                    continue
-                seen.add(key)
-                n_pairs += 1
-                sa = np.frombuffer(a[1], np.uint64)
-                sb = np.frombuffer(b[1], np.uint64)
-                est = float(np.mean(sa == sb))
-                if est >= threshold:
-                    lo_out.append(a[0])
-                    hi_out.append(b[0])
-                    sim_out.append(est)
+        grp = grp.sort_values("doc_id", kind="mergesort")
+        if m * (m - 1) // 2 > MAX_PAIRS_PER_BUCKET:
+            # cap MEMBERS (not pairs) so the triu allocation stays bounded
+            capped += 1
+            m = int((2 * MAX_PAIRS_PER_BUCKET) ** 0.5) + 1
+            grp = grp.iloc[:m]
+        ids = grp["doc_id"].to_numpy()
+        rows = grp["row"].to_numpy()
+        ii, jj = np.triu_indices(m, 1)
+        est = (sigs_flat[rows[ii]] == sigs_flat[rows[jj]]).mean(axis=1)
+        ok = est >= threshold
+        for a, b, e in zip(ids[ii[ok]], ids[jj[ok]], est[ok]):
+            key = (int(a), int(b))
+            if key in seen:
+                continue
+            seen.add(key)
+            lo_out.append(key[0])
+            hi_out.append(key[1])
+            sim_out.append(float(e))
+    if capped:
+        logger.warning(
+            "minhash LSH: %d bucket(s) exceeded MAX_PAIRS_PER_BUCKET=%d; pairs sampled",
+            capped,
+            MAX_PAIRS_PER_BUCKET,
+        )
     return pa.table(
         {
             "doc_lo": pa.array(lo_out, pa.int64()),
@@ -133,13 +234,11 @@ def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
 
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
     """Dataset of near-duplicate candidate pairs with estimated Jaccard."""
-    from import_ray.core.context import ensure_hash_shuffle
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
 
     ensure_hash_shuffle(docs_ds)
-    from import_ray.core.context import npartitions
-
     sig = MinHashSignatures(num_perm=num_perm, bands=bands)
-    band_rows = docs_ds.map_batches(sig, batch_format="pyarrow")
+    band_rows = docs_ds.map_batches(sig, batch_format="pyarrow", batch_size=512)
     band_rows = band_rows.repartition(npartitions(), keys=["band_hash"])
     pairs = band_rows.map_batches(
         lambda b: _bucket_pairs(b, threshold, num_perm), batch_format="pyarrow"
@@ -152,66 +251,140 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands
     )
 
 
-def connected_components(pairs: list[tuple[int, int]], ids: list[int]) -> dict[int, int]:
-    """Union-find over the (small) candidate-pair set → min-id labels.
-    Driver-side by design: |pairs| ≪ |docs| after LSH; for larger pair
-    sets switch to iterative min-label propagation via groupby rounds."""
-    parent: dict[int, int] = {}
+def propagate_min_labels(pairs_ds, max_rounds: int = 25):
+    """Distributed connected components over a pair Dataset via
+    iterative min-label propagation (groupby rounds).
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    Only nodes that appear in at least one pair carry a label row —
+    singletons never enter the shuffle and default to self downstream.
+    Each round: label(v) ← min(label(v), min label(u) over neighbors u),
+    computed as edges⋈labels + groupby-min. Rounds ≤ cluster diameter
+    (LSH clusters are shallow); convergence is detected by the label-sum
+    invariant (strictly decreasing until fixpoint). The labels dataset
+    is bounded by the number of non-singleton docs, NOT the corpus.
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    return {i: find(i) for i in ids}
+    Returns a Dataset (node:int64, label:int64).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from import_ray.core.context import npartitions
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "nbr": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    # round 0: label(v) = min(v, min neighbor)
+    labels = (
+        edges.groupby("node", num_partitions=npartitions())
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "label": pc.min_element_wise(b["node"], b["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_rounds):
+        nbr_labels = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=npartitions(),
+            on=("nbr",),
+            right_on=("node",),
+            right_suffix="_r",
+        ).select_columns(["node", "label"])
+        labels = (
+            labels.union(nbr_labels)
+            .groupby("node", num_partitions=npartitions())
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        logger.warning(
+            "propagate_min_labels: no fixpoint after %d rounds (very deep cluster?)",
+            max_rounds,
+        )
+    return labels
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.7):
-    """(doc_id, cluster_id) — cluster_id = min doc_id of the near-dup
-    cluster; singleton docs map to themselves."""
-    import pandas as pd
+    """(doc_id, cluster_id) Dataset — cluster_id = min doc_id of the
+    near-dup cluster; singleton docs map to themselves.
 
-    pair_rows = minhash_lsh_pairs(docs_ds, threshold=threshold).take_all()
-    ids = docs_ds.select_columns(["doc_id"]).unique("doc_id")
-    labels = connected_components(
-        [(r["doc_lo"], r["doc_hi"]) for r in pair_rows], list(ids)
+    Fully distributed: LSH pairs → groupby min-label propagation →
+    left-outer join back onto the corpus (null label ⇒ singleton).
+    No O(N)-over-all-docs driver structure anywhere.
+    """
+    from import_ray.core.context import npartitions
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=threshold)
+    labels = propagate_min_labels(pairs)
+
+    out = docs_ds.select_columns(["doc_id"]).join(
+        labels,
+        join_type="left_outer",
+        num_partitions=npartitions(),
+        on=("doc_id",),
+        right_on=("node",),
     )
-    return pd.DataFrame(
-        {"doc_id": sorted(labels), "cluster_id": [labels[i] for i in sorted(labels)]}
-    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lab = b["label"]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "cluster_id": pc.coalesce(lab, b["doc_id"]),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 class SimHashKernel:
-    """64-bit SimHash per doc (token-hash bit voting)."""
+    """64-bit SimHash per doc — flat token hashing + segmented bit
+    voting (``np.add.reduceat``), no per-doc Python loop."""
 
     def __init__(self, seed: int = 11):
         self.seed = seed
+        self.bits = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out = np.zeros(len(ids), np.uint64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-            bit_matrix = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = bit_matrix.sum(axis=0) * 2 - len(toks)
-            v = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    v |= np.uint64(1) << np.uint64(b)
-            out[i] = v
+        counts, h = _split_flat(batch)
+        ndocs = len(counts)
+        seg = np.zeros(ndocs, np.int64)
+        np.cumsum(counts[:-1], out=seg[1:])
+        # (T, 64) bit matrix for every token in the batch, then per-doc
+        # column sums via segmented reduce (int32: docs are < 2^31 tokens)
+        bit_matrix = ((h[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int32)
+        sums = np.add.reduceat(bit_matrix, seg, axis=0)  # (ndocs, 64)
+        votes = sums * 2 - counts[:, None]
+        out = ((votes > 0).astype(np.uint64) << self.bits[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -224,55 +397,67 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs by SimHash: bucket by 4×16-bit bands (any pair
     within hamming ≤3 of a 64-bit hash shares at least one exact band),
     verify hamming distance within buckets."""
-    from import_ray.core.context import ensure_hash_shuffle
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
 
     ensure_hash_shuffle(docs_ds)
-    from import_ray.core.context import npartitions
-
-    sigs = docs_ds.map_batches(SimHashKernel(), batch_format="pyarrow")
+    sigs = docs_ds.map_batches(SimHashKernel(), batch_format="pyarrow", batch_size=512)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, h in zip(ids, hs):
-            uh = np.uint64(h)
-            for b in range(4):
-                key = int((uh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append((b << 16) | key)
-                out_sig.append(h)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = ((hs[None, :] >> (bands[:, None] * np.uint64(16))) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        keys |= (bands[:, None].astype(np.int64)) << 16
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(out_sig, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                "simhash": pa.array(np.tile(hs.view(np.int64), 4), pa.int64()),
             }
         )
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:
-        by_bucket: dict = {}
-        for doc_id, key, sh in zip(
-            batch["doc_id"].to_pylist(),
-            batch["band_hash"].to_pylist(),
-            batch["simhash"].to_pylist(),
-        ):
-            by_bucket.setdefault(key, []).append((doc_id, sh))
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "key": batch["band_hash"].to_numpy(zero_copy_only=False),
+                "sh": batch["simhash"].to_numpy(zero_copy_only=False),
+            }
+        )
         lo, hi, dist = [], [], []
-        for members in by_bucket.values():
-            if len(members) < 2:
+        capped = 0
+        for _, grp in df.groupby("key", sort=False):
+            m = len(grp)
+            if m < 2:
                 continue
-            members.sort()
-            for i in range(min(len(members), 200)):
-                for j in range(i + 1, min(len(members), 200)):
-                    a, b = members[i], members[j]
-                    d = bin(np.uint64(a[1]) ^ np.uint64(b[1])).count("1")
-                    if d <= max_hamming:
-                        lo.append(a[0])
-                        hi.append(b[0])
-                        dist.append(d)
+            if m > MAX_BUCKET_MEMBERS:
+                capped += 1
+                grp = grp.nsmallest(MAX_BUCKET_MEMBERS, "doc_id")
+                m = MAX_BUCKET_MEMBERS
+            grp = grp.sort_values("doc_id", kind="mergesort")
+            ids = grp["doc_id"].to_numpy()
+            sh = grp["sh"].to_numpy().view(np.uint64)
+            ii, jj = np.triu_indices(m, 1)
+            x = sh[ii] ^ sh[jj]
+            d = np.zeros(len(x), np.int64)
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            ok = d <= max_hamming
+            lo.extend(int(v) for v in ids[ii[ok]])
+            hi.extend(int(v) for v in ids[jj[ok]])
+            dist.extend(int(v) for v in d[ok])
+        if capped:
+            logger.warning(
+                "simhash LSH: %d bucket(s) truncated to MAX_BUCKET_MEMBERS=%d "
+                "(pairs beyond the cap dropped)",
+                capped,
+                MAX_BUCKET_MEMBERS,
+            )
         return pa.table(
             {
                 "doc_lo": pa.array(lo, pa.int64()),
@@ -295,22 +480,30 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_n: int = 3):
     """EXACT token-n-gram Jaccard for LSH candidates: re-verifies
     MinHash candidate pairs with true shingle sets (broadcast of the
     candidate docs' shingles; candidate set ≪ corpus)."""
-    import pandas as pd
-
     cand = minhash_lsh_pairs(docs_ds, threshold=0.3).take_all()
     need = sorted({r["doc_lo"] for r in cand} | {r["doc_hi"] for r in cand})
-    need_set = set(need)
+    need_arr = np.array(need, dtype=np.int64)
 
     def shingles(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_i, out_s = [], []
-        for i, t in zip(ids, texts):
-            if i in need_set:
-                out_i.append(i)
-                out_s.append(_shingle_hashes(t, shingle_n).tobytes())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, need_arr)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.binary())}
+            )
+        sub = batch.filter(pa.array(keep))
+        counts, h = _split_flat(sub)
+        sh_counts, sh = _shingle_hashes_flat(counts, h, shingle_n)
+        seg = np.zeros(len(counts), np.int64)
+        np.cumsum(sh_counts[:-1], out=seg[1:])
+        out_b = [
+            sh[seg[i] : seg[i] + sh_counts[i]].tobytes() for i in range(len(counts))
+        ]
         return pa.table(
-            {"doc_id": pa.array(out_i, pa.int64()), "sh": pa.array(out_s, pa.binary())}
+            {
+                "doc_id": sub["doc_id"],
+                "sh": pa.array(out_b, pa.binary()),
+            }
         )
 
     sh_rows = docs_ds.map_batches(shingles, batch_format="pyarrow").take_all()

@@ -3,8 +3,15 @@
 Brute-force cosine top-k: the scale path is per-batch partial top-k
 against a **broadcast** query matrix (numpy matmul in float64), then a
 tiny ``groupby(query_id)`` merge of the partials — the full score
-matrix never materializes and nothing big shuffles. An LSH-bucketed
-variant (random hyperplanes) provides the approximate path.
+matrix never materializes and nothing big shuffles. An IVF variant
+(driver-trained broadcast centroids, per-query cluster probing)
+provides the approximate path.
+
+Kernels are fully vectorized: embeddings come out of Arrow as one
+zero-copy ``list_flatten`` reshape, per-query top-k is a single
+``np.argpartition`` along axis 1, and IVF probe membership is a
+(query × cluster) boolean matrix fancy-indexed by the batch's cluster
+assignments — no per-row or per-query Python loops.
 """
 
 from __future__ import annotations
@@ -12,12 +19,51 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — one flat
+    zero-copy flatten + reshape, no per-row stacking."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _emit_topk(qids, vec_ids, scores, k) -> pa.Table:
+    """Per-batch top-k along axis 1 of a (Q, B) score matrix; -inf
+    entries (masked) are dropped from the output."""
+    B = scores.shape[1]
+    kk = min(k, B)
+    if kk == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+    rows = np.repeat(qids, kk)
+    cols = vec_ids[idx.reshape(-1)]
+    keep = vals > -np.inf
+    return pa.table(
+        {
+            "query_id": pa.array(rows[keep], pa.int64()),
+            "neighbor_id": pa.array(cols[keep], pa.int64()),
+            "score": pa.array(vals[keep], pa.float64()),
+        }
+    )
 
 
 class PartialTopK:
@@ -32,30 +78,10 @@ class PartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        emb = _normalize(emb)
+        emb = _normalize(_emb_matrix(batch))
         scores = self.qm @ emb.T  # (n_queries, n_batch)
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            row = scores[qi]
-            mask = vec_ids != qid
-            ids = vec_ids[mask]
-            vals = row[mask]
-            if len(ids) > self.k:
-                part = np.argpartition(-vals, self.k)[: self.k]
-                ids, vals = ids[part], vals[part]
-            out_q.extend([qid] * len(ids))
-            out_v.extend(ids.tolist())
-            out_s.extend(vals.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_v, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
-            }
-        )
+        scores[vec_ids[None, :] == self.qids[:, None]] = -np.inf
+        return _emit_topk(self.qids, vec_ids, scores, self.k)
 
 
 def _final_topk_factory(k: int):
@@ -72,17 +98,15 @@ def _final_topk_factory(k: int):
 
 def knn_cosine(embeddings_ds, n_queries: int, k: int, query_vectors: dict | None = None):
     """Exact brute-force cosine top-k. Query vectors default to the
-    embeddings with vec_id < n_queries (read driver-side, broadcast)."""
-    from import_ray.core.context import ensure_hash_shuffle
+    embeddings with vec_id < n_queries (expression filter, broadcast)."""
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
 
     ensure_hash_shuffle(embeddings_ds)
     if query_vectors is None:
-        q = embeddings_ds.filter(lambda r: r["vec_id"] < n_queries).take_all()
+        q = embeddings_ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
         query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
     partial = PartialTopK(query_vectors, k)
     partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
-    from import_ray.core.context import npartitions
-
     return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )
@@ -104,6 +128,28 @@ def _kmeans(data: np.ndarray, k: int, iters: int = 10, seed: int = 17) -> np.nda
     return centroids
 
 
+def _hash_sample(embeddings_ds, train_sample: int):
+    """Deterministic pseudo-random training sample: multiplicative hash
+    of vec_id < rate threshold, rate sized from the (cheap, parquet
+    metadata) dataset count — unbiased across the id space, unlike
+    ``ds.limit`` which takes the first rows/blocks only."""
+    total = embeddings_ds.count()
+    rate = min(1.0, 4.0 * train_sample / max(1, total))
+    thresh = np.uint64(min(int(rate * (1 << 64)), (1 << 64) - 1))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        return b.filter(pa.array(h <= thresh))
+
+    rows = embeddings_ds.map_batches(pick, batch_format="pyarrow").limit(
+        train_sample
+    ).take_all()
+    return np.stack([np.asarray(r["embedding"]) for r in rows])
+
+
 class IVFPartialTopK:
     """Per-batch ANN top-k: vectors are assigned to their nearest
     centroid; each query only scores vectors in its ``n_probe`` nearest
@@ -116,37 +162,23 @@ class IVFPartialTopK:
         )
         self.k = k
         self.centroids = centroids
-        # per query: set of probed cluster ids
+        # (n_queries, n_clusters) probe-membership matrix
         sims = self.qm @ centroids.T
         order = np.argsort(-sims, axis=1)[:, :n_probe]
-        self.probe = [set(row.tolist()) for row in order]
+        self.probe_matrix = np.zeros((len(self.qids), len(centroids)), bool)
+        np.put_along_axis(self.probe_matrix, order, True, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(
-            np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        )
+        emb = _normalize(_emb_matrix(batch))
         assign = np.argmax(emb @ self.centroids.T, axis=1)
         scores = self.qm @ emb.T
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            probe = self.probe[qi]
-            mask = np.array([a in probe for a in assign]) & (vec_ids != qid)
-            ids = vec_ids[mask]
-            vals = scores[qi][mask]
-            if len(ids) > self.k:
-                part = np.argpartition(-vals, self.k)[: self.k]
-                ids, vals = ids[part], vals[part]
-            out_q.extend([qid] * len(ids))
-            out_v.extend(ids.tolist())
-            out_s.extend(vals.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_v, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
-            }
-        )
+        # probe mask for the whole batch: fancy-index the membership
+        # matrix by cluster assignment — (Q, B) in one shot
+        allowed = self.probe_matrix[:, assign]
+        allowed &= vec_ids[None, :] != self.qids[:, None]
+        scores[~allowed] = -np.inf
+        return _emit_topk(self.qids, vec_ids, scores, self.k)
 
 
 def ivf_knn(
@@ -161,14 +193,13 @@ def ivf_knn(
     only vectors in its nearest ``n_probe`` of ``n_clusters`` partitions.
 
     The scale path: per-batch work drops by ~n_probe/n_clusters, and the
-    centroid model is a driver-trained broadcast (at real scale train on
-    ``ds.random_sample``). Exact recall tradeoff is tested against the
-    brute-force baseline."""
+    centroid model is a driver-trained broadcast over a deterministic
+    hash sample of the id space (not first-rows). Exact recall tradeoff
+    is tested against the brute-force baseline."""
     from import_ray.core.context import ensure_hash_shuffle, npartitions
 
     ensure_hash_shuffle(embeddings_ds)
-    sample = embeddings_ds.limit(train_sample).take_all()
-    train = np.stack([np.asarray(r["embedding"]) for r in sample])
+    train = _hash_sample(embeddings_ds, train_sample)
     centroids = _kmeans(train, n_clusters)
     partial = IVFPartialTopK(query_vectors, k, centroids, n_probe)
     partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")

@@ -1,31 +1,55 @@
 """Text-analysis operators over the ``documents`` table.
 
 Training-data-pipeline operators (driver brief): token counting,
-quality scoring, language-ID heuristic, document fingerprinting. All
-vectorized or compiled-regex per batch; stateful pieces (stopword
-tables) live in ``__init__`` of the callable class (actor pool).
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All kernels are fully vectorized over the WHOLE batch: Arrow split /
+flatten / dictionary-encode for tokenization (only unique tokens are
+ever hashed or set-tested), numpy segmented reduces
+(``np.bincount`` / ``np.minimum.reduceat``) for per-doc rollups — no
+per-document Python loops anywhere. At 100 TB the tokenizer IS the
+pipeline; these run at C speed.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from import_ray.functions.farmhash import fingerprint64
+from import_ray.stages.neardup import _shingle_hashes_flat, _split_flat
+
+
+def _text_col(batch: pa.Table) -> pa.Array:
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return text
+
+
+def _token_counts(text: pa.Array):
+    """(n_tokens, n_distinct_tokens) per row, split on single space —
+    DuckDB ``string_split(text,' ')`` / ``list_distinct`` parity."""
+    lists = pc.split_pattern(text, pattern=" ")
+    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(n_tok)
+    if n == 0 or n_tok.sum() == 0:
+        return n_tok, np.zeros(n, np.int64)
+    flat = pc.list_flatten(lists)
+    parents = (
+        pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # distinct (parent, token) pairs via one flat unique over packed keys
+    key = (parents << np.int64(32)) | codes
+    uniq_parents = np.unique(key) >> np.int64(32)
+    n_dis = np.bincount(uniq_parents, minlength=n).astype(np.int64)
+    return n_tok, n_dis
 
 
 def token_stats(batch: pa.Table) -> pa.Table:
-    """n_tokens = split on single space (DuckDB ``string_split(text,' ')``
-    parity); n_distinct_tokens likewise."""
-    texts = batch["text"].to_pylist()
-    n_tok = np.empty(len(texts), np.int64)
-    n_dis = np.empty(len(texts), np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        n_tok[i] = len(toks)
-        n_dis[i] = len(set(toks))
+    n_tok, n_dis = _token_counts(_text_col(batch))
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -47,19 +71,12 @@ def quality_score(batch: pa.Table) -> pa.Table:
     """Deterministic quality signals: char count, mean token length
     (chars minus spaces over tokens, in 1e-6 fixed point for
     cross-engine hash parity), repetition ratio."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    mean_tok_len_micro = np.empty(n, np.int64)
-    rep_ratio_micro = np.empty(n, np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        nt = len(toks)
-        nc = len(t)
-        n_chars[i] = nc
-        total_tok_chars = nc - (nt - 1)
-        mean_tok_len_micro[i] = int(round(total_tok_chars * 1e6)) // nt
-        rep_ratio_micro[i] = int(round(len(set(toks)) * 1e6)) // nt
+    text = _text_col(batch)
+    n_tok, n_dis = _token_counts(text)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    total_tok_chars = n_chars - (n_tok - 1)
+    mean_tok_len_micro = (total_tok_chars * 1_000_000) // n_tok
+    rep_ratio_micro = (n_dis * 1_000_000) // n_tok
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -83,7 +100,13 @@ FROM documents
 
 class LangId:
     """Heuristic language ID from stopword hit-rates — stateful stage
-    (stopword sets built once per actor). No SQL oracle (rows-only)."""
+    (stopword tables built once per actor). No SQL oracle (rows-only).
+
+    Vectorized: lowercase + strip non-letters with one Arrow regex
+    replace, dictionary-encode the flat tokens, test ONLY the unique
+    tokens against each language's stopword set (np.isin), then roll
+    hits up per doc with np.bincount.
+    """
 
     STOPWORDS = {
         "en": {"the", "a", "of", "and", "to", "in", "is"},
@@ -93,42 +116,67 @@ class LangId:
     }
 
     def __init__(self):
-        self.word_re = re.compile(r"[A-Za-z]+")
+        self.langs = list(self.STOPWORDS)
+        self.sw_arrays = [
+            np.array(sorted(self.STOPWORDS[lang]), dtype=object) for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        langs = []
-        scores = []
-        for t in texts:
-            words = [w.lower() for w in self.word_re.findall(t)]
-            best_lang, best = "und", 0
-            for lang, sw in self.STOPWORDS.items():
-                hits = sum(1 for w in words if w in sw)
-                if hits > best:
-                    best, best_lang = hits, lang
-            langs.append(best_lang)
-            scores.append(best / max(1, len(words)))
+        n = len(batch)
+        words = pc.replace_substring_regex(
+            pc.utf8_lower(_text_col(batch)), pattern="[^a-z]+", replacement=" "
+        )
+        lists = pc.split_pattern(words, pattern=" ")
+        flat = pc.list_flatten(lists)
+        parents = (
+            pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        nonempty = uniq != ""
+        n_words = np.bincount(parents, weights=nonempty[codes], minlength=n).astype(
+            np.int64
+        )
+        hits = np.zeros((len(self.langs), n), np.int64)
+        for li, sw in enumerate(self.sw_arrays):
+            member = np.isin(uniq, sw)
+            if member.any():
+                hits[li] = np.bincount(
+                    parents, weights=member[codes], minlength=n
+                ).astype(np.int64)
+        best = hits.max(axis=0)
+        # argmax returns the FIRST max → ties go to the earlier language,
+        # matching the strictly-greater scan order en,es,de,fr
+        pred = np.asarray(self.langs, dtype=object)[hits.argmax(axis=0)]
+        pred[best == 0] = "und"
+        scores = best / np.maximum(1, n_words)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "pred_lang": pa.array(langs, pa.string()),
+                "pred_lang": pa.array(pred, pa.string()),
                 "stopword_hit_rate": pa.array(scores, pa.float64()),
             }
         )
 
 
 def doc_fingerprint(batch: pa.Table) -> pa.Table:
-    """Rolling-hash document fingerprint: min of 8-gram rolling hashes
-    (winnowing-style sketch). Deterministic; no SQL oracle."""
-    texts = batch["text"].to_pylist()
-    fps = np.empty(len(texts), np.uint64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        if len(toks) < 8:
-            fps[i] = fingerprint64(t)
-        else:
-            m = min(
-                fingerprint64(" ".join(toks[j : j + 8])) for j in range(len(toks) - 7)
-            )
-            fps[i] = m
+    """Rolling-hash document fingerprint: min of word-8-gram rolling
+    polynomial hashes (winnowing-style sketch); docs shorter than 8
+    tokens hash their whole token sequence. Deterministic (fixed
+    multiplier, fixed token hash); no SQL oracle.
+
+    One flat vectorized pass: shared shingle machinery from
+    ``stages.neardup`` + ``np.minimum.reduceat`` per doc.
+    """
+    counts, h = _split_flat(batch)
+    n = len(counts)
+    if n == 0:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fingerprint": pa.array([], pa.uint64())}
+        )
+    sh_counts, sh = _shingle_hashes_flat(counts, h, n=8)
+    seg = np.zeros(n, np.int64)
+    np.cumsum(sh_counts[:-1], out=seg[1:])
+    fps = np.minimum.reduceat(sh, seg)
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.uint64())})

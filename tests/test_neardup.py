@@ -34,7 +34,7 @@ def test_minhash_finds_planted_dups(docs_with_dups):
     from import_ray.stages.neardup import minhash_dedup
 
     ds, planted_exact, planted_near = docs_with_dups
-    labels = minhash_dedup(ds, threshold=0.7)
+    labels = minhash_dedup(ds, threshold=0.7).to_pandas()
     lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
     for a, b in planted_exact + planted_near:
         assert lab[a] == lab[b], f"docs {a},{b} should share a cluster"
@@ -65,6 +65,12 @@ def test_minhash_deterministic(docs_with_dups):
     from import_ray.stages.neardup import minhash_dedup
 
     ds, _, _ = docs_with_dups
-    l1 = minhash_dedup(ds, threshold=0.7)
-    l2 = minhash_dedup(ds, threshold=0.7)
+
+    def canon(d):
+        return (
+            d.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        )
+
+    l1 = canon(minhash_dedup(ds, threshold=0.7))
+    l2 = canon(minhash_dedup(ds, threshold=0.7))
     assert l1.equals(l2)
