@@ -241,6 +241,84 @@ def _ivf_knn(sf_dir: str):
     return ivf_knn(ds, queries, _KNN_K, n_clusters=8, n_probe=5)
 
 
+def _config_import_obs(sf_dir: str):
+    """Multi-file config-driven import (Simple importer semantics) over
+    CSVs derived DETERMINISTICALLY from the sf tables: a wide melt file
+    from ``part`` + an events file from ``events`` (monthly counts),
+    run through the Ray-native config runner; oracle reproduces both
+    in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from import_ray.pipelines.config_import import run_config_import_ray
+
+    workdir = f"/tmp/graft_config_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(workdir, exist_ok=True)
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    ).to_pandas()
+    y = part["p_retailprice"].to_numpy() * 100.0
+    cents = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+    wide = part.assign(
+        entity=part["p_partkey"].astype(str),
+        date="2020",
+        p_size=part["p_size"].astype(str),
+        p_price_cents=cents.astype(str),
+    )[["entity", "date", "p_size", "p_price_cents"]]
+    wide.to_csv(f"{workdir}/part_wide.csv", index=False)
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev_csv = ev.assign(
+        entity=ev["user_id"].astype(str),
+        date=ev["ts"].dt.strftime("%Y-%m-%d"),
+        event_id=ev["event_id"].astype(str),
+    )[["entity", "date", "event_id"]]
+    ev_csv.to_csv(f"{workdir}/user_events.csv", index=False)
+
+    config = {
+        "inputFiles": {
+            "part_wide.csv": {
+                "importType": "observations",
+                "format": "variablePerColumn",
+                "provenance": "PartProv",
+                "columnMappings": {
+                    "dcid:observationAbout": "entity",
+                    "dcid:observationDate": "date",
+                },
+            },
+            "user_events.csv": {
+                "importType": "events",
+                "eventType": "UserEvent",
+                "idColumn": "event_id",
+                "provenance": "EvProv",
+                "aggregation": {"period": "month"},
+            },
+        }
+    }
+    return run_config_import_ray(workdir, config)["observations"]
+
+
+CONFIG_IMPORT_SQL = """
+SELECT CAST(p_partkey AS VARCHAR) AS entity, 'p_size' AS variable,
+       '2020' AS date, CAST(p_size AS VARCHAR) AS value,
+       'PartProv' AS provenance
+FROM part
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), 'p_price_cents', '2020',
+       CAST(CAST(ROUND(p_retailprice*100) AS BIGINT) AS VARCHAR), 'PartProv'
+FROM part
+UNION ALL
+SELECT CAST(user_id AS VARCHAR), 'Count_UserEvent', strftime(ts, '%Y-%m'),
+       CAST(COUNT(*) AS VARCHAR), 'EvProv'
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m')
+"""
+
+
 def _events_series(sf_dir: str):
     """Series grouping (optimized-graph shape) using events as obs rows."""
     import pyarrow as pa
@@ -301,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
         "events_series_groups": _events_series,
+        "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
     }
 
@@ -336,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "
             "1 AS n FROM events GROUP BY user_id, event_type"
         ),
+        "config_import_obs": CONFIG_IMPORT_SQL,
         # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
         # multimodal_features, kg_transcript_triples: not SQL-expressible
         # → rows-only checks

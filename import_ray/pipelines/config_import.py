@@ -12,25 +12,53 @@
 - ``importType: entities`` → one node per row with ``rowEntityType``
   and ``idColumn`` (entities_importer.py:33-110).
 
+This is a RAY DATA pipeline end to end (runner.py:989-1100 dispatch,
+re-expressed): one ``ray.data.read_csv`` per matched file (string-typed
+via the header pre-pass), importer kernels as vectorized
+``map_batches`` stages with the resolver map broadcast once per actor
+(``ray.put`` + fetch in ``__init__``), per-file Datasets unioned into
+streaming ``observations`` / ``triples`` Datasets. The only all-to-all
+exchanges are over DISTINCT variables / entities (schema-scale, not
+data-scale) and the final triple dedup. Header validation runs as an
+up-front parallel pre-pass (≤32 threads, header row only — mirrors
+runner.py:954-987) so a bad file fails before any import starts.
+
 Outputs: observations rows (FIXTURES §F6 subset), triple rows
 (FIXTURES §F5), with schema-less StatVar synthesis
 (populationType=Thing, measuredProperty=<self>, statType=measuredValue
 — simple/stats/data.py:125-138). Entity resolution runs through a
-broadcast map (offline stand-in for the DC resolve API).
+broadcast map (offline stand-in for the DC resolve API); entity typeOf
+backfill prefers a known-type map (stand-in for
+``dc.get_property_of_entities``, observations_importer.py:171-187) and
+falls back to the config ``entityType``.
+
+Scale note: event files WITHOUT an ``idColumn`` need row-index-based
+generated ids (``<EventType>_<row>``), which forces a single-block read
+of that file; files with an explicit id column — the normal case at
+scale — read and map fully in parallel.
 """
 
 from __future__ import annotations
 
+import csv
 import fnmatch
 import os
+import re
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from import_ray.core import vocab
 from import_ray.core.model import strip_namespace
 
 _INVALID_VALUES = {"", "nan", "NaN", "<NA>", "None", "null", "N/A", "-"}
+_STRIP_NS_RE = "^(" + "|".join(re.escape(p) for p in vocab.NAMESPACE_PREFIXES) + ")"
+
+_TRIPLE_COLS = ["subject_id", "predicate", "object_id", "object_value", "provenance"]
+_OBS_COLS = ["entity", "variable", "date", "value", "provenance"]
+_IMPORT_TYPES = ("observations", "events", "entities")
 
 
 def _truncate_date(dates: pd.Series, period: str) -> pd.Series:
@@ -42,183 +70,577 @@ def _truncate_date(dates: pd.Series, period: str) -> pd.Series:
     return dates  # day
 
 
-def _resolve_entities(values: pd.Series, resolver_map: dict | None) -> pd.Series:
-    vals = values.astype(str).map(strip_namespace)
-    if resolver_map:
-        return vals.map(lambda v: resolver_map.get(v, v))
-    return vals
+def _strip_ns_series(s: pd.Series) -> pd.Series:
+    return s.astype(str).str.replace(_STRIP_NS_RE, "", regex=True)
 
 
-class ConfigImporter:
-    """Runs a config.json-driven import over an input directory."""
+def _resolve_series(s: pd.Series, resolver: dict) -> pd.Series:
+    vals = _strip_ns_series(s)
+    if not resolver:
+        return vals
+    mapped = vals.map(resolver)
+    return mapped.fillna(vals)
 
-    def __init__(self, input_dir: str, config: dict, resolver_map: dict | None = None):
-        self.input_dir = input_dir
-        self.config = config
-        self.resolver_map = resolver_map or {}
 
-    def _file_config(self, fname: str) -> dict | None:
-        for pattern, cfg in self.config.get("inputFiles", {}).items():
-            if fname == pattern or fnmatch.fnmatch(fname, pattern):
-                return cfg
-        return None
+def _triple_table(frames: list[pd.DataFrame]) -> pa.Table:
+    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=_TRIPLE_COLS
+    )
+    return pa.Table.from_pandas(df[_TRIPLE_COLS].astype(str), preserve_index=False)
 
-    def run(self) -> dict:
-        """Returns {"observations": DataFrame, "triples": DataFrame}."""
-        obs_frames: list[pd.DataFrame] = []
-        triple_rows: list[tuple] = []
-        statvars: dict[str, str] = {}  # dcid -> provenance
-        entity_types: dict[str, tuple[str, str]] = {}
 
-        for fname in sorted(os.listdir(self.input_dir)):
-            cfg = self._file_config(fname)
-            if cfg is None:
-                continue
-            path = os.path.join(self.input_dir, fname)
-            df = pd.read_csv(path, dtype=str, keep_default_na=False)
-            df.columns = [c.strip() for c in df.columns]
-            prov = cfg.get("provenance", "")
-            itype = cfg.get("importType", "observations")
-            if itype == "observations":
-                obs = self._import_observations(df, cfg, prov, statvars, entity_types)
-                obs_frames.append(obs)
-            elif itype == "events":
-                obs, rows = self._import_events(df, cfg, prov)
-                obs_frames.append(obs)
-                triple_rows.extend(rows)
-            elif itype == "entities":
-                triple_rows.extend(self._import_entities(df, cfg, prov))
-            else:
-                raise ValueError(f"unknown importType: {itype!r} for {fname}")
+def _const_frame(n: int, **cols) -> pd.DataFrame:
+    return pd.DataFrame({k: (v if not np.isscalar(v) else [v] * n) for k, v in cols.items()})
 
-        # StatVar triples (schema-less defaults, data.py:125-138)
-        for sv, prov in sorted(statvars.items()):
-            triple_rows.extend(
-                [
-                    (sv, "typeOf", "StatisticalVariable", None, prov),
-                    (sv, "populationType", "Thing", None, prov),
-                    (sv, "measuredProperty", sv, None, prov),
-                    (sv, "statType", "measuredValue", None, prov),
-                    (sv, "name", None, sv, prov),
-                ]
-            )
-        for ent, (etype, prov) in sorted(entity_types.items()):
-            triple_rows.append((ent, "typeOf", etype, None, prov))
 
-        obs_df = (
-            pd.concat(obs_frames, ignore_index=True)
-            if obs_frames
-            else pd.DataFrame(columns=["entity", "variable", "date", "value", "provenance"])
+# --- config matching / validation -------------------------------------------
+
+
+def _file_config(config: dict, fname: str) -> dict | None:
+    for pattern, cfg in config.get("inputFiles", {}).items():
+        if fname == pattern or fnmatch.fnmatch(fname, pattern):
+            return cfg
+    return None
+
+
+def _matched_files(input_dir: str, config: dict) -> list[tuple[str, dict]]:
+    out = []
+    for fname in sorted(os.listdir(input_dir)):
+        cfg = _file_config(config, fname)
+        if cfg is None:
+            continue
+        itype = cfg.get("importType", "observations")
+        if itype not in _IMPORT_TYPES:
+            raise ValueError(f"unknown importType: {itype!r} for {fname}")
+        out.append((fname, cfg))
+    return out
+
+
+def _read_header(path: str) -> list[str]:
+    with open(path, newline="") as f:
+        row = next(csv.reader(f), [])
+    return [c.strip() for c in row]
+
+
+def _expected_columns(cfg: dict, header: list[str]) -> list[str]:
+    """Columns this file's config requires to exist in its header."""
+    itype = cfg.get("importType", "observations")
+    mappings = {strip_namespace(k): v for k, v in cfg.get("columnMappings", {}).items()}
+    need: list[str] = []
+    if itype == "observations":
+        if cfg.get("format", "variablePerColumn") == "variablePerRow":
+            need = [
+                mappings.get("observationAbout", header[0] if header else "entity"),
+                mappings.get("observationDate", header[1] if len(header) > 1 else "date"),
+                mappings.get("variableMeasured", "variable"),
+                mappings.get("value", "value"),
+            ]
+        else:
+            for key in ("observationAbout", "observationDate"):
+                if key in mappings:
+                    need.append(mappings[key])
+    elif itype in ("events", "entities"):
+        if cfg.get("idColumn"):
+            need.append(cfg["idColumn"])
+    return need
+
+
+def validate_headers(input_dir: str, config: dict) -> None:
+    """Parallel header pre-pass (≤32 threads, header row only) — raises
+    one consolidated ValueError before any import work starts
+    (runner.py:954-987 `_validate_all_headers`)."""
+    files = _matched_files(input_dir, config)
+    if not files:
+        return
+
+    def check(item: tuple[str, dict]) -> list[str]:
+        fname, cfg = item
+        try:
+            header = _read_header(os.path.join(input_dir, fname))
+            missing = [c for c in _expected_columns(cfg, header) if c not in header]
+            if missing:
+                return [f"File '{fname}': missing expected column(s) {missing}"]
+            if len(header) < 2 and cfg.get("importType", "observations") != "entities":
+                return [f"File '{fname}': needs at least 2 columns, got {header}"]
+            return []
+        except Exception as e:  # unreadable / empty file
+            return [f"File '{fname}': failed to validate headers: {e}"]
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+        errors = [e for errs in pool.map(check, files) for e in errs]
+    if errors:
+        raise ValueError(
+            "CSV Header Validation Failed! The following errors were found:\n"
+            + "\n".join(errors)
         )
-        triples_df = pd.DataFrame(
-            triple_rows,
-            columns=["subject_id", "predicate", "object_id", "object_value", "provenance"],
-        ).drop_duplicates(ignore_index=True)
-        return {"observations": obs_df, "triples": triples_df}
 
-    # --- observations -----------------------------------------------------
-    def _import_observations(self, df, cfg, prov, statvars, entity_types):
+
+# --- map_batches kernels ------------------------------------------------------
+
+
+def _fetch(ref_or_val):
+    """Resolve a broadcast ObjectRef from the node-local object store
+    (zero-copy, shared across tasks on the node)."""
+    import ray
+
+    if isinstance(ref_or_val, ray.ObjectRef):
+        return ray.get(ref_or_val)
+    return ref_or_val or {}
+
+
+class _BroadcastMixin:
+    """Kernels are driver-constructed instances shipped to map_batches
+    TASKS; the resolver map travels as an ObjectRef and is fetched
+    lazily on first use from the node-local object store (broadcast —
+    one copy per node, not per task)."""
+
+    _resolver_cache = None
+
+    @property
+    def resolver(self) -> dict:
+        if self._resolver_cache is None:
+            self._resolver_cache = _fetch(self._resolver_ref)
+        return self._resolver_cache
+
+
+class ObservationsKernel(_BroadcastMixin):
+    """Wide→long melt / long projection for one file's batches."""
+
+    def __init__(self, cfg: dict, header: list[str], prov: str, file_order: int, resolver_ref=None):
+        self._resolver_ref = resolver_ref
         mappings = {
             strip_namespace(k): v for k, v in cfg.get("columnMappings", {}).items()
         }
-        entity_col = mappings.get("observationAbout", df.columns[0])
-        date_col = mappings.get("observationDate", df.columns[1])
+        self.entity_col = mappings.get("observationAbout", header[0])
+        self.date_col = mappings.get("observationDate", header[1])
+        self.fmt = cfg.get("format", "variablePerColumn")
+        self.var_col = mappings.get("variableMeasured", "variable")
+        self.value_col = mappings.get("value", "value")
         ignore = set(cfg.get("ignoreColumns", []))
-        fmt = cfg.get("format", "variablePerColumn")
-        if fmt == "variablePerRow":
-            var_col = mappings.get("variableMeasured", "variable")
-            value_col = mappings.get("value", "value")
+        self.sv_cols = [
+            c for c in header if c not in (self.entity_col, self.date_col) and c not in ignore
+        ]
+        self.prov = prov
+        self.file_order = file_order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df.columns = [c.strip() for c in df.columns]
+        if self.fmt == "variablePerRow":
             out = pd.DataFrame(
                 {
-                    "entity": _resolve_entities(df[entity_col], self.resolver_map),
-                    "variable": df[var_col].map(strip_namespace),
-                    "date": df[date_col],
-                    "value": df[value_col],
+                    "entity": _resolve_series(df[self.entity_col], self.resolver),
+                    "variable": _strip_ns_series(df[self.var_col]),
+                    "date": df[self.date_col].astype(str),
+                    "value": df[self.value_col].astype(str),
                 }
             )
         else:
-            sv_cols = [
-                c for c in df.columns if c not in (entity_col, date_col) and c not in ignore
-            ]
             out = df.melt(
-                id_vars=[entity_col, date_col],
-                value_vars=sv_cols,
+                id_vars=[self.entity_col, self.date_col],
+                value_vars=self.sv_cols,
                 var_name="variable",
                 value_name="value",
-            ).rename(columns={entity_col: "entity", date_col: "date"})
-            out["entity"] = _resolve_entities(out["entity"], self.resolver_map)
+            ).rename(columns={self.entity_col: "entity", self.date_col: "date"})
+            out["entity"] = _resolve_series(out["entity"], self.resolver)
+            out["date"] = out["date"].astype(str)
+            out["value"] = out["value"].astype(str)
         # drop invalid values (data.py:609-625)
         out = out[~out["value"].isin(_INVALID_VALUES)].reset_index(drop=True)
-        out["provenance"] = prov
-        etype = cfg.get("entityType", "")
-        for sv in out["variable"].unique():
-            statvars.setdefault(sv, prov)
-        if etype:
-            for ent in out["entity"].unique():
-                entity_types.setdefault(ent, (etype, prov))
-        return out[["entity", "variable", "date", "value", "provenance"]]
-
-    # --- events -----------------------------------------------------------
-    def _import_events(self, df, cfg, prov):
-        etype = cfg.get("eventType", "Event")
-        id_col = cfg.get("idColumn")
-        entity_col = df.columns[0]
-        date_col = df.columns[1]
-        period = (
-            cfg.get("aggregation", {}).get("period", "day")
-            if isinstance(cfg.get("aggregation"), dict)
-            else "day"
+        out["provenance"] = self.prov
+        out["file_order"] = np.int64(self.file_order)
+        return pa.Table.from_pandas(
+            out[_OBS_COLS + ["file_order"]], preserve_index=False
         )
-        ent = _resolve_entities(df[entity_col], self.resolver_map)
-        dates = _truncate_date(df[date_col].astype(str), period)
+
+
+class EventCountsKernel(_BroadcastMixin):
+    """Per-batch partial (entity, truncated-date) counts — the global
+    groupby downstream only shuffles these tiny partials."""
+
+    def __init__(self, cfg: dict, header: list[str], resolver_ref=None):
+        self._resolver_ref = resolver_ref
+        self.entity_col = header[0]
+        self.date_col = header[1]
+        agg = cfg.get("aggregation")
+        self.period = agg.get("period", "day") if isinstance(agg, dict) else "day"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df.columns = [c.strip() for c in df.columns]
+        ent = _resolve_series(df[self.entity_col], self.resolver)
+        dates = _truncate_date(df[self.date_col].astype(str), self.period)
         counts = (
             pd.DataFrame({"entity": ent, "date": dates})
-            .groupby(["entity", "date"], sort=True)
+            .groupby(["entity", "date"], sort=False)
             .size()
-            .reset_index(name="value")
+            .reset_index(name="n")
         )
-        counts["variable"] = f"Count_{etype}"
-        counts["value"] = counts["value"].astype(str)
-        counts["provenance"] = prov
-        rows = []
-        for i, r in df.iterrows():
-            # generated id <EventType>_<index> when no idColumn
-            # (events_importer.py:198-251)
-            eid = r[id_col] if id_col else f"{etype}_{i}"
-            rows.append((eid, "typeOf", etype, None, prov))
-            rows.append((eid, "location", ent.iloc[i], None, prov))
-            rows.append((eid, "observationDate", None, str(r[date_col]), prov))
-            for c in df.columns:
-                if c in (entity_col, date_col, id_col):
-                    continue
-                v = str(r[c])
-                if v not in _INVALID_VALUES:
-                    rows.append((eid, c, None, v, prov))
-        return counts[["entity", "variable", "date", "value", "provenance"]], rows
+        return pa.Table.from_pandas(counts, preserve_index=False)
 
-    # --- entities ---------------------------------------------------------
-    def _import_entities(self, df, cfg, prov):
-        etype = cfg.get("rowEntityType", "Entity")
-        id_col = cfg.get("idColumn", df.columns[0])
-        resolve_cols = set(cfg.get("columnsToResolve", []))
-        rows = []
-        for i, r in df.iterrows():
-            eid = strip_namespace(str(r[id_col]))
-            rows.append((eid, "typeOf", etype, None, prov))
-            for c in df.columns:
-                if c == id_col:
-                    continue
-                v = str(r[c])
-                if v in _INVALID_VALUES:
-                    continue
-                if c in resolve_cols:
-                    rows.append(
-                        (eid, c, self.resolver_map.get(v, strip_namespace(v)), None, prov)
+
+class EventTriplesKernel(_BroadcastMixin):
+    """Vectorized per-event triple emission (events_importer.py:198-251).
+
+    With an ``idColumn`` this runs on arbitrary batches; without one the
+    caller reads the file as a single block (batch_size=None) so the
+    generated ``<EventType>_<row>`` ids match file row order."""
+
+    def __init__(self, cfg: dict, header: list[str], prov: str, resolver_ref=None):
+        self._resolver_ref = resolver_ref
+        self.etype = cfg.get("eventType", "Event")
+        self.id_col = cfg.get("idColumn")
+        self.entity_col = header[0]
+        self.date_col = header[1]
+        self.extra_cols = [
+            c for c in header if c not in (self.entity_col, self.date_col, self.id_col)
+        ]
+        self.prov = prov
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df.columns = [c.strip() for c in df.columns]
+        n = len(df)
+        if self.id_col:
+            eid = df[self.id_col].astype(str)
+        else:
+            eid = pd.Series(
+                np.char.add(f"{self.etype}_", np.arange(n).astype(str)), index=df.index
+            )
+        ent = _resolve_series(df[self.entity_col], self.resolver)
+        frames = [
+            _const_frame(
+                n, subject_id=eid, predicate="typeOf", object_id=self.etype,
+                object_value="", provenance=self.prov,
+            ),
+            _const_frame(
+                n, subject_id=eid, predicate="location", object_id=ent,
+                object_value="", provenance=self.prov,
+            ),
+            _const_frame(
+                n, subject_id=eid, predicate="observationDate", object_id="",
+                object_value=df[self.date_col].astype(str), provenance=self.prov,
+            ),
+        ]
+        for c in self.extra_cols:
+            v = df[c].astype(str)
+            keep = ~v.isin(_INVALID_VALUES)
+            if keep.any():
+                frames.append(
+                    _const_frame(
+                        int(keep.sum()),
+                        subject_id=eid[keep].reset_index(drop=True),
+                        predicate=c,
+                        object_id="",
+                        object_value=v[keep].reset_index(drop=True),
+                        provenance=self.prov,
                     )
-                else:
-                    rows.append((eid, c, None, v, prov))
-        return rows
+                )
+        return _triple_table(frames)
 
 
-def run_config_import(input_dir: str, config: dict, resolver_map: dict | None = None):
-    return ConfigImporter(input_dir, config, resolver_map).run()
+class EntityTriplesKernel(_BroadcastMixin):
+    """Vectorized row-entity triples (entities_importer.py:33-110)."""
+
+    def __init__(self, cfg: dict, header: list[str], prov: str, resolver_ref=None):
+        self._resolver_ref = resolver_ref
+        self.etype = cfg.get("rowEntityType", "Entity")
+        self.id_col = cfg.get("idColumn", header[0])
+        self.resolve_cols = set(cfg.get("columnsToResolve", []))
+        self.other_cols = [c for c in header if c != self.id_col]
+        self.prov = prov
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df.columns = [c.strip() for c in df.columns]
+        n = len(df)
+        eid = _strip_ns_series(df[self.id_col])
+        frames = [
+            _const_frame(
+                n, subject_id=eid, predicate="typeOf", object_id=self.etype,
+                object_value="", provenance=self.prov,
+            )
+        ]
+        for c in self.other_cols:
+            v = df[c].astype(str)
+            keep = ~v.isin(_INVALID_VALUES)
+            if not keep.any():
+                continue
+            sub = eid[keep].reset_index(drop=True)
+            if c in self.resolve_cols:
+                frames.append(
+                    _const_frame(
+                        int(keep.sum()),
+                        subject_id=sub,
+                        predicate=c,
+                        object_id=_resolve_series(v[keep], self.resolver).reset_index(
+                            drop=True
+                        ),
+                        object_value="",
+                        provenance=self.prov,
+                    )
+                )
+            else:
+                frames.append(
+                    _const_frame(
+                        int(keep.sum()),
+                        subject_id=sub,
+                        predicate=c,
+                        object_id="",
+                        object_value=v[keep].reset_index(drop=True),
+                        provenance=self.prov,
+                    )
+                )
+        return _triple_table(frames)
+
+
+# --- the Ray-native runner ----------------------------------------------------
+
+
+def _read_csv_strings(path: str, header: list[str], single_block: bool = False):
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+
+    configure_data_context()
+    kwargs = {}
+    if single_block:
+        kwargs["override_num_blocks"] = 1
+    return ray.data.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in header}
+        ),
+        **kwargs,
+    )
+
+
+def _empty_ds(cols: list[str]):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({c: pa.array([], pa.string()) for c in cols})
+    )
+
+
+def run_config_import_ray(
+    input_dir: str,
+    config: dict,
+    resolver_map: dict | None = None,
+    entity_type_map: dict | None = None,
+) -> dict:
+    """Config-driven import as a streaming Ray Data pipeline.
+
+    Returns {"observations": Dataset, "triples": Dataset} (all-string
+    columns; absent object_id/object_value are ``""``).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    from import_ray.core.context import npartitions
+
+    validate_headers(input_dir, config)
+    files = _matched_files(input_dir, config)
+    resolver_ref = ray.put(resolver_map or {})
+
+    obs_parts = []  # Datasets with file_order col
+    triple_parts = []  # Datasets of _TRIPLE_COLS
+    order_prov: dict[int, str] = {}
+    order_etype: dict[int, str] = {}
+
+    for order, (fname, cfg) in enumerate(files):
+        path = os.path.join(input_dir, fname)
+        header = _read_header(path)
+        prov = cfg.get("provenance", "")
+        order_prov[order] = prov
+        itype = cfg.get("importType", "observations")
+        if itype == "observations":
+            ds = _read_csv_strings(path, header)
+            obs_parts.append(
+                ds.map_batches(
+                    ObservationsKernel(
+                        cfg=cfg,
+                        header=header,
+                        prov=prov,
+                        file_order=order,
+                        resolver_ref=resolver_ref,
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            if cfg.get("entityType"):
+                order_etype[order] = cfg["entityType"]
+        elif itype == "events":
+            single = not cfg.get("idColumn")
+            ds = _read_csv_strings(path, header, single_block=single)
+            etype = cfg.get("eventType", "Event")
+            counts = (
+                ds.map_batches(
+                    EventCountsKernel(cfg=cfg, header=header, resolver_ref=resolver_ref),
+                    batch_format="pyarrow",
+                )
+                .groupby(["entity", "date"], num_partitions=npartitions())
+                .aggregate(Sum("n", alias_name="n"))
+            )
+
+            def counts_to_obs(b: pa.Table, _etype=etype, _prov=prov, _order=order) -> pa.Table:
+                import pyarrow.compute as pc
+
+                n = len(b)
+                return pa.table(
+                    {
+                        "entity": b["entity"],
+                        "variable": pa.array([f"Count_{_etype}"] * n, pa.string()),
+                        "date": b["date"],
+                        "value": pc.cast(b["n"], pa.string()),
+                        "provenance": pa.array([_prov] * n, pa.string()),
+                        "file_order": pa.array([_order] * n, pa.int64()),
+                    }
+                )
+
+            obs_parts.append(counts.map_batches(counts_to_obs, batch_format="pyarrow"))
+            triple_parts.append(
+                ds.map_batches(
+                    EventTriplesKernel(
+                        cfg=cfg, header=header, prov=prov, resolver_ref=resolver_ref
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None if single else 1024,
+                )
+            )
+        else:  # entities
+            ds = _read_csv_strings(path, header)
+            triple_parts.append(
+                ds.map_batches(
+                    EntityTriplesKernel(
+                        cfg=cfg, header=header, prov=prov, resolver_ref=resolver_ref
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+    if obs_parts:
+        obs_all = obs_parts[0]
+        for p in obs_parts[1:]:
+            obs_all = obs_all.union(p)
+    else:
+        obs_all = _empty_ds(_OBS_COLS).add_column(
+            "file_order", lambda df: pd.Series([], dtype=np.int64)
+        )
+
+    # StatVar synthesis over DISTINCT variables (schema-scale groupby):
+    # first-file-wins provenance via Min(file_order) (data.py:125-138)
+    sv = (
+        obs_all.groupby("variable", num_partitions=npartitions())
+        .aggregate(Min("file_order", alias_name="file_order"))
+    )
+
+    def sv_triples(b: pa.Table) -> pa.Table:
+        frames = []
+        variables = b["variable"].to_pandas()
+        provs = b["file_order"].to_pandas().map(order_prov).fillna("")
+        n = len(variables)
+        for pred, obj_id, obj_val in (
+            ("typeOf", "StatisticalVariable", None),
+            ("populationType", "Thing", None),
+            ("measuredProperty", None, None),  # self
+            ("statType", "measuredValue", None),
+            ("name", None, "self"),
+        ):
+            frames.append(
+                _const_frame(
+                    n,
+                    subject_id=variables,
+                    predicate=pred,
+                    object_id=(variables if pred == "measuredProperty" else (obj_id or "")),
+                    object_value=(variables if obj_val == "self" else ""),
+                    provenance=provs,
+                )
+            )
+        return _triple_table(frames)
+
+    triple_parts.append(sv.map_batches(sv_triples, batch_format="pyarrow"))
+
+    # entity typeOf triples over DISTINCT entities of typed files; the
+    # known-type map (dc.get_property_of_entities stand-in) wins over the
+    # config entityType fallback (observations_importer.py:171-187)
+    if order_etype:
+        typed_orders = sorted(order_etype)
+        etype_ref = ray.put(entity_type_map or {})
+
+        def typed_only(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(
+                b["file_order"], value_set=pa.array(typed_orders, pa.int64())
+            )
+            return b.filter(mask).select(["entity", "file_order"])
+
+        ents = (
+            obs_all.map_batches(typed_only, batch_format="pyarrow")
+            .groupby("entity", num_partitions=npartitions())
+            .aggregate(Min("file_order", alias_name="file_order"))
+        )
+
+        class EntityTypeOf(_BroadcastMixin):
+            def __init__(self, etype_ref=None):
+                self._resolver_ref = etype_ref
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                self.known = self.resolver
+                ents = b["entity"].to_pandas()
+                orders = b["file_order"].to_pandas()
+                etypes = ents.map(self.known).fillna(orders.map(order_etype))
+                return _triple_table(
+                    [
+                        _const_frame(
+                            len(ents),
+                            subject_id=ents,
+                            predicate="typeOf",
+                            object_id=etypes,
+                            object_value="",
+                            provenance=orders.map(order_prov).fillna(""),
+                        )
+                    ]
+                )
+
+        triple_parts.append(
+            ents.map_batches(EntityTypeOf(etype_ref=etype_ref), batch_format="pyarrow")
+        )
+
+    if triple_parts:
+        triples = triple_parts[0]
+        for p in triple_parts[1:]:
+            triples = triples.union(p)
+        # distributed distinct on the full triple
+        triples = (
+            triples.groupby(_TRIPLE_COLS, num_partitions=npartitions())
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(_TRIPLE_COLS)
+        )
+    else:
+        triples = _empty_ds(_TRIPLE_COLS)
+
+    observations = obs_all.select_columns(_OBS_COLS)
+    return {"observations": observations, "triples": triples}
+
+
+def run_config_import(
+    input_dir: str,
+    config: dict,
+    resolver_map: dict | None = None,
+    entity_type_map: dict | None = None,
+) -> dict:
+    """Pandas-facing wrapper over the Ray pipeline (golden-test surface):
+    materializes both Datasets; ``""`` object slots become None to match
+    the classic triple-tuple convention."""
+    out = run_config_import_ray(input_dir, config, resolver_map, entity_type_map)
+    obs = out["observations"].to_pandas()
+    triples = out["triples"].to_pandas()
+    for c in ("object_id", "object_value"):
+        triples[c] = triples[c].replace("", None)
+    triples = triples.sort_values(_TRIPLE_COLS, kind="mergesort").reset_index(drop=True)
+    obs = obs.sort_values(_OBS_COLS, kind="mergesort").reset_index(drop=True)
+    return {"observations": obs, "triples": triples}
