@@ -209,6 +209,67 @@ def split_counters(rows: list[dict]):
     return node_rows, cs
 
 
+def genmcf_run(
+    tmcf_path: str,
+    csv_path: str,
+    out_dir: str,
+    report_path: str | None = None,
+    run_stat_checks: bool = True,
+    **kwargs,
+):
+    """Streaming genmcf entry point (LogWrapper.persistLog +
+    Processor.checkStats semantics, Processor.java:535-540) — the
+    at-scale flow:
+
+    - resolved/failed node-PV rows stream straight to partitioned
+      parquet under ``out_dir`` (one file per block — resumable output);
+    - the counter reduce materializes ONLY the tiny sentinel rows;
+    - stat checks consume a column-pruned re-read of the written nodes,
+      regrouped by node_id, as an observations Dataset.
+
+    Node rows are never collected on the driver. Returns
+    (nodes Dataset over ``out_dir``, CounterSet).
+    """
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from import_ray.core.context import npartitions
+
+    ds = genmcf_table_ds(tmcf_path, csv_path, **kwargs)
+    ds.write_parquet(out_dir)
+    nodes = ray.data.read_parquet(out_dir)
+    sent = ResolveScopes.COUNTER_SENTINEL
+
+    crows = nodes.map_batches(
+        lambda b: b.filter(pc.equal(b["node_id"], sent)).select(["prop", "value"]),
+        batch_format="pyarrow",
+    ).take_all()
+    counters = CounterSet()
+    for r in crows:
+        level, counter = json.loads(r["prop"])
+        counters.add(level, counter, n=int(r["value"]))
+
+    if run_stat_checks:
+        from import_ray.stages.observations import svobs_rows_to_observations
+        from import_ray.stages.statcheck import stat_check
+
+        resolved = nodes.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.invert(b["failed"]), pc.not_equal(b["node_id"], sent))
+            ),
+            batch_format="pyarrow",
+        )
+        obs = resolved.repartition(npartitions(), keys=["node_id"]).map_batches(
+            svobs_rows_to_observations, batch_format="pyarrow", batch_size=None
+        )
+        counters.merge(stat_check(obs))
+    if report_path:
+        counters.write_report(report_path)
+    return ray.data.read_parquet(out_dir), counters
+
+
 def genmcf_report(
     tmcf_path: str,
     csv_path: str,
@@ -216,27 +277,23 @@ def genmcf_report(
     run_stat_checks: bool = True,
     **kwargs,
 ):
-    """Run the table pipeline and produce (node rows, CounterSet),
-    optionally writing the reference-shaped ``report.json``
-    (LogWrapper.persistLog semantics). Stat checks (StatChecker
-    semantics) run over the resolved SVObs nodes and merge into the
-    same counter set, mirroring Processor.checkStats
-    (Processor.java:535-540)."""
-    import ray.data
+    """Golden/test helper for SMALL fixtures: runs the streaming
+    ``genmcf_run`` into a scratch dir and collects the node rows as a
+    list. The at-scale surface is ``genmcf_run`` (no driver collect)."""
+    import tempfile
 
-    ds = genmcf_table_ds(tmcf_path, csv_path, **kwargs)
-    all_rows = ds.take_all()
-    node_rows, counters = split_counters(all_rows)
-    if run_stat_checks and node_rows:
-        from import_ray.stages.observations import svobs_rows_to_observations
-        from import_ray.stages.statcheck import stat_check
-
-        table = pa.Table.from_pylist(node_rows)
-        obs = svobs_rows_to_observations(table)
-        if len(obs):
-            counters.merge(stat_check(ray.data.from_arrow(obs)))
-    if report_path:
-        counters.write_report(report_path)
+    out_dir = tempfile.mkdtemp(prefix="genmcf_nodes_", dir="/tmp")
+    nodes, counters = genmcf_run(
+        tmcf_path,
+        csv_path,
+        out_dir,
+        report_path=report_path,
+        run_stat_checks=run_stat_checks,
+        **kwargs,
+    )
+    node_rows = [
+        r for r in nodes.take_all() if r["node_id"] != ResolveScopes.COUNTER_SENTINEL
+    ]
     return node_rows, counters
 
 
