@@ -39,6 +39,20 @@ def ensure_hash_shuffle(ds):
     return ds
 
 
+def join_safe(ds, n: int | None = None):
+    """Re-block an AGGREGATE-derived dataset before feeding Dataset.join.
+
+    Hash-aggregate partitions with zero rows emit schema-less empty
+    blocks; pyarrow's acero join raises ``No match ... for key field``
+    when a join partition's input sequence contains only such blocks
+    (flaky — depends on key hashing). A repartition rewrites all blocks
+    with proper schemas (verified: safe even when blocks > rows).
+    Apply to every aggregate→join edge; plain reads/maps/join outputs
+    don't need it.
+    """
+    return ds.repartition(n or npartitions())
+
+
 def cluster_cpus() -> int:
     import ray
 

@@ -26,6 +26,7 @@ class ComplexValueResult:
     name: str = ""
     node: Node | None = None
     error_counter: str = ""
+    empty_token: bool = False
 
 
 def _java_round_half_up(x: float) -> int:
@@ -53,6 +54,10 @@ def parse_complex_value(
     except Exception:
         res.error_counter = "MCF_MalformedComplexValueParts"
         return res
+    if not fields:
+        # the reference's splitter logs an empty-token error before the
+        # parts-count error fires (StringUtil.java:211-216 + parts check)
+        res.empty_token = True
     if len(fields) not in (2, 3):
         res.error_counter = "MCF_MalformedComplexValueParts"
         return res

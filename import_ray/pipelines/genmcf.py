@@ -112,11 +112,25 @@ class ResolveScopes:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
 
+        import pyarrow.compute as pc
+
         counters = CounterSet()
+        # upstream (TemplateApplier) counter sentinel rows pass through
+        # into this stage's own counter output
+        sent_mask = pc.equal(batch["node_id"], self.COUNTER_SENTINEL)
+        for r in batch.filter(sent_mask).to_pylist():
+            level, counter = json.loads(r["prop"])
+            counters.add(level, counter, n=int(r["value"]))
+        batch = batch.filter(pc.invert(sent_mask))
         scopes = _rows_to_graphs(batch)
         out: dict[str, tuple[Graph, Graph]] = {}
+        mut_issues: list = []
         for scope, graph in scopes.items():
-            mutate_graph(graph)
+            # check BEFORE mutate: the reference sanity-checks each node
+            # inside TmcfCsvParser (java:224-229) and drops failures from
+            # the row graph, so failed nodes are never mutated (their
+            # complex values don't expand/validate). We additionally
+            # route them to the failed output.
             check_failed: Graph = {}
             if self.run_checks:
                 checker = NodeChecker(
@@ -127,12 +141,15 @@ class ResolveScopes:
                 for node_id in list(graph):
                     if not checker.check_node(node_id, graph[node_id]):
                         check_failed[node_id] = graph.pop(node_id)
+            mutate_graph(graph, mut_issues)
             res = resolve_graph(graph, id_resolver=self.id_resolver)
             for issue in res.issues:
                 counters.add(LEVEL_ERROR, issue.counter, str(issue))
             failed = dict(res.failed)
             failed.update(check_failed)
             out[scope] = (res.resolved, failed)
+        for i in mut_issues:
+            counters.add(getattr(i, "level", LEVEL_ERROR), i.counter, str(i))
         result = _graphs_to_rows(out)
         if counters.counts:
             crows = [
@@ -162,8 +179,11 @@ def genmcf_table_ds(
     run_checks: bool = True,
     allow_nan_svobs: bool = True,
     known_dcids: set | None = None,
+    counters: CounterSet | None = None,
 ):
-    """Ray Dataset of resolved/failed node-PV rows for a TMCF+CSV pair."""
+    """Ray Dataset of resolved/failed node-PV rows for a TMCF+CSV pair.
+    ``counters`` (optional, driver-side) receives read-time counters
+    (CSV_InconsistentRows for skipped malformed rows)."""
     import ray.data
 
     from import_ray.core.context import configure_data_context, npartitions
@@ -171,7 +191,7 @@ def genmcf_table_ds(
     configure_data_context()
     with open(tmcf_path) as f:
         tmcf_text = f.read()
-    table = read_csv_with_row_numbers(csv_path)
+    table = read_csv_with_row_numbers(csv_path, counters=counters)
     ds = ray.data.from_arrow(table)
     ds = ds.map_batches(
         TemplateApplier(tmcf_text), batch_format="pyarrow", batch_size=batch_size
@@ -209,12 +229,48 @@ def split_counters(rows: list[dict]):
     return node_rows, cs
 
 
+def tmcf_pre_check(tmcf_path: str, csv_path: str, counters: CounterSet) -> bool:
+    """TMCF sanity pre-pass (TmcfCsvParser.init semantics, java:85-110):
+    parse the template (parse issues → LEVEL_ERROR counters), run
+    McfChecker.checkTemplate against the CSV header columns; on failure
+    log the fatal ``CSV_TmcfCheckFailure`` and the caller must skip row
+    processing. Driver-side: the template is tiny by construction."""
+    import csv
+    import os
+
+    from import_ray.sources.tmcf_csv import parse_tmcf
+    from import_ray.stages.check import check_template
+
+    tmcf_name = os.path.basename(tmcf_path)
+    with open(tmcf_path) as f:
+        res = parse_tmcf(f.read(), file_name=tmcf_name)
+    for issue in res.issues:
+        counters.add(LEVEL_ERROR, issue.counter, issue.message, tmcf_name)
+    with open(csv_path, newline="") as f:
+        header = next(csv.reader(f), [])
+    ok = check_template(
+        res.graph, {h.strip() for h in header}, counters, file=tmcf_name
+    )
+    if not ok:
+        from import_ray.state.counters import LEVEL_FATAL
+
+        counters.add(
+            LEVEL_FATAL,
+            "CSV_TmcfCheckFailure",
+            f"Found fatal sanity error in TMCF; check Sanity_ counter "
+            f"messages :: TMCF-file: {tmcf_name}",
+            tmcf_name,
+        )
+    return ok
+
+
 def genmcf_run(
     tmcf_path: str,
     csv_path: str,
     out_dir: str,
     report_path: str | None = None,
     run_stat_checks: bool = True,
+    pre_check: bool = True,
     **kwargs,
 ):
     """Streaming genmcf entry point (LogWrapper.persistLog +
@@ -236,6 +292,25 @@ def genmcf_run(
     import ray.data
 
     from import_ray.core.context import npartitions
+
+    if pre_check:
+        counters = CounterSet()
+        if not tmcf_pre_check(tmcf_path, csv_path, counters):
+            if report_path:
+                counters.write_report(report_path)
+            empty = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "scope": pa.array([], pa.string()),
+                        "node_id": pa.array([], pa.string()),
+                        "prop": pa.array([], pa.large_string()),
+                        "value": pa.array([], pa.large_string()),
+                        "value_type": pa.array([], pa.int8()),
+                        "failed": pa.array([], pa.bool_()),
+                    }
+                )
+            )
+            return empty, counters
 
     ds = genmcf_table_ds(tmcf_path, csv_path, **kwargs)
     ds.write_parquet(out_dir)

@@ -43,6 +43,11 @@ class ParseIssue:
     message: str
     node_id: str = ""
     line_num: int = 0
+    # LogCb level (LEVEL_ERROR for MCF parse; CSV cell parsing downgrades
+    # split issues to LEVEL_WARNING — TmcfCsvParser.java:246)
+    level: str = "LEVEL_ERROR"
+    # counter increment (CSV_MalformedDCIDPVFailures adds pvs.size())
+    n: int = 1
 
 
 @dataclass
@@ -257,11 +262,15 @@ def _parse_values(
             strip_escapes_before_quotes=True,
         )
     except SplitError as e:
-        res.issues.append(ParseIssue(e.counter, str(e), cur_entity, line_num))
+        res.issues.append(
+            ParseIssue(f"{e.counter}_{prop}", str(e), cur_entity, line_num)
+        )
         return
     if not fields:
         res.issues.append(
-            ParseIssue("StrSplit_EmptyToken", "Empty value found", cur_entity, line_num)
+            ParseIssue(
+                f"StrSplit_EmptyToken_{prop}", "Empty value found", cur_entity, line_num
+            )
         )
     new_tvs = list(existing)
     seen = set(new_tvs)

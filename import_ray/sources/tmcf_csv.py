@@ -36,6 +36,9 @@ from import_ray.sources.mcf import (
     parse_typed_value,
 )
 
+LEVEL_WARNING = "LEVEL_WARNING"
+LEVEL_INFO = "LEVEL_INFO"
+
 
 def parse_tmcf(text: str, file_name: str = "<tmcf>") -> ParseResult:
     return parse_mcf_string(text, file_name=file_name, is_template=True)
@@ -85,7 +88,12 @@ def apply_template_row(
                         if issues is not None:
                             issues.append(
                                 ParseIssue(
-                                    "CSV_EmptyDcidReferences", value, template_entity
+                                    "CSV_EmptyDcidReferences",
+                                    f"In dcid:{{entity}} reference, found "
+                                    f"{{entity}} to be empty :: property: "
+                                    f"'{prop}', node: '{template_entity}'",
+                                    template_entity,
+                                    level=LEVEL_WARNING,
                                 )
                             )
                         continue
@@ -110,17 +118,36 @@ def apply_template_row(
                         )
                     continue
                 cell = row[column]
-                if cell is None:
-                    continue
                 try:
+                    # cell split issues log at WARNING with the prop as the
+                    # counter suffix (TmcfCsvParser.java:246,335-341)
                     cell_values = split_and_strip_with_quote_escape(
-                        str(cell),
+                        "" if cell is None else str(cell),
                         delimiter=delimiter,
                         strip_enclosing_quotes=False,
                         strip_escapes_before_quotes=True,
                     )
-                except Exception:
+                except Exception as e:
+                    if issues is not None:
+                        counter = getattr(e, "counter", "StrSplit_BadQuotesInToken")
+                        issues.append(
+                            ParseIssue(
+                                f"{counter}_{prop}",
+                                str(e),
+                                template_entity,
+                                level=LEVEL_WARNING,
+                            )
+                        )
                     continue
+                if not cell_values and issues is not None:
+                    issues.append(
+                        ParseIssue(
+                            f"StrSplit_EmptyToken_{prop}",
+                            "Empty value found",
+                            template_entity,
+                            level=LEVEL_WARNING,
+                        )
+                    )
                 for v in cell_values:
                     tv = parse_typed_value(prop, v, is_resolved=False)
                     if not isinstance(tv, ParseIssue):
@@ -143,7 +170,26 @@ def apply_template_row(
         if tv[1] in (ValueType.TEXT, ValueType.RESOLVED_REF):
             entity_to_dcid[entity_id] = tv
         elif issues is not None:
-            issues.append(ParseIssue("CSV_MalformedDCIDFailures", tv[0], entity_id))
+            issues.append(
+                ParseIssue(
+                    "CSV_MalformedDCIDFailures",
+                    f"Malformed CSV value for dcid property; must be a text "
+                    f"or reference :: value: '{tv[0]}', node: '{entity_id}'",
+                    entity_id,
+                    level=LEVEL_WARNING,
+                )
+            )
+            # dropped-PV count rides as an INFO counter
+            # (TmcfCsvParser.java:189: incrementInfoCounterBy by pvs.size())
+            issues.append(
+                ParseIssue(
+                    "CSV_MalformedDCIDPVFailures",
+                    "",
+                    entity_id,
+                    level=LEVEL_INFO,
+                    n=len(tnode),
+                )
+            )
 
     out_graph: Graph = {}
     for entity_id, tnode in template.items():
@@ -162,7 +208,7 @@ def apply_template_row(
     return out_graph
 
 
-def read_csv_with_row_numbers(csv_path: str) -> pa.Table:
+def read_csv_with_row_numbers(csv_path: str, counters=None) -> pa.Table:
     """Driver-side CSV read with a ``__row_num`` column: 1-based data-row
     index, matching the reference's TEST-mode rowId (the RowProcessor
     captures currentLineNumber BEFORE the increment —
@@ -194,6 +240,14 @@ def read_csv_with_row_numbers(csv_path: str) -> pa.Table:
             col = col.cast(pa.string())
         cols[name.strip()] = col
     t = pa.table(cols)
+    if skipped and counters is not None:
+        counters.add(
+            "LEVEL_ERROR",
+            "CSV_InconsistentRows",
+            f"Found rows with fewer/more columns than the header :: "
+            f"rows: {skipped}",
+            n=len(skipped),
+        )
     total = t.num_rows + len(skipped)
     skip_set = set(skipped)
     nums = [i for i in range(1, total + 1) if i not in skip_set]
@@ -205,17 +259,22 @@ class TemplateApplier:
     """map_batches kernel: tabular rows + broadcast template → node-PV rows
     (exploded NODE_PV_SCHEMA plus scope column for scope-local resolution)."""
 
+    COUNTER_SENTINEL = "__counters__"
+
     def __init__(self, tmcf_text: str, scope_prefix: str = ""):
         res = parse_tmcf(tmcf_text)
         self.template = res.graph
         self.scope_prefix = scope_prefix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
         rows = batch.to_pylist()
         out = {"scope": [], "node_id": [], "prop": [], "value": [], "value_type": []}
+        issues: list[ParseIssue] = []
         for row in rows:
             row_id = str(row.pop("__row_num"))
-            graph = apply_template_row(self.template, row, row_id)
+            graph = apply_template_row(self.template, row, row_id, issues=issues)
             scope = self.scope_prefix + row_id
             for node_id, node in graph.items():
                 for prop, tvs in node.items():
@@ -225,6 +284,19 @@ class TemplateApplier:
                         out["prop"].append(prop)
                         out["value"].append(value)
                         out["value_type"].append(vtype)
+        if issues:
+            # CSV-side counters ride as sentinel rows (same convention as
+            # ResolveScopes, which passes them through to the reduce)
+            agg: dict[tuple[str, str], int] = {}
+            for i in issues:
+                key = (i.level, i.counter)
+                agg[key] = agg.get(key, 0) + i.n
+            for (level, counter), n in agg.items():
+                out["scope"].append("")
+                out["node_id"].append(self.COUNTER_SENTINEL)
+                out["prop"].append(json.dumps([level, counter]))
+                out["value"].append(str(n))
+                out["value_type"].append(0)
         return pa.table(
             {
                 "scope": pa.array(out["scope"], pa.string()),

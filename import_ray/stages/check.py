@@ -49,11 +49,13 @@ class NodeChecker:
         allow_nan_svobs: bool = True,
         known_dcids: set[str] | None = None,
         file: str = "",
+        is_template: bool = False,
     ):
         self.counters = counters if counters is not None else CounterSet()
         self.allow_nan_svobs = allow_nan_svobs
         self.known_dcids = known_dcids
         self.file = file
+        self.is_template = is_template
         self._node_failure = False
 
     def _log(self, counter: str, message: str, level: str = LEVEL_ERROR):
@@ -272,7 +274,12 @@ class NodeChecker:
         obs_date = self._required_single(
             node_id, node, vocab.STAT_VAR_OBSERVATION_TYPE, vocab.OBSERVATION_DATE
         )
-        if obs_date and not get_valid_iso8601_date_pattern(obs_date):
+        if (
+            not self.is_template
+            and obs_date
+            and not get_valid_iso8601_date_pattern(obs_date)
+        ):
+            # date is a C: column in a template (McfChecker.java:292-294)
             self._log(
                 "Sanity_InvalidObsDate",
                 f"Found a non-ISO8601 compliant date value :: value: "
@@ -394,3 +401,61 @@ class NodeChecker:
                     f"Found a missing or empty property value :: property: "
                     f"'{vocab.SUB_CLASS_OF}', node: '{node_id}', type: '{vocab.CLASS_TYPE}'",
                 )
+
+
+    # --- TMCF template checks (McfChecker.checkTemplateNode, java:173-226) ---
+    def check_template_node(
+        self,
+        node_id: str,
+        node: Node,
+        template: dict,
+        columns: set[str] | None,
+    ) -> bool:
+        from import_ray.sources.mcf import parse_schema_term
+
+        for prop, tvs in node.items():
+            for value, vtype in tvs:
+                if vtype == ValueType.TABLE_ENTITY:
+                    if value not in template:
+                        self._log(
+                            "Sanity_TmcfMissingEntityDef",
+                            f"No definition found for a referenced 'E:' value :: "
+                            f"reference: '{value}', property: '{prop}' node: '{node_id}'",
+                        )
+                elif vtype == ValueType.TABLE_COLUMN:
+                    term = parse_schema_term(value)
+                    if term is None or term[0] != "column":
+                        self._log(
+                            "Sanity_UnexpectedNonColumn",
+                            f"Expected value to be a TMCF column that starts with "
+                            f"'C:' :: value: '{value}', property: '{prop}', node: '{node_id}'",
+                        )
+                        continue
+                    if columns is not None and term[2] not in columns:
+                        self._log(
+                            "Sanity_TmcfMissingColumn",
+                            f"Column referred to in TMCF is missing from CSV "
+                            f"header :: column: '{term[2]}', node: '{node_id}'",
+                        )
+        return not self._node_failure
+
+
+def check_template(
+    template: dict,
+    columns: set[str] | None,
+    counters: CounterSet,
+    allow_nan_svobs: bool = True,
+    file: str = "",
+) -> bool:
+    """McfChecker.checkTemplate (java:101-111 + check() loop): full node
+    checks plus template E:/C: reference checks against the CSV header.
+    Returns True when no node failed (any logged issue fails a node)."""
+    checker = NodeChecker(
+        counters, allow_nan_svobs=allow_nan_svobs, file=file, is_template=True
+    )
+    ok = True
+    for node_id, node in template.items():
+        passed = checker.check_node(node_id, node)
+        passed = checker.check_template_node(node_id, node, template, columns) and passed
+        ok = ok and passed
+    return ok

@@ -74,6 +74,12 @@ def mutate_node(
                 value = _prep_for_double_conversion(value)
             if vtype == ValueType.COMPLEX_VALUE:
                 res = parse_complex_value(node_id, node, prop, value)
+                if res.empty_token and issues is not None:
+                    issues.append(
+                        ParseIssue(
+                            f"StrSplit_EmptyToken_{prop}", "Empty value found", node_id
+                        )
+                    )
                 if res.error_counter:
                     if issues is not None:
                         issues.append(

@@ -279,7 +279,13 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             }
         )
 
-    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    from import_ray.core.context import join_safe
+
+    # pairs_ds is aggregate-derived → re-block before joins (join_safe)
+    edges = (
+        join_safe(pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
+        .materialize()
+    )
     if edges.count() == 0:
         import ray.data
 
@@ -288,7 +294,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
         )
 
     # round 0: label(v) = min(v, min neighbor)
-    labels = (
+    labels = join_safe(
         edges.groupby("node", num_partitions=npartitions())
         .aggregate(Min("nbr", alias_name="label"))
         .map_batches(
@@ -300,8 +306,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             ),
             batch_format="pyarrow",
         )
-        .materialize()
-    )
+    ).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
     for _ in range(max_rounds):
@@ -313,12 +318,11 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             right_on=("node",),
             right_suffix="_r",
         ).select_columns(["node", "label"])
-        labels = (
+        labels = join_safe(
             labels.union(nbr_labels)
             .groupby("node", num_partitions=npartitions())
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        ).materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break
