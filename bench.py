@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "events_daily_counts",
     "dedup_exact_docs",
     "token_stats_docs",
+    "minhash_dedup_docs",
+    "simhash_pairs_docs",
     "knn_cosine",
 ]
 

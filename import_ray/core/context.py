@@ -39,6 +39,30 @@ def ensure_hash_shuffle(ds):
     return ds
 
 
+def data_nparts(ds) -> int:
+    """Shuffle/join partition count sized to the dataset when its size
+    is cheaply known (raw reads and materialized inputs expose metadata
+    size without executing); falls back to the cluster-sized default.
+    Fewer partitions = fewer shuffle aggregator actors — on small
+    inputs actor-pool spin-up otherwise dominates wall time, while at
+    scale the cap stays 2×CPUs (npartitions_for_bytes)."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ in (
+            "Read",
+            "InputData",
+            "FromItems",
+            "FromArrow",
+            "FromPandas",
+        ):
+            sz = ds.size_bytes()
+            if sz:
+                return npartitions_for_bytes(sz)
+    except Exception:
+        pass
+    return npartitions()
+
+
 def join_safe(ds, n: int | None = None):
     """Re-block an AGGREGATE-derived dataset before feeding Dataset.join.
 

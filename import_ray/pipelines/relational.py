@@ -47,6 +47,15 @@ def _np() -> int:
     return npartitions()
 
 
+def _np_for(ds) -> int:
+    """Partitions sized to the (read-stage) dataset's metadata size —
+    keeps shuffle aggregator pools proportional to data, capped at
+    2×CPUs (core.context.data_nparts)."""
+    from import_ray.core.context import data_nparts
+
+    return data_nparts(ds)
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     # round-half-away-from-zero, matching DuckDB's ROUND() (numpy's
     # np.round is banker's rounding and diverges on exact .5)
@@ -99,7 +108,7 @@ def q1_pricing_summary(sf_dir: str):
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np())
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np_for(ds))
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_cents", alias_name="sum_base_cents"),
@@ -139,10 +148,11 @@ def q3_top_orders(sf_dir: str):
     cust = cust.map_batches(building_keys, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_orders = _np_for(orders)
     orders = orders.join(
         cust,
         join_type="left_semi",
-        num_partitions=_np(),
+        num_partitions=n_orders,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -159,17 +169,18 @@ def q3_top_orders(sf_dir: str):
             }
         )
 
+    n_li = _np_for(li)
     li = li.map_batches(revenue, batch_format="pyarrow")
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=_np(),
+        num_partitions=n_li,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
     from ray.data.aggregate import Sum
 
-    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=_np()).aggregate(
+    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=n_li).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents")
     )
     top = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
@@ -206,10 +217,11 @@ def q5_region_revenue(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = _np_for(orders)
     orders = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_np(),
+        num_partitions=n_orders,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -237,17 +249,18 @@ def q5_region_revenue(sf_dir: str):
             }
         )
 
+    n_li = _np_for(li)
     li = li.map_batches(revenue, batch_format="pyarrow")
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=_np(),
+        num_partitions=n_li,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
     from ray.data.aggregate import Sum
 
-    return joined.groupby(["r_name", "n_name"], num_partitions=_np()).aggregate(
+    return joined.groupby(["r_name", "n_name"], num_partitions=n_li).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents")
     )
 
@@ -289,7 +302,7 @@ def events_daily_counts(sf_dir: str):
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=_np())
+        .groupby(["event_type", "day"], num_partitions=_np_for(ds))
         .aggregate(
             Sum("sum_value_cents", alias_name="sum_value_cents"),
             Sum("n_events", alias_name="n_events"),
@@ -459,12 +472,13 @@ def customers_without_orders(sf_dir: str):
             pc.greater_equal(batch["o_orderdate"], pa.scalar(datetime(2001, 1, 1)))
         ).select(["o_custkey"])
 
+    n_orders = _np_for(orders)
     orders = orders.map_batches(recent_keys, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.join(
         orders,
         join_type="left_anti",
-        num_partitions=_np(),
+        num_partitions=n_orders,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -499,7 +513,7 @@ def orders_running_total(sf_dir: str):
     from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(ds)
-    return ds.repartition(_np(), keys=["o_custkey"]).map_batches(
+    return ds.repartition(_np_for(ds), keys=["o_custkey"]).map_batches(
         per_block, batch_format="pyarrow"
     )
 
@@ -550,7 +564,7 @@ def purchase_last_signup(sf_dir: str):
     from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(ds)
-    return ds.repartition(_np(), keys=["user_id"]).map_batches(
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
         per_block, batch_format="pyarrow"
     )
 

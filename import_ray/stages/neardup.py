@@ -38,6 +38,13 @@ logger = logging.getLogger(__name__)
 
 MAX_PAIRS_PER_BUCKET = 1000  # skew guard; buckets larger than this are sampled
 MAX_BUCKET_MEMBERS = 200  # simhash skew guard (see simhash_pairs)
+# pair sets at or below this size are labeled with a driver union-find
+# over the PAIRS (not the corpus — LSH pairs << docs) and broadcast as
+# a lookup map; larger sets use distributed min-label propagation
+MAX_DRIVER_PAIRS = 2_000_000
+
+
+from import_ray.core.context import data_nparts as _data_nparts
 
 # odd multipliers for wraparound polynomial combines (splitmix64 constants)
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)
@@ -232,21 +239,31 @@ def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
-    """Dataset of near-duplicate candidate pairs with estimated Jaccard."""
-    from import_ray.core.context import ensure_hash_shuffle, npartitions
+def _lsh_raw_pairs(docs_ds, threshold: float, num_perm: int, bands: int):
+    """Un-deduplicated candidate pairs (one shuffle); returns
+    (pairs_ds, nparts). The same pair can appear once per colliding
+    band — callers either groupby-dedup or union-find (which dedups
+    naturally)."""
+    from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(docs_ds)
+    nparts = _data_nparts(docs_ds)
     sig = MinHashSignatures(num_perm=num_perm, bands=bands)
     band_rows = docs_ds.map_batches(sig, batch_format="pyarrow", batch_size=512)
-    band_rows = band_rows.repartition(npartitions(), keys=["band_hash"])
+    band_rows = band_rows.repartition(nparts, keys=["band_hash"])
     pairs = band_rows.map_batches(
         lambda b: _bucket_pairs(b, threshold, num_perm), batch_format="pyarrow"
     )
-    # same pair can surface from multiple bands → exact dedup on the pair
+    return pairs, nparts
+
+
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
+    """Dataset of near-duplicate candidate pairs with estimated Jaccard."""
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=npartitions()).aggregate(
+    pairs, nparts = _lsh_raw_pairs(docs_ds, threshold, num_perm, bands)
+    # same pair can surface from multiple bands → exact dedup on the pair
+    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=nparts).aggregate(
         Max("est_jaccard", alias_name="est_jaccard")
     )
 
@@ -335,19 +352,73 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
     return labels
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.7):
+def _union_find_labels(pair_rows) -> dict[int, int]:
+    """Union-find over candidate PAIRS only → min-id label per
+    non-singleton node. Memory ∝ pairs (LSH output), NOT corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pair_rows:
+        ra, rb = find(r["doc_lo"]), find(r["doc_hi"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_DRIVER_PAIRS):
     """(doc_id, cluster_id) Dataset — cluster_id = min doc_id of the
     near-dup cluster; singleton docs map to themselves.
 
-    Fully distributed: LSH pairs → groupby min-label propagation →
-    left-outer join back onto the corpus (null label ⇒ singleton).
-    No O(N)-over-all-docs driver structure anywhere.
+    Hybrid labeling, both paths bounded by the PAIR set (never an
+    O(corpus) driver structure):
+
+    - pairs ≤ ``max_driver_pairs`` (the common case — LSH candidates
+      ≪ corpus): driver union-find over the pairs, labels BROADCAST
+      through the object store, one vectorized fill pass over the
+      corpus. Two shuffles total (band exchange + none on the fill).
+    - larger pair sets: distributed groupby min-label propagation +
+      left-outer join back onto the corpus.
     """
+    import ray
+
     from import_ray.core.context import npartitions
 
-    pairs = minhash_lsh_pairs(docs_ds, threshold=threshold)
-    labels = propagate_min_labels(pairs)
+    pairs, _ = _lsh_raw_pairs(docs_ds, threshold, num_perm=64, bands=16)
+    pairs = pairs.materialize()
 
+    if pairs.count() <= max_driver_pairs:
+        labels_ref = ray.put(_union_find_labels(pairs.take_all()))
+
+        class Fill:
+            def __init__(self, ref):
+                self._ref = ref
+                self._labels = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if self._labels is None:
+                    self._labels = ray.get(self._ref)
+                ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
+                lab = ids.map(self._labels).fillna(ids).astype(np.int64)
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids.to_numpy(), pa.int64()),
+                        "cluster_id": pa.array(lab.to_numpy(), pa.int64()),
+                    }
+                )
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            Fill(labels_ref), batch_format="pyarrow"
+        )
+
+    labels = propagate_min_labels(pairs)
     out = docs_ds.select_columns(["doc_id"]).join(
         labels,
         join_type="left_outer",
@@ -401,9 +472,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs by SimHash: bucket by 4×16-bit bands (any pair
     within hamming ≤3 of a 64-bit hash shares at least one exact band),
     verify hamming distance within buckets."""
-    from import_ray.core.context import ensure_hash_shuffle, npartitions
+    from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(docs_ds)
+    nparts = _data_nparts(docs_ds)
     sigs = docs_ds.map_batches(SimHashKernel(), batch_format="pyarrow", batch_size=512)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -471,11 +543,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         )
 
     rows = sigs.map_batches(band_rows, batch_format="pyarrow")
-    rows = rows.repartition(npartitions(), keys=["band_hash"])
+    rows = rows.repartition(nparts, keys=["band_hash"])
     pairs = rows.map_batches(bucket_pairs, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=npartitions()).aggregate(
+    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=nparts).aggregate(
         Min("hamming", alias_name="hamming")
     )
 
