@@ -1,0 +1,176 @@
+"""NL artifact generation — sentences.csv, custom_catalog.yaml and the
+topic cache (simple/stats/nl.py:41-190 semantics).
+
+SV/Topic/StatVarPeerGroup triples are SCHEMA-scale (they describe
+variables, not observations), so this mirrors the reference's
+driver-side flow over an in-memory triple list; a Dataset input is
+accepted and collected (documented — bounded by schema size, not data).
+Sentence rule: searchDescription triples win (joined with ';' in triple
+order), else the name; subjects with neither are skipped with a
+warning. The topic cache emits one node per Topic/StatVarPeerGroup
+with typeOf/name/relevantVariableList/memberList (the *List predicates
+split on commas).
+
+The catalog constants (index/model names, public model path) mirror
+the reference's published custom-DC catalog configuration
+(nl_constants.py, itself sourced from the public website repo).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+SENTENCE_SEPARATOR = ";"
+CUSTOM_EMBEDDINGS_INDEX = "user_all_minilm_mem"
+CUSTOM_MODEL = "ft-final-v20230717230459-all-MiniLM-L6-v2"
+CUSTOM_MODEL_PATH = (
+    "gs://datcom-nl-models/ft_final_v20230717230459.all-MiniLM-L6-v2"
+)
+
+SENTENCES_FILE = "sentences.csv"
+EMBEDDINGS_DIR = "embeddings"
+EMBEDDINGS_FILE = "embeddings.csv"
+CUSTOM_CATALOG_YAML = "custom_catalog.yaml"
+TOPIC_CACHE_JSON_FILE = "custom_dc_topic_cache.json"
+
+
+def _triples_rows(triples) -> list[dict]:
+    if isinstance(triples, list):
+        return triples
+    if isinstance(triples, pd.DataFrame):
+        return triples.to_dict("records")
+    return triples.take_all()  # Dataset (schema-scale by contract)
+
+
+def generate_nl_sentences(triples, nl_dir: str) -> pd.DataFrame:
+    """name/searchDescription triples → ``<nl_dir>/sentences.csv`` +
+    ``<nl_dir>/embeddings/custom_catalog.yaml``. The caller pre-filters
+    triples to sentence-bearing subject types (SV + Topic), mirroring
+    ``nl.generate_nl_sentences``."""
+    candidates: dict[str, dict] = {}
+    for t in _triples_rows(triples):
+        c = candidates.setdefault(
+            t["subject_id"], {"name": "", "descriptions": []}
+        )
+        if t["predicate"] == "searchDescription":
+            c["descriptions"].append(t.get("object_value") or "")
+        elif t["predicate"] == "name":
+            c["name"] = t.get("object_value") or ""
+
+    rows = []
+    for dcid, c in candidates.items():
+        sentences = c["descriptions"] or ([c["name"]] if c["name"] else [])
+        if not sentences:
+            logger.warning("No NL sentences generated for DCID: %s", dcid)
+            continue
+        rows.append({"dcid": dcid, "sentence": SENTENCE_SEPARATOR.join(sentences)})
+    df = pd.DataFrame(rows, columns=["dcid", "sentence"])
+
+    os.makedirs(os.path.join(nl_dir, EMBEDDINGS_DIR), exist_ok=True)
+    df.to_csv(os.path.join(nl_dir, SENTENCES_FILE), index=False)
+
+    embeddings_path = os.path.join(nl_dir, EMBEDDINGS_DIR, EMBEDDINGS_FILE)
+    catalog = {
+        "version": "1",
+        "indexes": {
+            CUSTOM_EMBEDDINGS_INDEX: {
+                "store_type": "MEMORY",
+                "source_path": nl_dir,
+                "embeddings_path": embeddings_path,
+                "model": CUSTOM_MODEL,
+            },
+        },
+        "models": {
+            CUSTOM_MODEL: {
+                "type": "LOCAL",
+                "usage": "EMBEDDINGS",
+                "gcs_folder": CUSTOM_MODEL_PATH,
+                "score_threshold": 0.5,
+            }
+        },
+    }
+    with open(os.path.join(nl_dir, EMBEDDINGS_DIR, CUSTOM_CATALOG_YAML), "w") as f:
+        f.write(_yaml_dump(catalog))
+    return df
+
+
+def generate_topic_cache(triples, nl_dir: str) -> dict:
+    """Topic + StatVarPeerGroup triples →
+    ``<nl_dir>/custom_dc_topic_cache.json`` (one node per subject)."""
+    nodes: dict[str, dict] = {}
+    for t in _triples_rows(triples):
+        node = nodes.setdefault(
+            t["subject_id"],
+            {"types": [], "names": [], "relevant": [], "members": []},
+        )
+        pred = t["predicate"]
+        if pred == "typeOf":
+            node["types"].append(t.get("object_id") or "")
+        elif pred == "name":
+            node["names"].append(t.get("object_value") or "")
+        elif pred == "relevantVariable":
+            node["relevant"].append(t.get("object_id") or "")
+        elif pred == "relevantVariableList":
+            node["relevant"].extend(
+                s.strip() for s in (t.get("object_value") or "").split(",")
+            )
+        elif pred == "member":
+            node["members"].append(t.get("object_id") or "")
+        elif pred == "memberList":
+            node["members"].extend(
+                s.strip() for s in (t.get("object_value") or "").split(",")
+            )
+
+    out_nodes = []
+    for dcid, node in nodes.items():
+        result: dict = {"dcid": [dcid]}
+        if node["types"]:
+            result["typeOf"] = node["types"]
+        if node["names"]:
+            result["name"] = node["names"]
+        if node["relevant"]:
+            result["relevantVariableList"] = node["relevant"]
+        if node["members"]:
+            result["memberList"] = node["members"]
+        out_nodes.append(result)
+
+    result = {"nodes": out_nodes}
+    os.makedirs(nl_dir, exist_ok=True)
+    with open(os.path.join(nl_dir, TOPIC_CACHE_JSON_FILE), "w") as f:
+        f.write(json.dumps(result, indent=1))
+    return result
+
+
+def _yaml_dump(obj, indent: int = 0) -> str:
+    """Minimal YAML emitter (sorted keys, safe_dump-compatible for this
+    catalog shape) — no yaml lib dependency."""
+    lines = []
+
+    def _scalar(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v)
+        if s.isdigit() or s in ("true", "false", "null", ""):
+            return f"'{s}'"
+        return s
+
+    def _walk(d: dict, depth: int):
+        for k in sorted(d):
+            v = d[k]
+            pad = "  " * depth
+            if isinstance(v, dict):
+                lines.append(f"{pad}{k}:")
+                _walk(v, depth + 1)
+            else:
+                lines.append(f"{pad}{k}: {_scalar(v)}")
+
+    _walk(obj, indent)
+    return "\n".join(lines) + "\n"
