@@ -109,10 +109,80 @@ def statvar_summaries(obs_ds, num_partitions: int | None = None):
     )
 
 
-def render_summary_html(counters, summaries: list[dict], path: str | None = None) -> str:
-    """Minimal summary_report.html: counter tables per level + per-SV
-    summary table (SummaryReportGenerator shape; SVG charts omitted —
-    no chart lib in this environment)."""
+def svg_timeseries_chart(
+    dates: list[str], values: list[float], width: int = 350, height: int = 200
+) -> str:
+    """Inline SVG time-series chart: black polyline + red point markers
+    (the visual semantics of SummaryReportGenerator's JFreeChart SVG,
+    SummaryReportGenerator.java:110-160 — hand-rolled polyline instead
+    of JFreeChart; documented deviation, no chart lib in env)."""
+    pts = [
+        (d, float(v))
+        for d, v in zip(dates, values)
+        if v is not None and not (isinstance(v, float) and np.isnan(v))
+    ]
+    if not pts:
+        return ""
+    pts.sort(key=lambda p: p[0])
+    xs = np.linspace(30, width - 10, num=len(pts))
+    vals = np.array([p[1] for p in pts], dtype=np.float64)
+    lo, hi = float(vals.min()), float(vals.max())
+    span = (hi - lo) or 1.0
+    ys = (height - 20) - (vals - lo) / span * (height - 40)
+    poly = " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(xs, ys))
+    dots = "".join(
+        f'<circle cx="{x:.1f}" cy="{y:.1f}" r="2" fill="red"/>'
+        for x, y in zip(xs, ys)
+    )
+    first, last = html.escape(pts[0][0]), html.escape(pts[-1][0])
+    return (
+        f'<svg width="{width}" height="{height}" '
+        f'xmlns="http://www.w3.org/2000/svg">'
+        f'<polyline points="{poly}" fill="none" stroke="black"/>'
+        f"{dots}"
+        f'<text x="30" y="{height - 4}" font-size="10">{first}</text>'
+        f'<text x="{width - 70}" y="{height - 4}" font-size="10">{last}</text>'
+        f'<text x="2" y="12" font-size="10">{hi:g}</text>'
+        f'<text x="2" y="{height - 24}" font-size="10">{lo:g}</text>'
+        "</svg>"
+    )
+
+
+def place_series_sections(obs_ds, sample_places: set[str] | None = None) -> list[dict]:
+    """Per-place per-series chart data for the report: date-sorted
+    (place, variable, method, unit, period) series restricted to the
+    deterministic sample places (PlaceSeriesSummary semantics). Returns
+    a SMALL list (≤25 places × their series) — report-scale."""
+    import pyarrow.compute as pc
+
+    from import_ray.stages.observations import group_series
+    from import_ray.stages.statcheck import select_sample_places
+
+    if sample_places is None:
+        places = obs_ds.select_columns(["entity"]).unique("entity") or []
+        sample_places = select_sample_places(places)
+    sample_arr = pa.array(sorted(sample_places), pa.string())
+
+    def only_samples(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["entity"], value_set=sample_arr))
+
+    series = group_series(obs_ds.map_batches(only_samples, batch_format="pyarrow"))
+    return sorted(
+        series.take_all(),
+        key=lambda r: (r["entity"], r["variable"], r["measurement_method"]),
+    )
+
+
+def render_summary_html(
+    counters,
+    summaries: list[dict],
+    place_series: list[dict] | None = None,
+    path: str | None = None,
+) -> str:
+    """summary_report.html: counter tables per level, per-SV summary
+    table, and per-place series sections with inline SVG charts
+    (SummaryReportGenerator shape; charts are hand-rolled SVG polylines
+    rather than JFreeChart renders)."""
     parts = ["<html><head><title>Summary Report</title></head><body>"]
     parts.append("<h1>Summary Report</h1><h2>Counters</h2>")
     by_level: dict = {}
@@ -133,7 +203,33 @@ def render_summary_html(counters, summaries: list[dict], path: str | None = None
         parts.append(
             "<tr>" + "".join(f"<td>{html.escape(str(s.get(c, '')))}</td>" for c in cols) + "</tr>"
         )
-    parts.append("</table></body></html>")
+    parts.append("</table>")
+    if place_series:
+        parts.append("<h2>Sample Place Series</h2>")
+        cur_place = None
+        for s in place_series:
+            if s["entity"] != cur_place:
+                cur_place = s["entity"]
+                parts.append(f"<h3>{html.escape(cur_place)}</h3>")
+            label = " | ".join(
+                x
+                for x in (
+                    s["variable"],
+                    s.get("measurement_method", ""),
+                    s.get("unit", ""),
+                    s.get("observation_period", ""),
+                )
+                if x
+            )
+            parts.append(f"<h4>{html.escape(label)}</h4>")
+            vals = []
+            for v in s["values"]:
+                try:
+                    vals.append(float(v))
+                except (TypeError, ValueError):
+                    vals.append(float("nan"))
+            parts.append(svg_timeseries_chart(list(s["dates"]), vals))
+    parts.append("</body></html>")
     text = "".join(parts)
     if path:
         with open(path, "w") as f:

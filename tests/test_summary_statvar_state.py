@@ -98,3 +98,40 @@ def test_run_kg_job_resumable(ray_session, tmp_path):
     assert glob.glob(os.path.join(out, "shard=*", "part_key=*"))
     s2 = run_kg_job(str(in_dir), out, shard_size=2, n_buckets=4)
     assert s2["built"] == 0 and s2["skipped"] == 2
+
+
+def test_summary_html_place_series_charts(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.summary import (
+        place_series_sections,
+        render_summary_html,
+        svg_timeseries_chart,
+    )
+    from import_ray.state.counters import CounterSet
+
+    obs = pa.table(
+        {
+            "entity": pa.array(["geoId/06"] * 3 + ["geoId/48"] * 2),
+            "variable": pa.array(["Count_Person"] * 5),
+            "date": pa.array(["2019", "2020", "2021", "2020", "2021"]),
+            "value": pa.array(["10", "20", "15", "7", "9"]),
+            "measurement_method": pa.array(["m1"] * 5),
+            "unit": pa.array([""] * 5),
+            "observation_period": pa.array([""] * 5),
+            "scaling_factor": pa.array([""] * 5),
+        }
+    )
+    sections = place_series_sections(ray.data.from_arrow(obs))
+    assert sections and {s["entity"] for s in sections} == {"geoId/06", "geoId/48"}
+
+    text = render_summary_html(
+        CounterSet(), [], place_series=sections, path=str(tmp_path / "r.html")
+    )
+    assert "<svg" in text and "polyline" in text and "geoId/06" in text
+    # chart endpoints labeled with first/last date
+    assert "2019" in text and "2021" in text
+
+    # degenerate series: all-NaN values produce no chart, no crash
+    assert svg_timeseries_chart(["2020"], [float("nan")]) == ""
