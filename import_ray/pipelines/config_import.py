@@ -74,8 +74,17 @@ def _strip_ns_series(s: pd.Series) -> pd.Series:
     return s.astype(str).str.replace(_STRIP_NS_RE, "", regex=True)
 
 
-def _resolve_series(s: pd.Series, resolver: dict) -> pd.Series:
+def _resolve_series(s: pd.Series, resolver: dict, entity_type: str = "") -> pd.Series:
+    """Broadcast-map resolution; ``S2CellLevelN`` entity types resolve
+    lat#lng strings through the local S2 resolver first
+    (simple/util/resolvers.py:35-66 semantics — offline, deterministic)."""
     vals = _strip_ns_series(s)
+    if entity_type and re.match(r"S2CellLevel\d+", entity_type):
+        from import_ray.functions.s2cell import resolve_latlngs_to_s2cells
+
+        uniq = vals.unique().tolist()
+        s2map = resolve_latlngs_to_s2cells(uniq, entity_type)
+        vals = vals.map(s2map).fillna(vals)
     if not resolver:
         return vals
     mapped = vals.map(resolver)
@@ -220,6 +229,7 @@ class ObservationsKernel(_BroadcastMixin):
         self.sv_cols = [
             c for c in header if c not in (self.entity_col, self.date_col) and c not in ignore
         ]
+        self.entity_type = cfg.get("entityType", "")
         self.prov = prov
         self.file_order = file_order
 
@@ -229,7 +239,9 @@ class ObservationsKernel(_BroadcastMixin):
         if self.fmt == "variablePerRow":
             out = pd.DataFrame(
                 {
-                    "entity": _resolve_series(df[self.entity_col], self.resolver),
+                    "entity": _resolve_series(
+                        df[self.entity_col], self.resolver, self.entity_type
+                    ),
                     "variable": _strip_ns_series(df[self.var_col]),
                     "date": df[self.date_col].astype(str),
                     "value": df[self.value_col].astype(str),
@@ -242,7 +254,9 @@ class ObservationsKernel(_BroadcastMixin):
                 var_name="variable",
                 value_name="value",
             ).rename(columns={self.entity_col: "entity", self.date_col: "date"})
-            out["entity"] = _resolve_series(out["entity"], self.resolver)
+            out["entity"] = _resolve_series(
+                out["entity"], self.resolver, self.entity_type
+            )
             out["date"] = out["date"].astype(str)
             out["value"] = out["value"].astype(str)
         # drop invalid values (data.py:609-625)

@@ -122,3 +122,37 @@ def test_unknown_import_type(input_dir):
         run_config_import(
             input_dir, {"inputFiles": {"countries.csv": {"importType": "bogus"}}}
         )
+
+
+def test_s2cell_entity_resolution(tmp_path, ray_session):
+    """entityType S2CellLevelN resolves lat#lng entities via the local
+    S2 resolver (resolvers.py semantics)."""
+    (tmp_path / "cells.csv").write_text(
+        "place,year,Count_Event\n38.7#-119.4,2020,7\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "inputFiles": {
+                "cells.csv": {
+                    "importType": "observations",
+                    "format": "variablePerColumn",
+                    "entityType": "S2CellLevel10",
+                    "columnMappings": {
+                        "dcid:observationAbout": "place",
+                        "dcid:observationDate": "year",
+                    },
+                }
+            }
+        },
+    )
+    obs = out["observations"]
+    assert set(obs["entity"]) == {"s2CellId/0x80982b0000000000"}
+    t = out["triples"]
+    assert (
+        (t["subject_id"] == "s2CellId/0x80982b0000000000")
+        & (t["predicate"] == "typeOf")
+        & (t["object_id"] == "S2CellLevel10")
+    ).any()
