@@ -146,3 +146,29 @@ def test_existence_semi_join():
     assert checker.counters.counter("Existence_MissingReference_variableMeasured") == 1
     # observationAbout is not existence-checked for SVObs (java:421-434)
     assert checker.counters.counter("Existence_MissingReference_observationAbout") == 0
+
+
+def test_dcaggregate_mmethod_existence_normalization():
+    """measurementMethod refs strip the dcAggregate/ prefix before the
+    existence check (McfChecker.java:557-559)."""
+    from import_ray.core.model import ValueType
+    from import_ray.stages.check import NodeChecker
+    from import_ray.state.counters import CounterSet
+
+    node = {
+        "typeOf": [("StatVarObservation", ValueType.RESOLVED_REF)],
+        "variableMeasured": [("Count_Person", ValueType.RESOLVED_REF)],
+        "observationAbout": [("geoId/06", ValueType.RESOLVED_REF)],
+        "observationDate": [("2020", ValueType.TEXT)],
+        "value": [("1", ValueType.NUMBER)],
+        "measurementMethod": [("dcAggregate/CensusACS5yrSurvey", ValueType.RESOLVED_REF)],
+    }
+    cs = CounterSet()
+    NodeChecker(cs, known_dcids={"CensusACS5yrSurvey", "Count_Person"}).check_node(
+        "n1", dict(node)
+    )
+    assert cs.counter("Existence_MissingReference_measurementMethod") == 0
+
+    cs2 = CounterSet()
+    NodeChecker(cs2, known_dcids={"Count_Person"}).check_node("n1", dict(node))
+    assert cs2.counter("Existence_MissingReference_measurementMethod") == 1
