@@ -188,6 +188,64 @@ def _minhash_planted_clusters(sf_dir: str):
     )
 
 
+def _plant_exact_copies(sf_dir: str, offset: int):
+    """documents + an EXACT copy (doc_id + offset) of every 20th doc."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 20 == 0))
+        copies = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + offset
+                ),
+                "text": sub["text"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+_PLANT2 = 2_000_000
+
+
+def _simhash_planted_pairs(sf_dir: str):
+    """Oracle-checkable SimHash fixture: exact copies share their
+    source's simhash, so every (src, src+offset) pair must surface with
+    hamming 0."""
+    import pyarrow as pa
+
+    from import_ray.stages.neardup import simhash_pairs
+
+    pairs = simhash_pairs(_plant_exact_copies(sf_dir, _PLANT2))
+
+    def planted_only(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((hi - lo == _PLANT2) & (lo % 20 == 0)))
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
+
+
+def _ngram_planted_pairs(sf_dir: str):
+    """Exact n-gram Jaccard on planted exact copies: score must be
+    exactly 1.0 for every (src, src+offset) pair."""
+    from import_ray.stages.neardup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(_plant_exact_copies(sf_dir, _PLANT2), threshold=0.5)
+    df = df[(df["doc_hi"] - df["doc_lo"] == _PLANT2) & (df["doc_lo"] % 20 == 0)]
+    return df.reset_index(drop=True)
+
+
 def _simhash_pairs_docs(sf_dir: str):
     import ray.data
 
@@ -374,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "minhash_planted_clusters": _minhash_planted_clusters,
         "simhash_pairs_docs": _simhash_pairs_docs,
+        "simhash_planted_pairs": _simhash_planted_pairs,
+        "ngram_planted_pairs": _ngram_planted_pairs,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "doc_fingerprints": _doc_fingerprints,
         "multimodal_features": _multimodal_features,
@@ -410,6 +470,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_planted_clusters": (
             f"SELECT doc_id + {_PLANT_OFFSET} AS doc_id, TRUE AS same_cluster "
             "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "simhash_planted_pairs": (
+            f"SELECT doc_id AS doc_lo, doc_id + {_PLANT2} AS doc_hi, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "ngram_planted_pairs": (
+            f"SELECT doc_id AS doc_lo, doc_id + {_PLANT2} AS doc_hi, "
+            "1.0 AS jaccard FROM documents WHERE doc_id % 20 = 0"
         ),
         "events_series_groups": (
             "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "
