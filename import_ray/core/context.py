@@ -64,17 +64,41 @@ def data_nparts(ds) -> int:
 
 
 def join_safe(ds, n: int | None = None):
-    """Re-block an AGGREGATE-derived dataset before feeding Dataset.join.
+    """Drop schema-less empty blocks from an AGGREGATE/map_groups-derived
+    dataset before it feeds another keyed op (join / groupby / keyed
+    repartition).
 
-    Hash-aggregate partitions with zero rows emit schema-less empty
-    blocks; pyarrow's acero join raises ``No match ... for key field``
-    when a join partition's input sequence contains only such blocks
-    (flaky — depends on key hashing). A repartition rewrites all blocks
-    with proper schemas (verified: safe even when blocks > rows).
-    Apply to every aggregate→join edge; plain reads/maps/join outputs
-    don't need it.
+    Hash-shuffle partitions with zero rows emit EMPTY blocks with no
+    schema; map UDFs are skipped on them, so they flow through
+    projections/maps and poison the next keyed exchange — pyarrow
+    raises ``No match for FieldRef.Name(...)`` whenever a downstream
+    partition sees only such blocks (flaky: depends on key hashing).
+
+    Fix: materialize (aggregates are all-to-all barriers already — the
+    aggregator actors hold full partitions regardless) and rebuild the
+    dataset from the NON-EMPTY block refs (zero-copy). Falls back to a
+    plain repartition if the internal ref-bundle API is unavailable.
     """
-    return ds.repartition(n or npartitions())
+    try:
+        import ray.data
+
+        mat = ds.materialize()
+        refs = []
+        for bundle in mat.iter_internal_ref_bundles():
+            for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows:
+                    refs.append(block_ref)
+        if not refs:
+            import pyarrow as pa
+
+            schema = mat.schema()
+            arrow_schema = getattr(schema, "base_schema", None)
+            if arrow_schema is None:
+                return mat
+            return ray.data.from_arrow(arrow_schema.empty_table())
+        return ray.data.from_arrow_refs(refs)
+    except Exception:
+        return ds.repartition(n or npartitions())
 
 
 def cluster_cpus() -> int:

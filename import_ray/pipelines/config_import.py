@@ -514,7 +514,13 @@ def run_config_import_ray(
                     }
                 )
 
-            obs_parts.append(counts.map_batches(counts_to_obs, batch_format="pyarrow"))
+            from import_ray.core.context import join_safe
+
+            # aggregate-derived → re-block so downstream keyed ops/joins
+            # never see schema-less empty partitions (core.context.join_safe)
+            obs_parts.append(
+                join_safe(counts.map_batches(counts_to_obs, batch_format="pyarrow"))
+            )
             triple_parts.append(
                 ds.map_batches(
                     EventTriplesKernel(
@@ -544,9 +550,12 @@ def run_config_import_ray(
             "file_order", lambda df: pd.Series([], dtype=np.int64)
         )
 
+    from import_ray.core.context import join_safe
+
     # StatVar synthesis over DISTINCT variables (schema-scale groupby):
-    # first-file-wins provenance via Min(file_order) (data.py:125-138)
-    sv = (
+    # first-file-wins provenance via Min(file_order) (data.py:125-138).
+    # join_safe: aggregate outputs feed the final triples groupby.
+    sv = join_safe(
         obs_all.groupby("variable", num_partitions=npartitions())
         .aggregate(Min("file_order", alias_name="file_order"))
     )
@@ -592,7 +601,7 @@ def run_config_import_ray(
             )
             return b.filter(mask).select(["entity", "file_order"])
 
-        ents = (
+        ents = join_safe(
             obs_all.map_batches(typed_only, batch_format="pyarrow")
             .groupby("entity", num_partitions=npartitions())
             .aggregate(Min("file_order", alias_name="file_order"))
@@ -628,8 +637,9 @@ def run_config_import_ray(
         triples = triple_parts[0]
         for p in triple_parts[1:]:
             triples = triples.union(p)
-        # distributed distinct on the full triple
-        triples = (
+        # distributed distinct on the full triple; re-block the aggregate
+        # output (join_safe) for downstream keyed consumers
+        triples = join_safe(
             triples.groupby(_TRIPLE_COLS, num_partitions=npartitions())
             .aggregate(Count(alias_name="_n"))
             .select_columns(_TRIPLE_COLS)

@@ -106,7 +106,11 @@ def knn_cosine(embeddings_ds, n_queries: int, k: int, query_vectors: dict | None
         q = embeddings_ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
         query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
     partial = PartialTopK(query_vectors, k)
-    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+    from import_ray.core.context import join_safe
+
+    # join_safe: the map_groups sorted shuffle breaks on schema-less
+    # empty blocks; partials are tiny (Q×k rows per input batch)
+    partials = join_safe(embeddings_ds.map_batches(partial, batch_format="pyarrow"))
     return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )
@@ -202,7 +206,9 @@ def ivf_knn(
     train = _hash_sample(embeddings_ds, train_sample)
     centroids = _kmeans(train, n_clusters)
     partial = IVFPartialTopK(query_vectors, k, centroids, n_probe)
-    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+    from import_ray.core.context import join_safe
+
+    partials = join_safe(embeddings_ds.map_batches(partial, batch_format="pyarrow"))
     return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )

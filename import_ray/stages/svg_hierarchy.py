@@ -182,7 +182,13 @@ def extract_svs(triples_ds, blocklist: set[str] | None = None):
             }
         )
 
-    rows = triples_ds.map_batches(prefilter, batch_format="pyarrow")
+    from import_ray.core.context import join_safe
+
+    # map_groups runs a SORTED hash shuffle whose finalize breaks on
+    # schema-less empty blocks (which even read stages can emit under
+    # memory pressure) — sanitize the (predicate-filtered, much smaller)
+    # input first.
+    rows = join_safe(triples_ds.map_batches(prefilter, batch_format="pyarrow"))
     return rows.groupby("subject_id", num_partitions=npartitions()).map_groups(
         assemble, batch_format="pandas"
     )
@@ -320,7 +326,11 @@ def generate_svg_hierarchy(
 
     from import_ray.core.context import npartitions
 
-    svs = extract_svs(triples_ds, blocklist)
+    from import_ray.core.context import join_safe
+
+    # extract_svs ends in a map_groups shuffle whose empty partitions
+    # emit schema-less blocks; re-block before the next keyed op
+    svs = join_safe(extract_svs(triples_ds, blocklist))
     names_ref = ray.put(dcid2name or {})
     rows = svs.map_batches(
         LatticeKernel(prefix=custom_svg_prefix, dcid2name_ref=names_ref),
@@ -391,7 +401,11 @@ def generate_svg_hierarchy(
             schema=_TRIPLE_SCHEMA,
         )
 
-    triples = distinct.map_batches(to_triples, batch_format="pyarrow")
+    from import_ray.core.context import join_safe
+
+    # distinct is aggregate-derived — re-block so callers can feed the
+    # result into keyed ops/joins safely
+    triples = join_safe(distinct.map_batches(to_triples, batch_format="pyarrow"))
     if extra:
         extra_tbl = pa.table(
             {
