@@ -377,6 +377,37 @@ FROM events GROUP BY user_id, strftime(ts, '%Y-%m')
 """
 
 
+def _embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup with planted EXACT vector copies
+    (vec_id + 1e6 for every 20th vector): the only pairs at cosine
+    ≥ 0.95 are (src, copy) with cosine exactly 1.0 (max natural pair
+    similarity in the synthetic table is ≈0.51)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 20 == 0))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return embedding_neardup_pairs(
+        ds.map_batches(plant, batch_format="pyarrow"), threshold=0.95
+    )
+
+
 def _events_series(sf_dir: str):
     """Series grouping (optimized-graph shape) using events as obs rows."""
     import pyarrow as pa
@@ -438,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
+        "embedding_neardup_pairs": _embedding_neardup,
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
@@ -478,6 +510,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_planted_pairs": (
             f"SELECT doc_id AS doc_lo, doc_id + {_PLANT2} AS doc_hi, "
             "1.0 AS jaccard FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "embedding_neardup_pairs": (
+            f"SELECT vec_id AS vec_lo, vec_id + {_PLANT_OFFSET} AS vec_hi, "
+            "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
         ),
         "events_series_groups": (
             "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "

@@ -231,3 +231,64 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= {k}
 """
+
+
+class EmbeddingNearDup:
+    """All-pairs cosine near-duplicate pairs — EXACT baseline: each
+    batch matmuls against the full normalized matrix broadcast through
+    the object store (one copy per node). Emits (vec_lo, vec_hi,
+    cosine) for vec_lo < vec_hi with cosine ≥ threshold, cosine rounded
+    for cross-engine comparability.
+
+    Scale note: broadcast-all-vectors is the exact, oracle-checkable
+    baseline; at corpus scale swap in the IVF / LSH-bucketed path
+    (``ivf_knn`` / random-hyperplane bucketing) — same output contract,
+    approximate recall.
+    """
+
+    def __init__(self, matrix_ref, ids_ref, threshold: float, round_to: int = 6):
+        self._matrix_ref = matrix_ref
+        self._ids_ref = ids_ref
+        self._mat = None
+        self._ids = None
+        self.threshold = threshold
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._mat is None:
+            self._mat = ray.get(self._matrix_ref)
+            self._ids = ray.get(self._ids_ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix(batch))
+        sims = emb @ self._mat.T  # (B, N)
+        mask = (sims >= self.threshold) & (vec_ids[:, None] < self._ids[None, :])
+        bi, ni = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_lo": pa.array(vec_ids[bi], pa.int64()),
+                "vec_hi": pa.array(self._ids[ni], pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[bi, ni], self.round_to), pa.float64()
+                ),
+            }
+        )
+
+
+def embedding_neardup_pairs(embeddings_ds, threshold: float = 0.95):
+    """Exact embedding-cosine near-dup pairs over a list<float> column."""
+    import ray
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(embeddings_ds)
+    rows = embeddings_ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _normalize(
+        np.stack([np.asarray(rows[i]["embedding"]) for i in order]).astype(np.float64)
+    )
+    kernel = EmbeddingNearDup(ray.put(mat), ray.put(ids), threshold)
+    return embeddings_ds.map_batches(kernel, batch_format="pyarrow")
