@@ -94,10 +94,83 @@ def _parse_node(node_map: dict, graph: Graph) -> None:
     graph[node_id] = node
 
 
+def _expand_with_context(obj, context: dict):
+    """Minimal JSON-LD context expansion — the common subset of W3C
+    expansion the reference gets from jsonld-java: term → IRI mappings,
+    term definitions ``{"@id": iri, "@type": "@id"}`` (string values of
+    ref-typed terms become ``{"@id": ...}``), ``@vocab``, and prefix
+    compaction (``schema:name``). Not a full 1.1 processor (documented
+    deviation: no @reverse/@container/@language/nested contexts)."""
+    vocab = context.get("@vocab", "")
+    prefixes = {
+        k: v
+        for k, v in context.items()
+        if isinstance(v, str) and not k.startswith("@") and v.endswith(("/", "#"))
+    }
+
+    def expand_iri(term: str) -> str:
+        if term.startswith("@"):
+            return term
+        if term in context:
+            d = context[term]
+            if isinstance(d, str):
+                return d
+            if isinstance(d, dict) and "@id" in d:
+                return str(d["@id"])
+        if ":" in term:
+            prefix, rest = term.split(":", 1)
+            if prefix in prefixes:
+                return prefixes[prefix] + rest
+        if vocab:
+            return vocab + term
+        return term
+
+    def is_ref_term(term: str) -> bool:
+        d = context.get(term)
+        return isinstance(d, dict) and d.get("@type") == "@id"
+
+    def expand_node(node: dict) -> dict:
+        out = {}
+        for k, v in node.items():
+            if k == "@context":
+                continue
+            nk = expand_iri(k) if not k.startswith("@") else k
+            if k == "@type":
+                items = v if isinstance(v, list) else [v]
+                v = [expand_iri(str(t)) if t is not None else t for t in items]
+            elif is_ref_term(k):
+                items = v if isinstance(v, list) else [v]
+                v = [
+                    {"@id": expand_iri(it)}
+                    if isinstance(it, str)
+                    else (
+                        {**it, "@id": expand_iri(str(it["@id"]))}
+                        if isinstance(it, dict) and "@id" in it
+                        else it
+                    )
+                    for it in items
+                ]
+            out[nk] = v
+        return out
+
+    if isinstance(obj, list):
+        return [expand_node(n) if isinstance(n, dict) else n for n in obj]
+    if isinstance(obj, dict):
+        return expand_node(obj)
+    return obj
+
+
 def parse_jsonld(text_or_obj) -> Graph:
     obj = json.loads(text_or_obj) if isinstance(text_or_obj, str) else text_or_obj
-    if isinstance(obj, dict) and "@graph" in obj:
-        obj = obj["@graph"]
+    context = {}
+    if isinstance(obj, dict):
+        ctx = obj.get("@context")
+        if isinstance(ctx, dict):
+            context = ctx
+        if "@graph" in obj:
+            obj = obj["@graph"]
+    if context:
+        obj = _expand_with_context(obj, context)
     graph: Graph = {}
     if isinstance(obj, list):
         for entry in obj:

@@ -101,3 +101,38 @@ def test_gzip_value_roundtrip():
     z = compress_value(s)
     assert len(z) < len(s)
     assert decompress_value(z) == s
+
+
+def test_jsonld_context_expansion():
+    """Compacted docs with @context (term maps, ref-typed terms,
+    prefixes, @vocab) expand before parsing."""
+    import json
+
+    from import_ray.sources.jsonld import parse_jsonld
+
+    doc = {
+        "@context": {
+            "@vocab": "https://schema.org/",
+            "dc": "https://datacommons.org/browser/",
+            "typeOf": {"@id": "https://schema.org/typeOf", "@type": "@id"},
+            "containedInPlace": {
+                "@id": "https://schema.org/containedInPlace",
+                "@type": "@id",
+            },
+        },
+        "@graph": [
+            {
+                "@id": "https://datacommons.org/browser/geoId/06",
+                "@type": "dc:State",
+                "name": {"@value": "California"},
+                "containedInPlace": "dc:country/USA",
+            }
+        ],
+    }
+    g = parse_jsonld(json.dumps(doc))
+    node = g["geoId/06"]
+    from import_ray.core.model import ValueType
+
+    assert ("State", ValueType.RESOLVED_REF) in node["typeOf"]
+    assert ("California", ValueType.TEXT) in node["name"]
+    assert ("country/USA", ValueType.RESOLVED_REF) in node["containedInPlace"]
