@@ -75,6 +75,35 @@ def lint_files(
         res = resolve_graph(merge_graphs(graphs))
         for issue in res.issues:
             counters.add(LEVEL_ERROR, issue.counter, str(issue))
+        # stat checks over the (post-mutate) SVObs nodes
+        # (Processor.checkStats, Processor.java:117,535-540)
+        import pyarrow as pa
+        import ray.data
+
+        from import_ray.stages.observations import svobs_rows_to_observations
+        from import_ray.stages.statcheck import stat_check
+
+        rows = {"node_id": [], "prop": [], "value": [], "value_type": []}
+        for g in graphs:
+            for node_id, node in g.items():
+                for prop, tvs in node.items():
+                    for value, vtype in tvs:
+                        rows["node_id"].append(node_id)
+                        rows["prop"].append(prop)
+                        rows["value"].append(value)
+                        rows["value_type"].append(int(vtype))
+        if rows["node_id"]:
+            tbl = pa.table(
+                {
+                    "node_id": pa.array(rows["node_id"], pa.string()),
+                    "prop": pa.array(rows["prop"], pa.string()),
+                    "value": pa.array(rows["value"], pa.large_string()),
+                    "value_type": pa.array(rows["value_type"], pa.int8()),
+                }
+            )
+            obs = svobs_rows_to_observations(tbl)
+            if len(obs):
+                counters.merge(stat_check(ray.data.from_arrow(obs)))
     if mcfs:
         counters.add(LEVEL_INFO, "NumNodeSuccesses", n=num_node_successes)
 

@@ -40,7 +40,7 @@ def drop_network(counts: dict) -> dict:
     }
 
 
-@pytest.mark.parametrize("case", ["mcfonly", "nocsv", "allfiletypes"])
+@pytest.mark.parametrize("case", ["mcfonly", "nocsv", "allfiletypes", "statchecks"])
 def test_lint_counters_match_golden(ray_session, case):
     from import_ray.pipelines.lint import lint_files
 
