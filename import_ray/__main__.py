@@ -1,0 +1,107 @@
+"""``python -m import_ray`` — the dc-import-style CLI surface
+(tool/.../Main.java:29-168 lint/genmcf verbs + the Simple importer's
+``python3 -m stats.main`` run, SURVEY §2.12), on Ray Data.
+
+Subcommands:
+  lint FILE...            sanity + local-resolution counters → report.json
+  genmcf TMCF CSV         resolved node rows → partitioned parquet + report
+  simple-import INPUT_DIR config.json-driven import → observations/triples
+                          parquet + SVG hierarchy + NL artifacts + report
+
+Owns the Ray session (guarded init, shutdown on exit) — library code
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def cmd_lint(args) -> int:
+    from import_ray.pipelines.lint import lint_files
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    report = os.path.join(args.output_dir, "report.json")
+    counters = lint_files(sorted(args.files), report_path=report)
+    print(f"lint: wrote {report}")
+    for (level, counter), n in sorted(counters.counts.items()):
+        print(f"  {level} {counter} {n}")
+    return 1 if counters.level_counters("LEVEL_FATAL") else 0
+
+
+def cmd_genmcf(args) -> int:
+    from import_ray.pipelines.genmcf import genmcf_run
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    nodes_dir = os.path.join(args.output_dir, "nodes")
+    report = os.path.join(args.output_dir, "report.json")
+    nodes, counters = genmcf_run(
+        args.tmcf, args.csv, nodes_dir, report_path=report
+    )
+    print(f"genmcf: {nodes.count()} node rows → {nodes_dir}; report → {report}")
+    return 1 if counters.level_counters("LEVEL_FATAL") else 0
+
+
+def cmd_simple_import(args) -> int:
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    config = None
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+    artifacts = run_simple_import(args.input_dir, args.output_dir, config=config)
+    for name, value in artifacts.items():
+        if isinstance(value, str):
+            print(f"{name}: {value}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="import_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lint = sub.add_parser("lint", help="sanity-check MCF/TMCF/CSV inputs")
+    lint.add_argument("files", nargs="+")
+    lint.add_argument("--output-dir", default="/tmp/import_ray_lint")
+    lint.set_defaults(fn=cmd_lint)
+
+    gen = sub.add_parser("genmcf", help="TMCF+CSV → resolved node parquet")
+    gen.add_argument("tmcf")
+    gen.add_argument("csv")
+    gen.add_argument("--output-dir", default="/tmp/import_ray_genmcf")
+    gen.set_defaults(fn=cmd_genmcf)
+
+    simp = sub.add_parser(
+        "simple-import", help="config.json-driven import (Simple importer)"
+    )
+    simp.add_argument("input_dir")
+    simp.add_argument("--output-dir", default="/tmp/import_ray_simple")
+    simp.add_argument("--config", default=None)
+    simp.set_defaults(fn=cmd_simple_import)
+
+    args = p.parse_args(argv)
+    ray = _init_ray()
+    try:
+        return args.fn(args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,9 +113,23 @@ def _file_config(config: dict, fname: str) -> dict | None:
 
 
 def _matched_files(input_dir: str, config: dict) -> list[tuple[str, dict]]:
+    """Matched (relative path, file config) pairs, sorted; honors the
+    top-level ``includeInputSubdirs`` flag (config.py:61,224)."""
+    names = []
+    if config.get("includeInputSubdirs"):
+        for root, _, files in os.walk(input_dir):
+            rel = os.path.relpath(root, input_dir)
+            for f in files:
+                names.append(f if rel == "." else os.path.join(rel, f))
+    else:
+        names = [
+            f
+            for f in os.listdir(input_dir)
+            if os.path.isfile(os.path.join(input_dir, f))
+        ]
     out = []
-    for fname in sorted(os.listdir(input_dir)):
-        cfg = _file_config(config, fname)
+    for fname in sorted(names):
+        cfg = _file_config(config, os.path.basename(fname))
         if cfg is None:
             continue
         itype = cfg.get("importType", "observations")
@@ -553,8 +567,12 @@ def run_config_import_ray(
     from import_ray.core.context import join_safe
 
     # StatVar synthesis over DISTINCT variables (schema-scale groupby):
-    # first-file-wins provenance via Min(file_order) (data.py:125-138).
-    # join_safe: aggregate outputs feed the final triples groupby.
+    # first-file-wins provenance via Min(file_order); the config
+    # ``variables`` block overrides name and adds description /
+    # searchDescriptions / custom properties (data.py:113-168,
+    # config.py:157-169). join_safe: aggregate outputs feed the final
+    # triples groupby.
+    variables_cfg = config.get("variables", {})
     sv = join_safe(
         obs_all.groupby("variable", num_partitions=npartitions())
         .aggregate(Min("file_order", alias_name="file_order"))
@@ -564,24 +582,31 @@ def run_config_import_ray(
         frames = []
         variables = b["variable"].to_pandas()
         provs = b["file_order"].to_pandas().map(order_prov).fillna("")
-        n = len(variables)
-        for pred, obj_id, obj_val in (
-            ("typeOf", "StatisticalVariable", None),
-            ("populationType", "Thing", None),
-            ("measuredProperty", None, None),  # self
-            ("statType", "measuredValue", None),
-            ("name", None, "self"),
-        ):
-            frames.append(
-                _const_frame(
-                    n,
-                    subject_id=variables,
-                    predicate=pred,
-                    object_id=(variables if pred == "measuredProperty" else (obj_id or "")),
-                    object_value=(variables if obj_val == "self" else ""),
-                    provenance=provs,
-                )
+        rows = []
+        for var, prov in zip(variables, provs):
+            cfg = variables_cfg.get(var, {})
+            props = {
+                "populationType": "Thing",
+                "measuredProperty": var,
+                "statType": "measuredValue",
+                **cfg.get("properties", {}),
+            }
+            rows.append((var, "typeOf", "StatisticalVariable", "", prov))
+            rows.append((var, "name", "", cfg.get("name", var), prov))
+            if cfg.get("description"):
+                rows.append((var, "description", "", cfg["description"], prov))
+            for sd in cfg.get("searchDescriptions", []) + cfg.get("nlSentences", []):
+                rows.append((var, "searchDescription", "", sd, prov))
+            for p, v in props.items():
+                rows.append((var, p, v, "", prov))
+        frames.append(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "subject_id", "predicate", "object_id", "object_value", "provenance",
+                ],
             )
+        )
         return _triple_table(frames)
 
     triple_parts.append(sv.map_batches(sv_triples, batch_format="pyarrow"))

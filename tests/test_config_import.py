@@ -156,3 +156,48 @@ def test_s2cell_entity_resolution(tmp_path, ray_session):
         & (t["predicate"] == "typeOf")
         & (t["object_id"] == "S2CellLevel10")
     ).any()
+
+
+def test_variables_block_and_subdirs(tmp_path, ray_session):
+    """config 'variables' overrides StatVar synthesis (name, description,
+    searchDescriptions, custom properties — data.py:113-168), and
+    includeInputSubdirs walks nested input dirs."""
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "data.csv").write_text(
+        "entity,variable,date,value\ncountry/IND,Count_Farm,2020,9000\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "includeInputSubdirs": True,
+            "inputFiles": {
+                "data.csv": {
+                    "importType": "observations",
+                    "format": "variablePerRow",
+                    "provenance": "P1",
+                }
+            },
+            "variables": {
+                "Count_Farm": {
+                    "name": "Count of Farms",
+                    "description": "Total farms",
+                    "searchDescriptions": ["how many farms"],
+                    "properties": {"populationType": "Farm"},
+                }
+            },
+        },
+    )
+    assert len(out["observations"]) == 1  # found via subdir walk
+    t = out["triples"]
+    sv = t[t["subject_id"] == "Count_Farm"]
+    got = {}
+    for r in sv.itertuples():
+        got.setdefault(r.predicate, []).append(r.object_id or r.object_value)
+    assert got["name"] == ["Count of Farms"]
+    assert got["description"] == ["Total farms"]
+    assert got["searchDescription"] == ["how many farms"]
+    assert got["populationType"] == ["Farm"]  # overridden
+    assert got["measuredProperty"] == ["Count_Farm"]  # default kept
