@@ -102,6 +102,50 @@ def _const_frame(n: int, **cols) -> pd.DataFrame:
     return pd.DataFrame({k: (v if not np.isscalar(v) else [v] * n) for k, v in cols.items()})
 
 
+# --- sources / provenances (nodes.py:39-56,111-143; data.py:195-258) ---------
+
+
+def parse_sources(config: dict):
+    """config ``sources`` block → (source/provenance node triple rows,
+    provenance name → (prov_id, source_id) map). Ids are sequential
+    ``c/s/N`` / ``c/p/N`` after the built-in defaults, matching the
+    reference's Nodes registry."""
+    from urllib.parse import urlparse
+
+    rows: list[tuple] = []
+    prov_map: dict[str, tuple[str, str]] = {}
+
+    def source_triples(sid, name, url):
+        rows.append((sid, "typeOf", "Source", "", ""))
+        rows.append((sid, "name", "", name, ""))
+        if url:
+            rows.append((sid, "url", "", url, ""))
+            domain = urlparse(url).netloc
+            if domain:
+                rows.append((sid, "domain", "", domain, ""))
+
+    def prov_triples(pid, name, url, sid):
+        rows.append((pid, "typeOf", "Provenance", "", ""))
+        rows.append((pid, "name", "", name, ""))
+        rows.append((pid, "source", sid, "", ""))
+        if url:
+            rows.append((pid, "url", "", url, ""))
+
+    source_triples("c/s/default", "Custom Data Commons", "")
+    prov_triples("c/p/default", "Custom Import", "custom-import", "c/s/default")
+    n_sources, n_provs = 1, 1
+    for source_name, source_cfg in config.get("sources", {}).items():
+        sid = f"c/s/{n_sources}"
+        n_sources += 1
+        source_triples(sid, source_name, source_cfg.get("url", ""))
+        for prov_name, prov_url in source_cfg.get("provenances", {}).items():
+            pid = f"c/p/{n_provs}"
+            n_provs += 1
+            prov_triples(pid, prov_name, prov_url, sid)
+            prov_map[prov_name] = (pid, sid)
+    return rows, prov_map
+
+
 # --- config matching / validation -------------------------------------------
 
 
@@ -573,6 +617,7 @@ def run_config_import_ray(
     # config.py:157-169). join_safe: aggregate outputs feed the final
     # triples groupby.
     variables_cfg = config.get("variables", {})
+    source_rows, prov_map = parse_sources(config)
     sv = join_safe(
         obs_all.groupby("variable", num_partitions=npartitions())
         .aggregate(Min("file_order", alias_name="file_order"))
@@ -599,6 +644,10 @@ def run_config_import_ray(
                 rows.append((var, "searchDescription", "", sd, prov))
             for p, v in props.items():
                 rows.append((var, p, v, "", prov))
+            # includedIn provenance/source (data.py:150-175)
+            pid, sid = prov_map.get(prov, ("c/p/default", "c/s/default"))
+            rows.append((var, "includedIn", pid, "", prov))
+            rows.append((var, "includedIn", sid, "", prov))
         frames.append(
             pd.DataFrame(
                 rows,
@@ -657,6 +706,22 @@ def run_config_import_ray(
         triple_parts.append(
             ents.map_batches(EntityTypeOf(etype_ref=etype_ref), batch_format="pyarrow")
         )
+
+    # source / provenance nodes (always present, like the reference's
+    # Nodes registry defaults)
+    import ray.data as _rd
+
+    triple_parts.append(
+        _rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    source_rows,
+                    columns=_TRIPLE_COLS,
+                ).astype(str),
+                preserve_index=False,
+            )
+        )
+    )
 
     if triple_parts:
         triples = triple_parts[0]

@@ -201,3 +201,48 @@ def test_variables_block_and_subdirs(tmp_path, ray_session):
     assert got["searchDescription"] == ["how many farms"]
     assert got["populationType"] == ["Farm"]  # overridden
     assert got["measuredProperty"] == ["Count_Farm"]  # default kept
+
+
+def test_sources_and_provenances(tmp_path, ray_session):
+    """config 'sources' block emits Source/Provenance nodes with
+    sequential c/s/N / c/p/N ids after the defaults, and StatVars get
+    includedIn triples (nodes.py:39-143, data.py:150-258)."""
+    (tmp_path / "data.csv").write_text(
+        "entity,variable,date,value\ncountry/IND,Count_Farm,2020,9000\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "inputFiles": {
+                "data.csv": {
+                    "importType": "observations",
+                    "format": "variablePerRow",
+                    "provenance": "Provenance1",
+                }
+            },
+            "sources": {
+                "Source1": {
+                    "url": "http://source1.com",
+                    "provenances": {"Provenance1": "http://source1.com/p1"},
+                }
+            },
+        },
+    )
+    t = out["triples"]
+
+    def preds(subject):
+        sub = t[t["subject_id"] == subject]
+        return {
+            (r.predicate, r.object_id or r.object_value) for r in sub.itertuples()
+        }
+
+    assert ("typeOf", "Source") in preds("c/s/1")
+    assert ("url", "http://source1.com") in preds("c/s/1")
+    assert ("domain", "source1.com") in preds("c/s/1")
+    assert ("typeOf", "Provenance") in preds("c/p/1")
+    assert ("source", "c/s/1") in preds("c/p/1")
+    assert ("typeOf", "Source") in preds("c/s/default")
+    sv = preds("Count_Farm")
+    assert ("includedIn", "c/p/1") in sv and ("includedIn", "c/s/1") in sv
