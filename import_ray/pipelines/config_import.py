@@ -548,37 +548,65 @@ def run_config_import_ray(
             single = not cfg.get("idColumn")
             ds = _read_csv_strings(path, header, single_block=single)
             etype = cfg.get("eventType", "Event")
-            counts = (
-                ds.map_batches(
-                    EventCountsKernel(cfg=cfg, header=header, resolver_ref=resolver_ref),
-                    batch_format="pyarrow",
-                )
-                .groupby(["entity", "date"], num_partitions=npartitions())
-                .aggregate(Sum("n", alias_name="n"))
-            )
-
-            def counts_to_obs(b: pa.Table, _etype=etype, _prov=prov, _order=order) -> pa.Table:
-                import pyarrow.compute as pc
-
-                n = len(b)
-                return pa.table(
-                    {
-                        "entity": b["entity"],
-                        "variable": pa.array([f"Count_{_etype}"] * n, pa.string()),
-                        "date": b["date"],
-                        "value": pc.cast(b["n"], pa.string()),
-                        "provenance": pa.array([_prov] * n, pa.string()),
-                        "file_order": pa.array([_order] * n, pa.int64()),
-                    }
-                )
+            # computedVariables (events_importer.py:139-171): one COUNT
+            # series per computed variable, each with its own
+            # ``variables.<name>.aggregation.period`` (default year);
+            # legacy fallback: Count_<eventType> with the file-level
+            # aggregation period (default day).
+            computed = cfg.get("computedVariables") or []
+            if computed:
+                var_periods = [
+                    (
+                        name,
+                        config.get("variables", {})
+                        .get(name, {})
+                        .get("aggregation", {})
+                        .get("period", "year"),
+                    )
+                    for name in computed
+                ]
+            else:
+                agg = cfg.get("aggregation")
+                period = agg.get("period", "day") if isinstance(agg, dict) else "day"
+                var_periods = [(f"Count_{etype}", period)]
 
             from import_ray.core.context import join_safe
 
-            # aggregate-derived → re-block so downstream keyed ops/joins
-            # never see schema-less empty partitions (core.context.join_safe)
-            obs_parts.append(
-                join_safe(counts.map_batches(counts_to_obs, batch_format="pyarrow"))
-            )
+            for var_name, period in var_periods:
+                kernel_cfg = dict(cfg, aggregation={"period": period})
+                counts = (
+                    ds.map_batches(
+                        EventCountsKernel(
+                            cfg=kernel_cfg, header=header, resolver_ref=resolver_ref
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    .groupby(["entity", "date"], num_partitions=npartitions())
+                    .aggregate(Sum("n", alias_name="n"))
+                )
+
+                def counts_to_obs(
+                    b: pa.Table, _var=var_name, _prov=prov, _order=order
+                ) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    n = len(b)
+                    return pa.table(
+                        {
+                            "entity": b["entity"],
+                            "variable": pa.array([_var] * n, pa.string()),
+                            "date": b["date"],
+                            "value": pc.cast(b["n"], pa.string()),
+                            "provenance": pa.array([_prov] * n, pa.string()),
+                            "file_order": pa.array([_order] * n, pa.int64()),
+                        }
+                    )
+
+                # aggregate-derived → re-block so downstream keyed ops
+                # never see schema-less empty partitions
+                obs_parts.append(
+                    join_safe(counts.map_batches(counts_to_obs, batch_format="pyarrow"))
+                )
             triple_parts.append(
                 ds.map_batches(
                     EventTriplesKernel(

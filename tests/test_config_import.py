@@ -246,3 +246,38 @@ def test_sources_and_provenances(tmp_path, ray_session):
     assert ("typeOf", "Source") in preds("c/s/default")
     sv = preds("Count_Farm")
     assert ("includedIn", "c/p/1") in sv and ("includedIn", "c/s/1") in sv
+
+
+def test_computed_variables_events(tmp_path, ray_session):
+    """events importType with computedVariables: one count series per
+    computed variable with its per-variable aggregation period
+    (events_importer.py:139-171)."""
+    (tmp_path / "floods.csv").write_text(
+        "place,date\n"
+        "country/IND,2020-05-03\n"
+        "country/IND,2020-05-20\n"
+        "country/IND,2021-06-01\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "inputFiles": {
+                "floods.csv": {
+                    "importType": "events",
+                    "eventType": "FloodEvent",
+                    "computedVariables": ["Count_FloodEvent_Yearly", "Count_FloodEvent_Monthly"],
+                }
+            },
+            "variables": {
+                "Count_FloodEvent_Monthly": {"aggregation": {"period": "month"}}
+                # Count_FloodEvent_Yearly: default period = year
+            },
+        },
+    )
+    obs = out["observations"]
+    yearly = obs[obs["variable"] == "Count_FloodEvent_Yearly"].set_index("date")
+    assert yearly.loc["2020", "value"] == "2" and yearly.loc["2021", "value"] == "1"
+    monthly = obs[obs["variable"] == "Count_FloodEvent_Monthly"].set_index("date")
+    assert monthly.loc["2020-05", "value"] == "2"
