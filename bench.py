@@ -87,7 +87,8 @@ def run_bench() -> dict:
     else:
         tx_path = ensure_transcripts(SF_DIR)
         dedup_strategy = "shuffle"
-        n_timed = 2
+        # best-of-3: the sandbox is time-shared and single runs vary ~1.8×
+        n_timed = 3
     # warm Ray workers + shuffle aggregator pools with a tiny run so the
     # timed run measures pipeline throughput, not cluster cold-start
     warm_path = ensure_transcripts("/root/testdata/sf0.001")
