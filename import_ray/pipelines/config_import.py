@@ -631,6 +631,10 @@ def run_config_import_ray(
         obs_all = obs_parts[0]
         for p in obs_parts[1:]:
             obs_all = obs_all.union(p)
+        # three consumers (StatVar groupby, entity-typeOf groupby, the
+        # returned observations) would each re-execute the read+kernel
+        # lineage — pin the blocks once instead
+        obs_all = obs_all.materialize()
     else:
         obs_all = _empty_ds(_OBS_COLS).add_column(
             "file_order", lambda df: pd.Series([], dtype=np.int64)
