@@ -21,6 +21,8 @@ embarrassingly parallel after the scope partition.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from import_ray.core.model import Graph, merge_graphs
@@ -285,6 +287,12 @@ def genmcf_run(
 
     Node rows are never collected on the driver. Returns
     (nodes Dataset over ``out_dir``, CounterSet).
+
+    Resume: with ``resume=True`` (default), a ``_manifest.json`` under
+    ``out_dir`` records the input fingerprints (path/size/mtime) and the
+    final counters; a rerun with unchanged inputs skips all compute and
+    reuses the written parquet — checkpoint-based resume at the output
+    granularity.
     """
     import json
 
@@ -292,6 +300,36 @@ def genmcf_run(
     import ray.data
 
     from import_ray.core.context import npartitions
+
+    resume = kwargs.pop("resume", True)
+    manifest_path = out_dir.rstrip("/") + ".manifest.json"
+
+    def fingerprint() -> dict:
+        return {
+            "inputs": [
+                {
+                    "path": p,
+                    "size": os.path.getsize(p),
+                    "mtime": os.path.getmtime(p),
+                }
+                for p in (tmcf_path, csv_path)
+            ],
+            "run_stat_checks": run_stat_checks,
+        }
+
+    if resume and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            if manifest.get("fingerprint") == fingerprint():
+                counters = CounterSet()
+                for level, counter, n in manifest["counters"]:
+                    counters.add(level, counter, n=n)
+                if report_path:
+                    counters.write_report(report_path)
+                return ray.data.read_parquet(out_dir), counters
+        except (json.JSONDecodeError, KeyError, OSError):
+            pass  # stale/corrupt manifest → recompute
 
     if pre_check:
         counters = CounterSet()
@@ -312,6 +350,11 @@ def genmcf_run(
             )
             return empty, counters
 
+    if os.path.isdir(out_dir):
+        # a stale/partial previous run must not mix blocks with this one
+        import shutil
+
+        shutil.rmtree(out_dir)
     ds = genmcf_table_ds(tmcf_path, csv_path, **kwargs)
     ds.write_parquet(out_dir)
     nodes = ray.data.read_parquet(out_dir)
@@ -340,6 +383,19 @@ def genmcf_run(
             svobs_rows_to_observations, batch_format="pyarrow", batch_size=None
         )
         counters.merge(stat_check(obs))
+    if resume:
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "fingerprint": fingerprint(),
+                    "counters": [
+                        [level, counter, n]
+                        for (level, counter), n in sorted(counters.counts.items())
+                    ],
+                },
+                f,
+            )
+        os.replace(manifest_path + ".tmp", manifest_path)
     if report_path:
         counters.write_report(report_path)
     return ray.data.read_parquet(out_dir), counters

@@ -87,3 +87,39 @@ def test_genmcf_report_counters(ray_session, tmp_path):
     assert node_rows
     rep = json.load(open(report_path))
     assert "levelSummary" in rep
+
+
+def test_genmcf_run_resume(ray_session, tmp_path):
+    """genmcf_run manifest resume: second run with unchanged inputs
+    reuses the written parquet without recomputing."""
+    import json
+
+    from import_ray.pipelines.genmcf import genmcf_run
+
+    base = os.path.join(REF, "statchecks")
+    out_dir = str(tmp_path / "nodes")
+    nodes1, counters1 = genmcf_run(
+        os.path.join(base, "input", "covid.tmcf"),
+        os.path.join(base, "input", "covid.csv"),
+        out_dir,
+        external_id_map={},
+    )
+    n1 = nodes1.count()
+    manifest = out_dir + ".manifest.json"
+    assert os.path.exists(manifest)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    }
+
+    nodes2, counters2 = genmcf_run(
+        os.path.join(base, "input", "covid.tmcf"),
+        os.path.join(base, "input", "covid.csv"),
+        out_dir,
+        external_id_map={},
+    )
+    assert nodes2.count() == n1
+    assert dict(counters2.counts) == dict(counters1.counts)
+    # outputs untouched on resume
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    }
