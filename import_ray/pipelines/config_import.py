@@ -102,6 +102,93 @@ def _const_frame(n: int, **cols) -> pd.DataFrame:
     return pd.DataFrame({k: (v if not np.isscalar(v) else [v] * n) for k, v in cols.items()})
 
 
+# --- schema registry: properties / event types / entity types ----------------
+# (nodes.py:244-332; data.py:335-470)
+
+_DCID_PATTERN = re.compile(r"^(?:[A-Za-z0-9_/]+:)?[A-Za-z0-9_/]+$")
+
+
+def _schema_id(name: str, prefix: str, counters: dict) -> str:
+    """Column/type name → dcid: as-is when it matches the dcid pattern,
+    spaces/dashes to underscores when that fixes it, else a sequential
+    generated id under ``prefix`` (nodes.py:292-332)."""
+    if _DCID_PATTERN.fullmatch(name):
+        return name
+    alt = re.sub(r"[ -]", "_", name)
+    if _DCID_PATTERN.fullmatch(alt):
+        return alt
+    counters[prefix] = counters.get(prefix, 0) + 1
+    return f"{prefix}{counters[prefix]}"
+
+
+def build_schema_registry(
+    input_dir: str, files: list[tuple[str, dict]], prov_map: dict
+):
+    """Driver-side pass over the matched files' HEADERS (metadata only):
+    assigns property / event-type / entity-type dcids in deterministic
+    file order and emits their schema-node triples
+    (Property: typeOf Property + name; EventType: typeOf Class +
+    subClassOf Event + name + includedIn; EntityType: typeOf Class +
+    name + includedIn — data.py:335-470).
+
+    Returns (prop_ids, etype_ids, entity_type_ids, schema_triple_rows).
+    """
+    counters: dict = {}
+    prop_ids: dict[str, str] = {}
+    etype_ids: dict[str, str] = {}
+    entity_type_ids: dict[str, str] = {}
+    rows: list[tuple] = []
+
+    def prov_ids_for(prov_name: str) -> tuple[str, str]:
+        return prov_map.get(prov_name, ("c/p/default", "c/s/default"))
+
+    def add_property(col: str):
+        if col in prop_ids:
+            return
+        pid = _schema_id(col, "c/prop/", counters)
+        prop_ids[col] = pid
+        rows.append((pid, "typeOf", "Property", "", ""))
+        rows.append((pid, "name", "", col, ""))
+
+    for fname, cfg in files:
+        itype = cfg.get("importType", "observations")
+        prov = cfg.get("provenance", "")
+        try:
+            header = _read_header(os.path.join(input_dir, fname))
+        except OSError:
+            continue
+        if itype == "events":
+            etype = cfg.get("eventType", "Event")
+            if etype not in etype_ids:
+                eid = _schema_id(etype, "c/e/", counters)
+                etype_ids[etype] = eid
+                pid, sid = prov_ids_for(prov)
+                rows.append((eid, "typeOf", "Class", "", prov))
+                rows.append((eid, "subClassOf", "Event", "", prov))
+                rows.append((eid, "name", "", etype, prov))
+                rows.append((eid, "includedIn", pid, "", prov))
+                rows.append((eid, "includedIn", sid, "", prov))
+            id_col = cfg.get("idColumn")
+            for col in header[2:]:
+                if col != id_col:
+                    add_property(col)
+        elif itype == "entities":
+            etype = cfg.get("rowEntityType", "Entity")
+            if etype not in entity_type_ids:
+                eid = _schema_id(etype, "c/n/", counters)
+                entity_type_ids[etype] = eid
+                pid, sid = prov_ids_for(prov)
+                rows.append((eid, "typeOf", "Class", "", prov))
+                rows.append((eid, "name", "", etype, prov))
+                rows.append((eid, "includedIn", pid, "", prov))
+                rows.append((eid, "includedIn", sid, "", prov))
+            id_col = cfg.get("idColumn", header[0] if header else "")
+            for col in header:
+                if col != id_col:
+                    add_property(col)
+    return prop_ids, etype_ids, entity_type_ids, rows
+
+
 # --- sources / provenances (nodes.py:39-56,111-143; data.py:195-258) ---------
 
 
@@ -358,15 +445,24 @@ class EventTriplesKernel(_BroadcastMixin):
     caller reads the file as a single block (batch_size=None) so the
     generated ``<EventType>_<row>`` ids match file row order."""
 
-    def __init__(self, cfg: dict, header: list[str], prov: str, resolver_ref=None):
+    def __init__(
+        self,
+        cfg: dict,
+        header: list[str],
+        prov: str,
+        resolver_ref=None,
+        prop_ids: dict | None = None,
+        etype_id: str | None = None,
+    ):
         self._resolver_ref = resolver_ref
-        self.etype = cfg.get("eventType", "Event")
+        self.etype = etype_id or cfg.get("eventType", "Event")
         self.id_col = cfg.get("idColumn")
         self.entity_col = header[0]
         self.date_col = header[1]
         self.extra_cols = [
             c for c in header if c not in (self.entity_col, self.date_col, self.id_col)
         ]
+        self.prop_ids = prop_ids or {}
         self.prov = prov
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -402,7 +498,7 @@ class EventTriplesKernel(_BroadcastMixin):
                     _const_frame(
                         int(keep.sum()),
                         subject_id=eid[keep].reset_index(drop=True),
-                        predicate=c,
+                        predicate=self.prop_ids.get(c, c),
                         object_id="",
                         object_value=v[keep].reset_index(drop=True),
                         provenance=self.prov,
@@ -414,12 +510,21 @@ class EventTriplesKernel(_BroadcastMixin):
 class EntityTriplesKernel(_BroadcastMixin):
     """Vectorized row-entity triples (entities_importer.py:33-110)."""
 
-    def __init__(self, cfg: dict, header: list[str], prov: str, resolver_ref=None):
+    def __init__(
+        self,
+        cfg: dict,
+        header: list[str],
+        prov: str,
+        resolver_ref=None,
+        prop_ids: dict | None = None,
+        etype_id: str | None = None,
+    ):
         self._resolver_ref = resolver_ref
-        self.etype = cfg.get("rowEntityType", "Entity")
+        self.etype = etype_id or cfg.get("rowEntityType", "Entity")
         self.id_col = cfg.get("idColumn", header[0])
         self.resolve_cols = set(cfg.get("columnsToResolve", []))
         self.other_cols = [c for c in header if c != self.id_col]
+        self.prop_ids = prop_ids or {}
         self.prov = prov
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -439,12 +544,13 @@ class EntityTriplesKernel(_BroadcastMixin):
             if not keep.any():
                 continue
             sub = eid[keep].reset_index(drop=True)
+            pred = self.prop_ids.get(c, c)
             if c in self.resolve_cols:
                 frames.append(
                     _const_frame(
                         int(keep.sum()),
                         subject_id=sub,
-                        predicate=c,
+                        predicate=pred,
                         object_id=_resolve_series(v[keep], self.resolver).reset_index(
                             drop=True
                         ),
@@ -457,7 +563,7 @@ class EntityTriplesKernel(_BroadcastMixin):
                     _const_frame(
                         int(keep.sum()),
                         subject_id=sub,
-                        predicate=c,
+                        predicate=pred,
                         object_id="",
                         object_value=v[keep].reset_index(drop=True),
                         provenance=self.prov,
@@ -516,6 +622,11 @@ def run_config_import_ray(
     validate_headers(input_dir, config)
     files = _matched_files(input_dir, config)
     resolver_ref = ray.put(resolver_map or {})
+    source_rows, prov_map = parse_sources(config)
+    prop_ids, etype_ids, entity_type_ids, schema_rows = build_schema_registry(
+        input_dir, files, prov_map
+    )
+    source_rows = source_rows + schema_rows
 
     obs_parts = []  # Datasets with file_order col
     triple_parts = []  # Datasets of _TRIPLE_COLS
@@ -610,7 +721,12 @@ def run_config_import_ray(
             triple_parts.append(
                 ds.map_batches(
                     EventTriplesKernel(
-                        cfg=cfg, header=header, prov=prov, resolver_ref=resolver_ref
+                        cfg=cfg,
+                        header=header,
+                        prov=prov,
+                        resolver_ref=resolver_ref,
+                        prop_ids=prop_ids,
+                        etype_id=etype_ids.get(cfg.get("eventType", "Event")),
                     ),
                     batch_format="pyarrow",
                     batch_size=None if single else 1024,
@@ -621,7 +737,12 @@ def run_config_import_ray(
             triple_parts.append(
                 ds.map_batches(
                     EntityTriplesKernel(
-                        cfg=cfg, header=header, prov=prov, resolver_ref=resolver_ref
+                        cfg=cfg,
+                        header=header,
+                        prov=prov,
+                        resolver_ref=resolver_ref,
+                        prop_ids=prop_ids,
+                        etype_id=entity_type_ids.get(cfg.get("rowEntityType", "Entity")),
                     ),
                     batch_format="pyarrow",
                 )
@@ -649,7 +770,6 @@ def run_config_import_ray(
     # config.py:157-169). join_safe: aggregate outputs feed the final
     # triples groupby.
     variables_cfg = config.get("variables", {})
-    source_rows, prov_map = parse_sources(config)
     sv = join_safe(
         obs_all.groupby("variable", num_partitions=npartitions())
         .aggregate(Min("file_order", alias_name="file_order"))

@@ -281,3 +281,42 @@ def test_computed_variables_events(tmp_path, ray_session):
     assert yearly.loc["2020", "value"] == "2" and yearly.loc["2021", "value"] == "1"
     monthly = obs[obs["variable"] == "Count_FloodEvent_Monthly"].set_index("date")
     assert monthly.loc["2020-05", "value"] == "2"
+
+
+def test_schema_registry_property_nodes(tmp_path, ray_session):
+    """Property/EventType nodes emitted; weird column names normalize
+    (spaces→underscores) or get generated c/prop/N ids (nodes.py:244-332)."""
+    (tmp_path / "ev.csv").write_text(
+        "place,date,wind speed,p@ct!\n"
+        "country/IND,2020-05-03,12,a\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "inputFiles": {
+                "ev.csv": {"importType": "events", "eventType": "Flood Event"}
+            }
+        },
+    )
+    t = out["triples"]
+
+    def preds(subject):
+        sub = t[t["subject_id"] == subject]
+        return {(r.predicate, r.object_id or r.object_value) for r in sub.itertuples()}
+
+    # event type name normalizes to Flood_Event; Class node emitted
+    et = preds("Flood_Event")
+    assert ("typeOf", "Class") in et and ("subClassOf", "Event") in et
+    assert ("name", "Flood Event") in et
+    # property nodes: normalized + generated
+    assert ("typeOf", "Property") in preds("wind_speed")
+    assert ("name", "wind speed") in preds("wind_speed")
+    assert ("typeOf", "Property") in preds("c/prop/1")
+    assert ("name", "p@ct!") in preds("c/prop/1")
+    # event rows use the ids
+    ev0 = preds("Flood_Event_0")
+    assert ("typeOf", "Flood_Event") in ev0
+    assert ("wind_speed", "12") in ev0
+    assert ("c/prop/1", "a") in ev0
