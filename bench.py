@@ -89,10 +89,12 @@ def run_bench() -> dict:
         dedup_strategy = "shuffle"
         # best-of-3: the sandbox is time-shared and single runs vary ~1.8×
         n_timed = 3
-    # warm Ray workers + shuffle aggregator pools with a tiny run so the
-    # timed run measures pipeline throughput, not cluster cold-start
+    # warm Ray workers + shuffle aggregator pools: a tiny run for worker
+    # startup, then one UNTIMED full-size run so the timed runs measure
+    # steady-state pipeline throughput, not actor-pool cold start
     warm_path = ensure_transcripts("/root/testdata/sf0.001")
     build_triples(warm_path).count()
+    build_triples(tx_path, dedup_strategy=dedup_strategy).count()
     times = []
     n_triples = 0
     for _ in range(n_timed):
