@@ -189,6 +189,39 @@ def build_schema_registry(
     return prop_ids, etype_ids, entity_type_ids, rows
 
 
+# --- manual StatVar groups (nodes.py:341-360; data.py:81-110) ----------------
+
+
+def build_group_registry(variables_cfg: dict, custom_ns: str = "custom"):
+    """config ``variables.<name>.group`` paths ("A/B/C") → chained
+    StatVarGroup nodes with sequential ``<ns>/g/group_N`` ids, top
+    level parented at the main-DC root ``dc/g/Root``.
+
+    Returns (variable → group id map, group triple rows).
+    """
+    groups: dict[str, str] = {}
+    rows: list[tuple] = []
+    var_groups: dict[str, str] = {}
+    for var, cfg in variables_cfg.items():
+        path = cfg.get("group", "")
+        if not path:
+            continue
+        tokens = path.split("/")
+        for i in range(len(tokens)):
+            sub = "/".join(tokens[: i + 1])
+            if sub in groups:
+                continue
+            parent_path = "/".join(tokens[:i])
+            parent_id = groups.get(parent_path, "dc/g/Root")
+            gid = f"{custom_ns}/g/group_{len(groups) + 1}"
+            groups[sub] = gid
+            rows.append((gid, "typeOf", "StatVarGroup", "", ""))
+            rows.append((gid, "name", "", tokens[i], ""))
+            rows.append((gid, "specializationOf", parent_id, "", ""))
+        var_groups[var] = groups[path]
+    return var_groups, rows
+
+
 # --- sources / provenances (nodes.py:39-56,111-143; data.py:195-258) ---------
 
 
@@ -626,7 +659,8 @@ def run_config_import_ray(
     prop_ids, etype_ids, entity_type_ids, schema_rows = build_schema_registry(
         input_dir, files, prov_map
     )
-    source_rows = source_rows + schema_rows
+    var_groups, group_rows = build_group_registry(config.get("variables", {}))
+    source_rows = source_rows + schema_rows + group_rows
 
     obs_parts = []  # Datasets with file_order col
     triple_parts = []  # Datasets of _TRIPLE_COLS
@@ -796,6 +830,8 @@ def run_config_import_ray(
                 rows.append((var, "searchDescription", "", sd, prov))
             for p, v in props.items():
                 rows.append((var, p, v, "", prov))
+            if var in var_groups:
+                rows.append((var, "memberOf", var_groups[var], "", prov))
             # includedIn provenance/source (data.py:150-175)
             pid, sid = prov_map.get(prov, ("c/p/default", "c/s/default"))
             rows.append((var, "includedIn", pid, "", prov))

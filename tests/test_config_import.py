@@ -320,3 +320,40 @@ def test_schema_registry_property_nodes(tmp_path, ray_session):
     assert ("typeOf", "Flood_Event") in ev0
     assert ("wind_speed", "12") in ev0
     assert ("c/prop/1", "a") in ev0
+
+
+def test_variable_group_paths(tmp_path, ray_session):
+    """variables.<name>.group paths build chained StatVarGroup nodes
+    (custom/g/group_N, top parent dc/g/Root) and the SV gets memberOf
+    (nodes.py:341-360)."""
+    (tmp_path / "data.csv").write_text(
+        "entity,variable,date,value\ncountry/IND,Count_Farm,2020,9000\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "inputFiles": {
+                "data.csv": {
+                    "importType": "observations",
+                    "format": "variablePerRow",
+                }
+            },
+            "variables": {"Count_Farm": {"group": "Agriculture/Farms"}},
+        },
+    )
+    t = out["triples"]
+
+    def preds(subject):
+        sub = t[t["subject_id"] == subject]
+        return {(r.predicate, r.object_id or r.object_value) for r in sub.itertuples()}
+
+    g1 = preds("custom/g/group_1")
+    assert ("typeOf", "StatVarGroup") in g1
+    assert ("name", "Agriculture") in g1
+    assert ("specializationOf", "dc/g/Root") in g1
+    g2 = preds("custom/g/group_2")
+    assert ("name", "Farms") in g2
+    assert ("specializationOf", "custom/g/group_1") in g2
+    assert ("memberOf", "custom/g/group_2") in preds("Count_Farm")
