@@ -100,3 +100,124 @@ def extract_media_features(media_ds, concurrency: int = 2, batch_size: int = 16)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeKernel:
+    """Actor-pool kernel: image resize plumbing. The stub decoder maps
+    payload bytes + (width, height) metadata to a deterministic
+    pseudo-pixel array and resizes by vectorized nearest-neighbor
+    index sampling — the real version swaps `_decode_image` /
+    `_encode_image` for PIL calls, the Ray-side contract (schema in/out,
+    actor init, batch sizing) is identical."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
+        if decoder not in ("fake",):
+            raise NotImplementedError(
+                f"decoder '{decoder}' requires image libraries not present "
+                f"in this environment; use decoder='fake'"
+            )
+        self.tw = int(target_w)
+        self.th = int(target_h)
+
+    def _decode_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        arr = np.frombuffer(payload, np.uint8)
+        need = max(1, w) * max(1, h)
+        reps = -(-need // max(1, len(arr)))
+        return np.tile(arr, reps)[:need].reshape(max(1, h), max(1, w))
+
+    def _encode_image(self, img: np.ndarray) -> bytes:
+        return img.astype(np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        out = []
+        # vectorized nearest-neighbor index grids per image
+        yi = None
+        for p, w, h in zip(payloads, widths, heights):
+            img = self._decode_image(p, int(w), int(h))
+            ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
+            xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.intp)
+            out.append(self._encode_image(img[np.ix_(ys, xs)]))
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array([self.tw] * n, pa.int32()),
+                "height": pa.array([self.th] * n, pa.int32()),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+def resize_media(media_ds, target_w: int = 64, target_h: int = 64,
+                 concurrency: int = 2, batch_size: int = 16):
+    """Actor-pool image resize over a media Dataset (images only pass
+    through the kernel; callers filter by media_type upstream)."""
+    return media_ds.map_batches(
+        MediaResizeKernel,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampleKernel:
+    """Actor-pool kernel: video frame sampling — one output row per
+    sampled timestamp (row expansion inside map_batches). The stub
+    'frame' is a deterministic payload slice; the real version would
+    seek the container with ffmpeg, same contract."""
+
+    def __init__(self, every_ms: int = 1000, max_frames: int = 32, decoder: str = "fake"):
+        if decoder not in ("fake",):
+            raise NotImplementedError(
+                f"decoder '{decoder}' requires video libraries not present "
+                f"in this environment; use decoder='fake'"
+            )
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, types_, ts_out, idx_out, frames = [], [], [], [], []
+        for mid, mtype, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if mtype != "video" or not dur:
+                continue
+            n_frames = min(self.max_frames, max(1, int(dur) // self.every_ms))
+            chunk = max(1, len(payload) // n_frames)
+            for i in range(n_frames):
+                ids.append(mid)
+                types_.append(mtype)
+                idx_out.append(i)
+                ts_out.append(i * self.every_ms)
+                frames.append(payload[i * chunk : (i + 1) * chunk])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types_, pa.string()),
+                "frame_idx": pa.array(idx_out, pa.int32()),
+                "ts_ms": pa.array(ts_out, pa.int32()),
+                "frame_payload": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def sample_frames(media_ds, every_ms: int = 1000, max_frames: int = 32,
+                  concurrency: int = 2, batch_size: int = 8):
+    """Actor-pool frame sampling over a media Dataset (videos only;
+    other rows are dropped by the kernel)."""
+    return media_ds.map_batches(
+        FrameSampleKernel,
+        fn_constructor_kwargs={"every_ms": every_ms, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -28,3 +28,41 @@ def test_unavailable_decoder_raises():
 
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="pil")
+
+
+def test_resize_media(ray_session):
+    import ray.data
+
+    from import_ray.stages.multimodal import resize_media, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(n=24))
+    out = resize_media(ds, target_w=32, target_h=16).take_all()
+    assert len(out) == 24
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 16
+        assert len(r["payload"]) == 32 * 16
+    # deterministic
+    out2 = resize_media(ray.data.from_arrow(synthesize_media(n=24)), 32, 16).take_all()
+    assert [r["payload"] for r in sorted(out, key=lambda x: x["media_id"])] == [
+        r["payload"] for r in sorted(out2, key=lambda x: x["media_id"])
+    ]
+
+
+def test_sample_frames(ray_session):
+    import ray.data
+
+    from import_ray.stages.multimodal import sample_frames, synthesize_media
+
+    tbl = synthesize_media(n=24)
+    ds = ray.data.from_arrow(tbl)
+    rows = sample_frames(ds, every_ms=5000, max_frames=8).take_all()
+    assert rows and all(r["media_type"] == "video" for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    durations = dict(zip(tbl["media_id"].to_pylist(), tbl["duration_ms"].to_pylist()))
+    for mid, frames in by_id.items():
+        expect = min(8, max(1, durations[mid] // 5000))
+        assert len(frames) == expect
+        assert sorted(f["frame_idx"] for f in frames) == list(range(expect))
+        assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in frames)
