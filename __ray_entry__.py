@@ -55,16 +55,37 @@ def _kg_transcript_triples(sf_dir: str):
 
 
 def _dedup_exact_docs(sf_dir: str):
+    """Exact doc dedup: group by a 128-bit CONTENT HASH (two independent
+    keyed 64-bit hashes) instead of the raw text — the shuffle moves
+    16 B/row keys, not document bodies (the 100 TB exchange shape;
+    collision odds ≈ 2^-128 per pair)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
     import ray.data
     from ray.data.aggregate import Count, Min
 
-    from import_ray.core.context import configure_data_context, npartitions
+    from import_ray.core.context import configure_data_context, data_nparts
 
     configure_data_context()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.groupby("text", num_partitions=npartitions()).aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
-    )
+    nparts = data_nparts(ds)
+
+    def content_keys(b: pa.Table) -> pa.Table:
+        texts = np.asarray(b["text"].to_pylist(), dtype=object)
+        h1 = pd.util.hash_array(texts).astype(np.int64)
+        h2 = pd.util.hash_array(texts, hash_key="1234567890abcdef").astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+            }
+        )
+
+    out = ds.map_batches(content_keys, batch_format="pyarrow").groupby(
+        ["h1", "h2"], num_partitions=nparts
+    ).aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
     return out.select_columns(["doc_id", "n_dups"])
 
 
