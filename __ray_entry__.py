@@ -285,6 +285,73 @@ def _ngram_jaccard_docs(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def _lang_id_planted(sf_dir: str):
+    """Deterministic language-ID fixture: four stopword-saturated docs
+    (one per supported language) plus a no-stopword doc must classify
+    to exactly their language / 'und'."""
+    import ray.data
+
+    from import_ray.stages.text import LangId
+
+    docs = [
+        {"doc_id": 0, "text": "the cat and the dog in a house is of note"},
+        {"doc_id": 1, "text": "el gato y la casa de los perros en que vive"},
+        {"doc_id": 2, "text": "der hund und die katze ist von dem haus mit"},
+        {"doc_id": 3, "text": "le chat et les chiens des maisons un jour"},
+        {"doc_id": 4, "text": "zzz qqq xxx www"},
+    ]
+    ds = ray.data.from_items(docs)
+    return ds.map_batches(LangId(), batch_format="pyarrow").select_columns(
+        ["doc_id", "pred_lang"]
+    )
+
+
+LANG_ID_PLANTED_SQL = """
+SELECT * FROM (VALUES (0, 'en'), (1, 'es'), (2, 'de'), (3, 'fr'), (4, 'und'))
+  AS t(doc_id, pred_lang)
+"""
+
+
+def _fingerprint_planted(sf_dir: str):
+    """Fingerprint invariance fixture: exact copies must share their
+    source's rolling-hash fingerprint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from import_ray.core.context import npartitions
+    from import_ray.stages.text import doc_fingerprint
+
+    fps = _plant_exact_copies(sf_dir, _PLANT2).map_batches(
+        doc_fingerprint, batch_format="pyarrow"
+    )
+    copies = fps.filter(expr=f"doc_id >= {_PLANT2}").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "src_id": pc.subtract(b["doc_id"], pa.scalar(_PLANT2, pa.int64())),
+                "fp_copy": b["fingerprint"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sources = fps.filter(expr=f"doc_id < {_PLANT2}").map_batches(
+        lambda b: pa.table({"src_id": b["doc_id"], "fp_src": b["fingerprint"]}),
+        batch_format="pyarrow",
+    )
+    joined = copies.join(
+        sources, join_type="inner", num_partitions=npartitions(), on=("src_id",)
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "same_fp": pc.equal(b["fp_copy"], b["fp_src"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _doc_fingerprints(sf_dir: str):
     import ray.data
 
@@ -488,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_planted_pairs": _ngram_planted_pairs,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "doc_fingerprints": _doc_fingerprints,
+        "lang_id_planted": _lang_id_planted,
+        "fingerprint_planted": _fingerprint_planted,
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
         "embedding_neardup_pairs": _embedding_neardup,
@@ -535,6 +604,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": (
             f"SELECT vec_id AS vec_lo, vec_id + {_PLANT_OFFSET} AS vec_hi, "
             "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
+        ),
+        "lang_id_planted": LANG_ID_PLANTED_SQL,
+        "fingerprint_planted": (
+            f"SELECT doc_id + {_PLANT2} AS doc_id, TRUE AS same_fp "
+            "FROM documents WHERE doc_id % 20 = 0"
         ),
         "events_series_groups": (
             "SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable, "
