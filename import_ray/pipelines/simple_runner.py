@@ -134,13 +134,65 @@ def run_simple_import(
 
     # --- SVG hierarchy (runner.py:_generate_svg_hierarchy) ---------------
     if generate_svg:
+        import numpy as np
+        import pyarrow.compute as pc
+
         specs = []
-        specs_path = os.path.join(input_dir, "vertical_specs.json")
+        # specialFiles: config `verticalSpecsFile` names the specs file,
+        # falling back to vertical_specs.json (runner.py:848-855)
+        specs_name = config.get("verticalSpecsFile", "vertical_specs.json")
+        specs_path = os.path.join(input_dir, specs_name)
         if os.path.exists(specs_path):
             with open(specs_path) as f:
                 specs = load_vertical_specs(f.read())
+
+        # schema names for SVG naming (runner.py:857-861 get_schema_names):
+        # dcids referenced by SV property values + vertical specs → their
+        # name triples, collected via a distributed filter
+        sv_subjects = {
+            r["subject_id"]
+            for r in triples_ds.map_batches(
+                lambda b: b.filter(
+                    pc.and_(
+                        pc.equal(b["predicate"], "typeOf"),
+                        pc.equal(b["object_id"], "StatisticalVariable"),
+                    )
+                ).select(["subject_id"]),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+        sv_arr = np.array(sorted(sv_subjects), dtype=object)
+
+        def sv_ref_dcids(b: pa.Table) -> pa.Table:
+            keep = np.isin(b["subject_id"].to_numpy(zero_copy_only=False), sv_arr)
+            return b.filter(pa.array(keep)).select(["predicate", "object_id"])
+
+        candidates: set[str] = set()
+        for r in triples_ds.map_batches(sv_ref_dcids, batch_format="pyarrow").take_all():
+            if r["predicate"]:
+                candidates.add(r["predicate"])
+            if r["object_id"]:
+                candidates.add(r["object_id"])
+        for spec in specs:
+            candidates.add(spec["population_type"])
+            candidates |= set(spec["verticals"]) | set(spec["measured_properties"])
+        cand_arr = np.array(sorted(candidates), dtype=object)
+
+        def name_triples(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["predicate"], "name"))
+            keep = np.isin(t["subject_id"].to_numpy(zero_copy_only=False), cand_arr)
+            return t.filter(pa.array(keep)).select(["subject_id", "object_value"])
+
+        dcid2name = {
+            r["subject_id"]: r["object_value"]
+            for r in triples_ds.map_batches(name_triples, batch_format="pyarrow").take_all()
+            if r["object_value"]
+        }
+
         svg_dir = os.path.join(output_dir, "svg_triples")
-        svg = generate_svg_hierarchy(triples_ds, vertical_specs=specs)
+        svg = generate_svg_hierarchy(
+            triples_ds, vertical_specs=specs, dcid2name=dcid2name
+        )
         svg.write_parquet(svg_dir)
         artifacts["svg_triples"] = svg_dir
 

@@ -69,3 +69,42 @@ def test_run_simple_import_lifecycle(ray_session, tmp_path):
     # process report written
     rep = json.load(open(artifacts["report"]))
     assert "levelSummary" in rep
+
+
+def test_svg_uses_schema_names(ray_session, tmp_path):
+    """SVG names resolve through schema name triples
+    (runner.py:857-861 get_schema_names semantics)."""
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "obs.csv").write_text(
+        "entity,variable,date,value\ncountry/IND,sv1,2020,5\n"
+    )
+    (tmp_path / "in" / "schema.mcf").write_text(
+        "Node: dcid:sv1\n"
+        "typeOf: dcs:StatisticalVariable\n"
+        "populationType: dcs:Person\n"
+        "gender: dcs:Female\n\n"
+        "Node: dcid:Female\n"
+        'typeOf: dcs:Class\nname: "Woman"\n'
+    )
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    artifacts = run_simple_import(
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        config={
+            "inputFiles": {
+                "obs.csv": {"importType": "observations", "format": "variablePerRow"}
+            }
+        },
+    )
+    import pyarrow.dataset as pads
+
+    svg = pads.dataset(artifacts["svg_triples"]).to_table().to_pandas()
+    names = dict(
+        zip(
+            svg[svg["predicate"] == "name"]["subject_id"],
+            svg[svg["predicate"] == "name"]["object_value"],
+        )
+    )
+    # the Female value renders with its schema name "Woman"
+    assert names["c/g/Person_Gender-Female"] == "Person With Gender = Woman"
