@@ -260,11 +260,20 @@ def _simhash_planted_pairs(sf_dir: str):
 def _ngram_planted_pairs(sf_dir: str):
     """Exact n-gram Jaccard on planted exact copies: score must be
     exactly 1.0 for every (src, src+offset) pair."""
+    import pyarrow as pa
+
     from import_ray.stages.neardup import ngram_jaccard_pairs
 
-    df = ngram_jaccard_pairs(_plant_exact_copies(sf_dir, _PLANT2), threshold=0.5)
-    df = df[(df["doc_hi"] - df["doc_lo"] == _PLANT2) & (df["doc_lo"] % 20 == 0)]
-    return df.reset_index(drop=True)
+    pairs = ngram_jaccard_pairs(_plant_exact_copies(sf_dir, _PLANT2), threshold=0.5)
+
+    def planted_only(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((hi - lo == _PLANT2) & (lo % 20 == 0)))
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
 
 
 def _simhash_pairs_docs(sf_dir: str):

@@ -50,6 +50,9 @@ from import_ray.core.context import data_nparts as _data_nparts
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)
 _MIX_C = np.uint64(0xBF58476D1CE4E5B9)
 
+# 256-entry popcount lookup table (vectorized hamming distance)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 
 def _split_flat(batch: pa.Table):
     """Split ``text`` on single spaces → (counts, flat token hashes).
@@ -180,12 +183,39 @@ class MinHashSignatures:
         )
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of a FixedSizeBinary signature column —
+    a direct slice of the Arrow data buffer, no per-row Python bytes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, num_perm), np.uint64)
+    flat = np.frombuffer(col.buffers()[1], np.uint64)
+    off = col.offset * num_perm
+    return flat[off : off + n * num_perm].reshape(n, num_perm)
+
+
+def _dedup_pair_arrays(lo: np.ndarray, hi: np.ndarray, *extras: np.ndarray):
+    """Drop duplicate (lo, hi) rows — lexsort + adjacent-run mask
+    (works for arbitrary int64 ids; no Python set)."""
+    if len(lo) == 0:
+        return (lo, hi, *extras)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.ones(len(lo), bool)
+    keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return (lo[keep], hi[keep], *(e[order][keep] for e in extras))
+
+
 def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
     """Per-block: group by (band_id, band_hash); emit verified pairs.
 
     Bucket grouping is a pandas hash groupby; within each bucket the
     pair similarity check is a vectorized signature-matrix comparison.
-    Buckets larger than the skew cap are truncated and LOGGED.
+    Pair output is accumulated as numpy arrays and deduped with one
+    lexsort — no per-pair Python appends. Buckets larger than the skew
+    cap are truncated and LOGGED.
     """
     df = pd.DataFrame(
         {
@@ -195,11 +225,8 @@ def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
             "row": np.arange(len(batch)),
         }
     )
-    sigs_flat = np.frombuffer(
-        b"".join(batch["signature"].to_pylist()) if len(batch) else b"", np.uint64
-    ).reshape(len(batch), num_perm)
-    lo_out, hi_out, sim_out = [], [], []
-    seen: set = set()
+    sigs_flat = _sig_matrix(batch["signature"], num_perm)
+    lo_parts, hi_parts, sim_parts = [], [], []
     capped = 0
     for _, grp in df.groupby("key", sort=False):
         m = len(grp)
@@ -216,25 +243,32 @@ def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
         ii, jj = np.triu_indices(m, 1)
         est = (sigs_flat[rows[ii]] == sigs_flat[rows[jj]]).mean(axis=1)
         ok = est >= threshold
-        for a, b, e in zip(ids[ii[ok]], ids[jj[ok]], est[ok]):
-            key = (int(a), int(b))
-            if key in seen:
-                continue
-            seen.add(key)
-            lo_out.append(key[0])
-            hi_out.append(key[1])
-            sim_out.append(float(e))
+        lo_parts.append(ids[ii[ok]])
+        hi_parts.append(ids[jj[ok]])
+        sim_parts.append(est[ok])
     if capped:
         logger.warning(
             "minhash LSH: %d bucket(s) exceeded MAX_PAIRS_PER_BUCKET=%d; pairs sampled",
             capped,
             MAX_PAIRS_PER_BUCKET,
         )
+    if lo_parts:
+        # est_jaccard is a pure function of the pair's signatures, so
+        # duplicate (lo, hi) rows always carry the same value — any
+        # survivor is correct
+        lo, hi, sim = _dedup_pair_arrays(
+            np.concatenate(lo_parts).astype(np.int64),
+            np.concatenate(hi_parts).astype(np.int64),
+            np.concatenate(sim_parts),
+        )
+    else:
+        lo = hi = np.zeros(0, np.int64)
+        sim = np.zeros(0, np.float64)
     return pa.table(
         {
-            "doc_lo": pa.array(lo_out, pa.int64()),
-            "doc_hi": pa.array(hi_out, pa.int64()),
-            "est_jaccard": pa.array(sim_out, pa.float64()),
+            "doc_lo": pa.array(lo, pa.int64()),
+            "doc_hi": pa.array(hi, pa.int64()),
+            "est_jaccard": pa.array(sim.astype(np.float64), pa.float64()),
         }
     )
 
@@ -504,7 +538,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                 "sh": batch["simhash"].to_numpy(zero_copy_only=False),
             }
         )
-        lo, hi, dist = [], [], []
+        lo_parts, hi_parts, dist_parts = [], [], []
         capped = 0
         for _, grp in df.groupby("key", sort=False):
             m = len(grp)
@@ -519,14 +553,12 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
             sh = grp["sh"].to_numpy().view(np.uint64)
             ii, jj = np.triu_indices(m, 1)
             x = sh[ii] ^ sh[jj]
-            d = np.zeros(len(x), np.int64)
-            while x.any():
-                d += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
+            # popcount: byte view + 256-entry LUT (one fancy-index + sum)
+            d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1, dtype=np.int64)
             ok = d <= max_hamming
-            lo.extend(int(v) for v in ids[ii[ok]])
-            hi.extend(int(v) for v in ids[jj[ok]])
-            dist.extend(int(v) for v in d[ok])
+            lo_parts.append(ids[ii[ok]])
+            hi_parts.append(ids[jj[ok]])
+            dist_parts.append(d[ok])
         if capped:
             logger.warning(
                 "simhash LSH: %d bucket(s) truncated to MAX_BUCKET_MEMBERS=%d "
@@ -534,11 +566,20 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                 capped,
                 MAX_BUCKET_MEMBERS,
             )
+        if lo_parts:
+            # hamming is a pure function of the pair → duplicates agree
+            lo, hi, dist = _dedup_pair_arrays(
+                np.concatenate(lo_parts).astype(np.int64),
+                np.concatenate(hi_parts).astype(np.int64),
+                np.concatenate(dist_parts),
+            )
+        else:
+            lo = hi = dist = np.zeros(0, np.int64)
         return pa.table(
             {
                 "doc_lo": pa.array(lo, pa.int64()),
                 "doc_hi": pa.array(hi, pa.int64()),
-                "hamming": pa.array(dist, pa.int64()),
+                "hamming": pa.array(dist.astype(np.int64), pa.int64()),
             }
         )
 
@@ -552,47 +593,143 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     )
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_n: int = 3):
-    """EXACT token-n-gram Jaccard for LSH candidates: re-verifies
-    MinHash candidate pairs with true shingle sets (broadcast of the
-    candidate docs' shingles; candidate set ≪ corpus)."""
-    cand = minhash_lsh_pairs(docs_ds, threshold=0.3).take_all()
-    need = sorted({r["doc_lo"] for r in cand} | {r["doc_hi"] for r in cand})
-    need_arr = np.array(need, dtype=np.int64)
+class ShingleBlobs:
+    """map_batches kernel: doc rows → (doc_id, sh) where ``sh`` is the
+    doc's SORTED-UNIQUE uint64 shingle set packed as one binary blob.
 
-    def shingles(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, need_arr)
-        if not keep.any():
+    Segmented per-batch: one lexsort over (doc, shingle) + adjacent-run
+    dedup, then a single zero-copy Arrow binary array built from the
+    cumulative-offset buffer — no per-doc Python work beyond the
+    offsets math."""
+
+    def __init__(self, shingle_n: int = 3):
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ndocs = len(batch)
+        if ndocs == 0:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.binary())}
             )
-        sub = batch.filter(pa.array(keep))
-        counts, h = _split_flat(sub)
-        sh_counts, sh = _shingle_hashes_flat(counts, h, shingle_n)
-        seg = np.zeros(len(counts), np.int64)
-        np.cumsum(sh_counts[:-1], out=seg[1:])
-        out_b = [
-            sh[seg[i] : seg[i] + sh_counts[i]].tobytes() for i in range(len(counts))
+        counts, h = _split_flat(batch)
+        sh_counts, sh = _shingle_hashes_flat(counts, h, self.shingle_n)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), sh_counts)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        keep = np.ones(len(sh_s), bool)
+        keep[1:] = (doc_s[1:] != doc_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        sh_u, doc_u = sh_s[keep], doc_s[keep]
+        u_counts = np.bincount(doc_u, minlength=ndocs)
+        offs = np.zeros(ndocs + 1, np.int32)
+        np.cumsum(u_counts * 8, out=offs[1:])
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            ndocs,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(sh_u.tobytes())],
+        )
+        return pa.table({"doc_id": batch["doc_id"], "sh": arr})
+
+
+def _blob_flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Binary column of uint64 blobs → (counts_per_row, flat values) —
+    direct slices of the Arrow offsets/data buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    if pa.types.is_large_binary(col.type):
+        col = col.cast(pa.binary())
+    offs = np.frombuffer(col.buffers()[1], np.int32)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    counts = np.diff(offs).astype(np.int64) // 8
+    return counts, np.ascontiguousarray(flat).view(np.uint64)
+
+
+def _pairwise_jaccard(counts_lo, flat_lo, counts_hi, flat_hi) -> np.ndarray:
+    """Exact per-pair set Jaccard over packed sorted-unique shingle
+    blobs: concat both sides keyed by pair index, one lexsort, count
+    adjacent duplicates (each |A∩B| element appears exactly twice)."""
+    n = len(counts_lo)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    pidx = np.concatenate(
+        [
+            np.repeat(np.arange(n, dtype=np.int64), counts_lo),
+            np.repeat(np.arange(n, dtype=np.int64), counts_hi),
         ]
+    )
+    vals = np.concatenate([flat_lo, flat_hi])
+    order = np.lexsort((vals, pidx))
+    pidx, vals = pidx[order], vals[order]
+    dup = (pidx[1:] == pidx[:-1]) & (vals[1:] == vals[:-1])
+    inter = np.bincount(pidx[1:][dup], minlength=n)
+    union = counts_lo + counts_hi - inter
+    union = np.maximum(union, 1)
+    return inter / union
+
+
+def join_pairs_with_blobs(
+    pairs_ds, blobs_ds, lo_col: str, hi_col: str, blob_col: str, id_col: str = "doc_id"
+):
+    """Attach a per-id binary payload to both sides of a pair Dataset:
+    two distributed hash joins (pairs ⋈ blobs on lo, then on hi).
+    Nothing corpus-sized ever reaches the driver; payload bytes move
+    only for ids that appear in a pair."""
+    from import_ray.core.context import join_safe, npartitions
+
+    def side(suffix):
+        return blobs_ds.map_batches(
+            lambda b, s=suffix: pa.table(
+                {f"_jid{s}": b[id_col], f"{blob_col}{s}": b[blob_col]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    nparts = npartitions()
+    j = join_safe(pairs_ds).join(
+        join_safe(side("_lo")),
+        join_type="inner",
+        num_partitions=nparts,
+        on=(lo_col,),
+        right_on=("_jid_lo",),
+    )
+    j = join_safe(j).join(
+        join_safe(side("_hi")),
+        join_type="inner",
+        num_partitions=nparts,
+        on=(hi_col,),
+        right_on=("_jid_hi",),
+    )
+    return j
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_n: int = 3):
+    """EXACT token-n-gram Jaccard for LSH candidates, fully
+    Dataset-native: MinHash-LSH candidate pairs ⋈ per-doc shingle-set
+    blobs (two hash joins), then a vectorized per-batch exact set
+    Jaccard. Returns a Dataset (doc_lo, doc_hi, jaccard); nothing
+    corpus- or candidate-sized is materialized on the driver."""
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.3).select_columns(
+        ["doc_lo", "doc_hi"]
+    )
+    blobs = docs_ds.map_batches(
+        ShingleBlobs(shingle_n), batch_format="pyarrow", batch_size=512
+    )
+    joined = join_pairs_with_blobs(pairs, blobs, "doc_lo", "doc_hi", "sh")
+
+    def verify(b: pa.Table) -> pa.Table:
+        c_lo, f_lo = _blob_flat_u64(b["sh_lo"])
+        c_hi, f_hi = _blob_flat_u64(b["sh_hi"])
+        jac = _pairwise_jaccard(c_lo, f_lo, c_hi, f_hi)
+        ok = jac >= threshold
         return pa.table(
             {
-                "doc_id": sub["doc_id"],
-                "sh": pa.array(out_b, pa.binary()),
+                "doc_lo": pc.cast(b["doc_lo"], pa.int64()).filter(pa.array(ok)),
+                "doc_hi": pc.cast(b["doc_hi"], pa.int64()).filter(pa.array(ok)),
+                "jaccard": pa.array(np.round(jac[ok], 6), pa.float64()),
             }
         )
 
-    sh_rows = docs_ds.map_batches(shingles, batch_format="pyarrow").take_all()
-    sh = {r["doc_id"]: set(np.frombuffer(r["sh"], np.uint64).tolist()) for r in sh_rows}
-    lo, hi, jac = [], [], []
-    for r in cand:
-        a, b = r["doc_lo"], r["doc_hi"]
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            lo.append(a)
-            hi.append(b)
-            jac.append(round(j, 6))
-    return pd.DataFrame({"doc_lo": lo, "doc_hi": hi, "jaccard": jac})
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -53,12 +53,71 @@ def test_ngram_jaccard_exact_scores(docs_with_dups):
     from import_ray.stages.neardup import ngram_jaccard_pairs
 
     ds, planted_exact, planted_near = docs_with_dups
-    df = ngram_jaccard_pairs(ds, threshold=0.5)
-    scores = {(r.doc_lo, r.doc_hi): r.jaccard for r in df.itertuples()}
+    rows = ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+    scores = {(r["doc_lo"], r["doc_hi"]): r["jaccard"] for r in rows}
     for a, b in planted_exact:
         assert scores.get((a, b)) == 1.0
     for a, b in planted_near:
         assert 0.5 <= scores.get((a, b), 0) < 1.0
+
+
+def test_ngram_jaccard_matches_driver_reference(docs_with_dups):
+    """The dataset-native join-verify path must equal a brute-force
+    driver computation of exact shingle-set Jaccard on the candidates."""
+    import numpy as np
+
+    from import_ray.stages.neardup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    ds, _, _ = docs_with_dups
+    got = {
+        (r["doc_lo"], r["doc_hi"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(ds, threshold=0.0).take_all()
+    }
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+
+    def shingle_set(t, n=3):
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for r in minhash_lsh_pairs(ds, threshold=0.3).take_all():
+        a, b = r["doc_lo"], r["doc_hi"]
+        sa, sb = shingle_set(texts[a]), shingle_set(texts[b])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(got[(a, b)] - want) < 1e-6, (a, b, got[(a, b)], want)
+
+
+def test_distributed_labeling_matches_driver_path(docs_with_dups):
+    """minhash_dedup's distributed min-label branch (max_driver_pairs=0)
+    must produce byte-identical labels to the driver union-find path."""
+    from import_ray.stages.neardup import minhash_dedup
+
+    ds, _, _ = docs_with_dups
+
+    def canon(d):
+        return (
+            d.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        )
+
+    driver = canon(minhash_dedup(ds, threshold=0.7))
+    dist = canon(minhash_dedup(ds, threshold=0.7, max_driver_pairs=0))
+    assert driver.equals(dist)
+
+
+def test_propagate_min_labels_deep_chain(ray_session):
+    """A long chain forces multiple propagation rounds; every node must
+    converge to the chain's minimum id."""
+    import ray.data
+
+    from import_ray.stages.neardup import propagate_min_labels
+
+    # chain 0-1-2-...-9 (diameter 9 → several groupby rounds)
+    pairs = ray.data.from_items(
+        [{"doc_lo": i, "doc_hi": i + 1, "est_jaccard": 1.0} for i in range(9)]
+    )
+    labels = {r["node"]: r["label"] for r in propagate_min_labels(pairs).take_all()}
+    assert labels == {i: 0 for i in range(10)}
 
 
 def test_minhash_deterministic(docs_with_dups):

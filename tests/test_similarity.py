@@ -62,3 +62,104 @@ def test_ivf_recall(embeddings):
         for q in exact_sets
     ]
     assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_knn_approx_flag_routes_to_ivf(embeddings):
+    """knn_cosine(approx=True) routes to the IVF path. The sf0.01
+    embeddings are near-random (IVF's worst case), so the bound here is
+    loose; the ≥0.9 recall contract is asserted on clusterED data in
+    test_ivf_recall_clustered."""
+    from import_ray.stages.similarity import knn_cosine
+
+    ds, queries = embeddings
+    exact = knn_cosine(ds, 5, 10, query_vectors=queries).take_all()
+    approx = knn_cosine(
+        ds, 5, 10, query_vectors=queries, approx=True, n_clusters=8, n_probe=6
+    ).take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivf_recall_clustered(ray_session):
+    """On clusterable data (IVF's design point) the approx path must
+    reach recall ≥0.9 vs brute force while probing a fraction of cells."""
+    import ray.data
+
+    from import_ray.stages.similarity import knn_cosine
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows, queries = [], {}
+    vid = 0
+    for c in range(8):
+        for _ in range(60):
+            v = centers[c] + 0.3 * rng.standard_normal(16)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    for q in range(5):
+        queries[10_000 + q] = centers[q] + 0.3 * rng.standard_normal(16)
+    ds = ray.data.from_items(rows)
+
+    exact = knn_cosine(ds, 0, 10, query_vectors=queries).take_all()
+    approx = knn_cosine(
+        ds, 0, 10, query_vectors=queries, approx=True, n_clusters=8, n_probe=3
+    ).take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(ray_session):
+    """Hyperplane-bucketed near-dup must recover every pair the exact
+    all-pairs kernel finds at the 0.95 threshold (planted near-copies)."""
+    import ray.data
+
+    from import_ray.stages.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(80)]
+    # plant 10 near-copies: tiny perturbation → cosine ≈ 0.999
+    for i in range(10):
+        v = base[i] + 0.02 * rng.standard_normal(32)
+        rows.append({"vec_id": 100 + i, "embedding": v.tolist()})
+    ds = ray.data.from_items(rows)
+
+    exact = {
+        (r["vec_lo"], r["vec_hi"])
+        for r in embedding_neardup_pairs_exact(ds, threshold=0.95).take_all()
+    }
+    lsh_rows = embedding_neardup_pairs(ds, threshold=0.95).take_all()
+    lsh = {(r["vec_lo"], r["vec_hi"]) for r in lsh_rows}
+    assert exact, "fixture must plant at least one qualifying pair"
+    assert exact <= lsh or len(exact & lsh) / len(exact) >= 0.99, (
+        exact - lsh,
+        len(exact),
+    )
+    # cosine values agree with the exact kernel (same rounding)
+    exact_scores = {
+        (r["vec_lo"], r["vec_hi"]): r["cosine"]
+        for r in embedding_neardup_pairs_exact(ds, threshold=0.95).take_all()
+    }
+    for r in lsh_rows:
+        key = (r["vec_lo"], r["vec_hi"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
