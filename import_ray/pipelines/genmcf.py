@@ -315,6 +315,13 @@ def genmcf_run(
                 for p in (tmcf_path, csv_path)
             ],
             "run_stat_checks": run_stat_checks,
+            # every behavior-affecting option: a rerun with different
+            # options must MISS the cache, not return stale output
+            "pre_check": pre_check,
+            "options": {
+                k: sorted(map(repr, v)) if isinstance(v, (set, frozenset)) else repr(v)
+                for k, v in sorted(kwargs.items())
+            },
         }
 
     if resume and os.path.exists(manifest_path):
@@ -399,6 +406,126 @@ def genmcf_run(
     if report_path:
         counters.write_report(report_path)
     return ray.data.read_parquet(out_dir), counters
+
+
+def genmcf_run_many(
+    tmcf_path: str,
+    csv_paths: list[str],
+    out_dir: str,
+    report_path: str | None = None,
+    run_stat_checks: bool = True,
+    pre_check: bool = True,
+    **kwargs,
+):
+    """Multi-CSV genmcf with PER-FILE shard resume.
+
+    The reference tool's lifecycle is per input file
+    (Processor.java:263-405 — one TMCF applied to each CSV in turn), so
+    a CSV file is the natural shard boundary. Each shard builds into
+    ``<out_dir>/_tmp-<id>`` and is atomically renamed to
+    ``<out_dir>/shard=<id>/``; ``manifest.jsonl`` records the input +
+    options fingerprint AND the shard's counters, so a rerun skips
+    finished shards without recomputing their counter contributions.
+
+    Returns (nodes Dataset over all shards, merged CounterSet, summary
+    dict with shards/skipped/built).
+    """
+    import shutil
+    import time
+
+    import ray.data
+
+    from import_ray.state.counters import LEVEL_FATAL
+    from import_ray.state.lineage import (
+        append_manifest,
+        input_fingerprint,
+        load_manifest,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = load_manifest(out_dir)
+    opts_fp = repr(
+        (
+            run_stat_checks,
+            pre_check,
+            sorted(
+                (k, sorted(map(repr, v)) if isinstance(v, (set, frozenset)) else repr(v))
+                for k, v in kwargs.items()
+            ),
+        )
+    )
+    total = CounterSet()
+    summary = {"shards": len(csv_paths), "skipped": 0, "built": 0}
+    shard_dirs: list[str] = []
+    for idx, csv_path in enumerate(sorted(csv_paths)):
+        shard_id = f"{idx:05d}"
+        fp = input_fingerprint([tmcf_path, csv_path]) + ":" + opts_fp
+        final_dir = os.path.join(out_dir, f"shard={shard_id}")
+        prev = manifest.get(shard_id)
+        if prev and prev.get("fingerprint") == fp and os.path.isdir(final_dir):
+            for level, counter, n in prev.get("counters", []):
+                total.add(level, counter, n=n)
+            summary["skipped"] += 1
+            shard_dirs.append(final_dir)
+            continue
+        tmp_dir = os.path.join(out_dir, f"_tmp-{shard_id}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        t0 = time.time()
+        nodes, counters = genmcf_run(
+            tmcf_path,
+            csv_path,
+            tmp_dir,
+            run_stat_checks=run_stat_checks,
+            pre_check=pre_check,
+            resume=False,
+            **kwargs,
+        )
+        total.merge(counters)
+        if counters.level_counters(LEVEL_FATAL):
+            # reference semantics: abort the whole run on FATAL
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            break
+        os.rename(tmp_dir, final_dir)
+        shard_dirs.append(final_dir)
+        append_manifest(
+            out_dir,
+            {
+                "shard_id": shard_id,
+                "inputs": [tmcf_path, csv_path],
+                "fingerprint": fp,
+                "counters": [
+                    [level, counter, n]
+                    for (level, counter), n in sorted(counters.counts.items())
+                ],
+                "wall_sec": round(time.time() - t0, 3),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+        )
+        summary["built"] += 1
+    if report_path:
+        total.write_report(report_path)
+    if not shard_dirs:
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "scope": pa.array([], pa.string()),
+                    "node_id": pa.array([], pa.string()),
+                    "prop": pa.array([], pa.large_string()),
+                    "value": pa.array([], pa.large_string()),
+                    "value_type": pa.array([], pa.int8()),
+                    "failed": pa.array([], pa.bool_()),
+                }
+            )
+        )
+        return empty, total, summary
+    # read_parquet doesn't expand directories inside a path LIST
+    import glob as _glob
+
+    files: list[str] = []
+    for d in shard_dirs:
+        files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    return ray.data.read_parquet(files), total, summary
 
 
 def genmcf_report(

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import math
 import os
 import struct
 
@@ -136,6 +137,8 @@ def _double_field(field: int, val: float) -> bytes:
 
 
 def _format_number(x: float) -> str:
+    if not math.isfinite(x):
+        return repr(x)
     if x == int(x) and abs(x) < 2**53:
         return str(int(x))
     return repr(x)
@@ -154,7 +157,12 @@ def encode_series(key: dict, dates, values, dcids=None) -> bytes:
     for i, (d, v) in enumerate(zip(dates, values)):
         part = _str_field(1, d or "")
         try:
-            part += _double_field(2, float(v))
+            fv = float(v)
+            if not math.isfinite(fv):
+                # non-finite values stay in the text field so decode
+                # round-trips the original token ('NaN'/'Infinity')
+                raise ValueError
+            part += _double_field(2, fv)
         except (TypeError, ValueError):
             part += _str_field(3, v or "")
         dcid = dcids[i] if dcids is not None else ""

@@ -363,7 +363,13 @@ def generate_svg_hierarchy(
         for vertical in sorted(spec["verticals"]):
             vid = f"{custom_svg_prefix}{vertical}"
             vertical_nodes[vid] = _gen_name(vertical, dcid2name or {})
-            pop_parents.setdefault(pop_svg_of[pt], []).append(vid)
+            # overlapping vertical_specs can repeat the same
+            # (population type, vertical) pair — dedup like the
+            # reference's parent_svg_ids dict, since these driver-side
+            # extras bypass the distinct shuffle
+            parents = pop_parents.setdefault(pop_svg_of[pt], [])
+            if vid not in parents:
+                parents.append(vid)
     for vid, vname in sorted(vertical_nodes.items()):
         extra.append((vid, "typeOf", TYPE_SVG, ""))
         extra.append((vid, "name", "", vname))

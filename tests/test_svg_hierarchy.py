@@ -99,3 +99,38 @@ def test_svg_hierarchy_main_mcf(ray_session):
     got = _canon(generate_svg_hierarchy(ds).to_pandas())
     want = _canon(_read_triples_csv(f"{DATA}/expected/main_triples.csv"))
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_overlapping_vertical_specs_dedup(ray_session):
+    """Two specs repeating the same (population type, vertical) pair
+    must emit ONE specializationOf triple, not two."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.svg_hierarchy import generate_svg_hierarchy
+
+    df = pd.DataFrame(
+        [
+            {"subject_id": "sv1", "predicate": "typeOf",
+             "object_id": "StatisticalVariable", "object_value": ""},
+            {"subject_id": "sv1", "predicate": "populationType",
+             "object_id": "Person", "object_value": ""},
+            {"subject_id": "sv1", "predicate": "measuredProperty",
+             "object_id": "count", "object_value": ""},
+        ]
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    specs = [
+        {"population_type": "Person", "measured_properties": {"count"},
+         "verticals": ["Demographics"]},
+        {"population_type": "Person", "measured_properties": {"count"},
+         "verticals": ["Demographics"]},
+    ]
+    got = generate_svg_hierarchy(ds, vertical_specs=specs).to_pandas()
+    spec_rows = got[
+        (got["predicate"] == "specializationOf")
+        & (got["object_id"].str.contains("Demographics"))
+    ]
+    # one per SVG pointing at the vertical — no duplicates
+    assert not spec_rows.duplicated(["subject_id", "object_id"]).any()
+    assert len(spec_rows) == len(spec_rows.drop_duplicates())

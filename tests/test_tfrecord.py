@@ -97,3 +97,22 @@ def test_optimized_graph_roundtrip_statchecks(ray_session, tmp_path):
     want = canon(series.to_pandas())
     got = canon(back)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_series_proto_roundtrip_nonfinite():
+    """'NaN'/'Infinity' tokens float()-parse but must stay in the text
+    field so the writer's own shards decode without crashing."""
+    from import_ray.sources.tfrecord import decode_series, encode_series
+
+    key = {
+        "entity": "geoId/06",
+        "variable": "Count_Person",
+        "measurement_method": "",
+        "observation_period": "",
+        "scaling_factor": "",
+        "unit": "",
+    }
+    values = ["NaN", "Infinity", "-Infinity", "2.5"]
+    data = encode_series(key, ["2019", "2020", "2021", "2022"], values)
+    row = decode_series(data)
+    assert row["values"] == values
