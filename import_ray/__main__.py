@@ -6,7 +6,9 @@ Subcommands:
   lint FILE...            sanity + local-resolution counters → report.json
   genmcf TMCF CSV         resolved node rows → partitioned parquet + report
   simple-import INPUT_DIR config.json-driven import → observations/triples
-                          parquet + SVG hierarchy + NL artifacts + report
+                          parquet + SVG hierarchy + NL artifacts + report;
+                          --mode customdc|schemaupdate|maindc, --write-db
+                          for the Custom-DC sqlite artifact
 
 Owns the Ray session (guarded init, shutdown on exit) — library code
 never calls ray.init().
@@ -65,7 +67,13 @@ def cmd_simple_import(args) -> int:
     if args.config:
         with open(args.config) as f:
             config = json.load(f)
-    artifacts = run_simple_import(args.input_dir, args.output_dir, config=config)
+    artifacts = run_simple_import(
+        args.input_dir,
+        args.output_dir,
+        config=config,
+        mode=args.mode,
+        write_db=args.write_db,
+    )
     for name, value in artifacts.items():
         if isinstance(value, str):
             print(f"{name}: {value}")
@@ -93,6 +101,17 @@ def main(argv=None) -> int:
     simp.add_argument("input_dir")
     simp.add_argument("--output-dir", default="/tmp/import_ray_simple")
     simp.add_argument("--config", default=None)
+    simp.add_argument(
+        "--mode",
+        default="customdc",
+        choices=["customdc", "schemaupdate", "maindc"],
+        help="runner mode (RunMode, runner.py:79-83)",
+    )
+    simp.add_argument(
+        "--write-db",
+        action="store_true",
+        help="also emit the Custom-DC sqlite artifact (datacommons.db)",
+    )
     simp.set_defaults(fn=cmd_simple_import)
 
     args = p.parse_args(argv)

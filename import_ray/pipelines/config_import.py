@@ -269,10 +269,19 @@ def parse_sources(config: dict):
 # --- config matching / validation -------------------------------------------
 
 
-def _file_config(config: dict, fname: str) -> dict | None:
-    for pattern, cfg in config.get("inputFiles", {}).items():
-        if fname == pattern or fnmatch.fnmatch(fname, pattern):
-            return cfg
+def _file_config(config: dict, relpath: str) -> dict | None:
+    """Config entry for a file, matched like the reference
+    (simple/util/file_match.py): exact relative path first, then glob
+    on the relative path, then exact/glob on the basename — so
+    directory-qualified keys like ``subdir/*.csv`` work under
+    ``includeInputSubdirs`` and same-named files in different subdirs
+    can bind to different patterns."""
+    base = os.path.basename(relpath)
+    entries = config.get("inputFiles", {})
+    for candidate in (relpath, base) if relpath != base else (relpath,):
+        for pattern, cfg in entries.items():
+            if candidate == pattern or fnmatch.fnmatch(candidate, pattern):
+                return cfg
     return None
 
 
@@ -293,7 +302,7 @@ def _matched_files(input_dir: str, config: dict) -> list[tuple[str, dict]]:
         ]
     out = []
     for fname in sorted(names):
-        cfg = _file_config(config, os.path.basename(fname))
+        cfg = _file_config(config, fname)
         if cfg is None:
             continue
         itype = cfg.get("importType", "observations")
@@ -926,7 +935,13 @@ def run_config_import_ray(
         triples = _empty_ds(_TRIPLE_COLS)
 
     observations = obs_all.select_columns(_OBS_COLS)
-    return {"observations": observations, "triples": triples}
+    return {
+        "observations": observations,
+        "triples": triples,
+        # extras for runner modes: per-file split (main-DC CSV layout)
+        "observations_with_order": obs_all,
+        "order_files": {order: fname for order, (fname, _) in enumerate(files)},
+    }
 
 
 def run_config_import(

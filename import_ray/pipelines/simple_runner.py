@@ -77,16 +77,64 @@ def run_simple_import(
     entity_type_map: dict | None = None,
     generate_svg: bool = True,
     generate_nl: bool = True,
+    mode: str = "customdc",
+    write_db: bool = False,
 ) -> dict:
     """Run the full Simple-importer lifecycle; returns artifact paths +
-    the run CounterSet."""
+    the run CounterSet.
+
+    Modes (runner.py:79-83,367-400 RunMode):
+    - ``customdc`` (default): full import; with ``write_db=True`` also
+      emits the Custom-DC sqlite artifact (triples/observations/
+      StatVarGroups cache/imports tables) at
+      ``<output_dir>/datacommons.db``.
+    - ``schemaupdate``: SKIP all data imports; only create/upgrade the
+      sqlite tables in place (runner.py:382-383 "Skipping imports
+      because run mode is schema update") and write the report. A
+      missing config defaults to empty (runner.py:504-506).
+    - ``maindc``: run imports, skip the SVG hierarchy (not supported
+      for main DC, runner.py:833-835), and write the Main-DC layout —
+      per-input observation CSVs + ``observations.tmcf`` +
+      ``schema.mcf`` (db.py:273-345 MainDcDb) — instead of sqlite.
+    """
     import ray.data
 
+    if mode not in ("customdc", "schemaupdate", "maindc"):
+        raise ValueError(f"unsupported mode: {mode!r}")
+
     if config is None:
-        with open(os.path.join(input_dir, "config.json")) as f:
-            config = json.load(f)
+        cfg_path = os.path.join(input_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                config = json.load(f)
+        elif mode == "schemaupdate":
+            config = {}  # schemaupdate tolerates a missing config
+        else:
+            with open(cfg_path) as f:  # raise the FileNotFoundError
+                config = json.load(f)
 
     counters = CounterSet()
+
+    if mode == "schemaupdate":
+        from import_ray.sources.db_sink import SqliteSink
+
+        os.makedirs(output_dir, exist_ok=True)
+        artifacts: dict = {}
+        db_path = os.path.join(output_dir, "datacommons.db")
+        # create missing tables / add missing columns, keep data
+        sink = SqliteSink(db_path, clear=False)
+        sink.commit_and_close()
+        artifacts["db"] = db_path
+        process_dir = os.path.join(output_dir, "process")
+        os.makedirs(process_dir, exist_ok=True)
+        counters.add(LEVEL_INFO, "SchemaUpdateOnly", n=1)
+        counters.write_report(os.path.join(process_dir, "report.json"))
+        artifacts["report"] = os.path.join(process_dir, "report.json")
+        artifacts["counters"] = counters
+        return artifacts
+
+    if mode == "maindc":
+        generate_svg = False
     out = run_config_import_ray(
         input_dir, config, resolver_map=resolver_map, entity_type_map=entity_type_map
     )
@@ -246,6 +294,81 @@ def run_simple_import(
         if any("Topic" in types.get(t["subject_id"], set()) for t in topic_triples):
             nl_stage.generate_topic_cache(topic_triples, nl_dir)
         artifacts["nl"] = nl_dir
+
+    # --- output layout: Main-DC files or Custom-DC sqlite -----------------
+    if mode == "maindc":
+        import pyarrow.compute as pc
+
+        from import_ray.sources.db_sink import write_main_dc_output
+
+        obs_by_file: dict = {}
+        order_files = out.get("order_files", {})
+        obs_order = out.get("observations_with_order")
+        if obs_order is not None:
+            for order, fname in sorted(order_files.items()):
+                sub = obs_order.filter(expr=f"file_order == {int(order)}")
+                if sub.count():
+                    obs_by_file[fname] = sub.select_columns(
+                        ["entity", "variable", "date", "value"]
+                    ).to_pandas()
+        maindc_dir = os.path.join(output_dir, "maindc")
+        paths = write_main_dc_output(maindc_dir, triples_ds, obs_by_file)
+        artifacts["maindc"] = paths
+    elif write_db:
+        from import_ray.sources.db_sink import (
+            STAT_VAR_GROUPS_CACHE_KEY,
+            generate_svg_cache_value,
+            write_sqlite_db,
+        )
+
+        db_path = os.path.join(output_dir, "datacommons.db")
+        all_triples = triples_ds
+        if generate_svg and "svg_triples" in artifacts:
+            all_triples = all_triples.union(
+                ray.data.read_parquet(artifacts["svg_triples"]).select_columns(
+                    _TRIPLE_COLS
+                )
+            )
+        # SVG cache (svg_cache.py:34-44): SVG + SV triples → proto blob
+        import pyarrow.compute as pc
+
+        def typed_rows(type_name: str) -> list[dict]:
+            subj = {
+                r["subject_id"]
+                for r in all_triples.map_batches(
+                    lambda b, t=type_name: b.filter(
+                        pc.and_(
+                            pc.equal(b["predicate"], "typeOf"),
+                            pc.equal(b["object_id"], t),
+                        )
+                    ).select(["subject_id"]),
+                    batch_format="pyarrow",
+                ).take_all()
+            }
+            if not subj:
+                return []
+            import numpy as np
+
+            arr = np.array(sorted(subj), dtype=object)
+
+            def keep(b):
+                m = np.isin(b["subject_id"].to_numpy(zero_copy_only=False), arr)
+                return b.filter(pa.array(m))
+
+            return all_triples.map_batches(keep, batch_format="pyarrow").take_all()
+
+        cache_val = generate_svg_cache_value(
+            typed_rows("StatVarGroup"), typed_rows("StatisticalVariable")
+        )
+        counts = write_sqlite_db(
+            db_path,
+            triples_ds=all_triples,
+            observations_ds=out["observations"],
+            key_values={STAT_VAR_GROUPS_CACHE_KEY: cache_val},
+        )
+        counters.add(LEVEL_INFO, "NumDbTriples", n=counts["triples"])
+        counters.add(LEVEL_INFO, "NumDbObservations", n=counts["observations"])
+        artifacts["db"] = db_path
 
     process_dir = os.path.join(output_dir, "process")
     os.makedirs(process_dir, exist_ok=True)

@@ -357,3 +357,41 @@ def test_variable_group_paths(tmp_path, ray_session):
     assert ("name", "Farms") in g2
     assert ("specializationOf", "custom/g/group_1") in g2
     assert ("memberOf", "custom/g/group_2") in preds("Count_Farm")
+
+
+def test_subdir_qualified_patterns(tmp_path, ray_session):
+    """With includeInputSubdirs, directory-qualified config keys like
+    'sub/*.csv' must match on the relative path, and same-named files
+    in different subdirs bind to their own patterns."""
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "data.csv").write_text(
+        "entity,variable,date,value\ncountry/IND,VarA,2020,1\n"
+    )
+    (b / "data.csv").write_text(
+        "entity,variable,date,value\ncountry/USA,VarB,2020,2\n"
+    )
+    from import_ray.pipelines.config_import import run_config_import
+
+    out = run_config_import(
+        str(tmp_path),
+        {
+            "includeInputSubdirs": True,
+            "inputFiles": {
+                "a/*.csv": {
+                    "importType": "observations",
+                    "format": "variablePerRow",
+                    "provenance": "ProvA",
+                },
+                "b/*.csv": {
+                    "importType": "observations",
+                    "format": "variablePerRow",
+                    "provenance": "ProvB",
+                },
+            },
+        },
+    )
+    obs = out["observations"].sort_values("variable").reset_index(drop=True)
+    assert list(obs["provenance"]) == ["ProvA", "ProvB"]

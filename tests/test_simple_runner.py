@@ -108,3 +108,156 @@ def test_svg_uses_schema_names(ray_session, tmp_path):
     )
     # the Female value renders with its schema name "Woman"
     assert names["c/g/Person_Gender-Female"] == "Person With Gender = Woman"
+
+
+def test_write_db_sqlite_artifact(ray_session, tmp_path):
+    """write_db=True emits the Custom-DC sqlite: triples/observations
+    row counts match the parquet artifacts; StatVarGroups cache and an
+    imports row are present (db.py:88-147, svg_cache.py:34-44)."""
+    import sqlite3
+
+    import pyarrow.dataset as pads
+
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    out_dir = str(tmp_path / "out")
+    artifacts = run_simple_import(CASE, out_dir, write_db=True)
+    conn = sqlite3.connect(artifacts["db"])
+
+    n_obs_pq = len(pads.dataset(artifacts["observations"]).to_table())
+    n_tr_pq = len(pads.dataset(artifacts["triples"]).to_table())
+    n_svg_pq = len(pads.dataset(artifacts["svg_triples"]).to_table())
+    assert conn.execute("select count(*) from observations").fetchone()[0] == n_obs_pq
+    assert (
+        conn.execute("select count(*) from triples").fetchone()[0]
+        == n_tr_pq + n_svg_pq
+    )
+
+    # sample row equality vs parquet
+    obs = pads.dataset(artifacts["observations"]).to_table().to_pandas()
+    row = obs.sort_values(["entity", "variable", "date"]).iloc[0]
+    got = conn.execute(
+        "select entity, variable, date, value from observations "
+        "order by entity, variable, date limit 1"
+    ).fetchone()
+    assert got == (row["entity"], row["variable"], row["date"], row["value"])
+
+    # key_value_store: StatVarGroups cache decodes to our proto bytes
+    (kv,) = conn.execute(
+        "select value from key_value_store where lookup_key = 'StatVarGroups'"
+    ).fetchone()
+    import base64
+    import gzip as _gzip
+
+    raw = _gzip.decompress(base64.b64decode(kv))
+    assert raw  # non-empty proto payload
+
+    (status,) = conn.execute("select status from imports").fetchone()
+    assert status == "SUCCESS"
+    conn.close()
+
+
+def test_svg_cache_proto_decodes_with_reference_schema(ray_session):
+    """Hand-encoded StatVarGroups bytes must parse under the reference's
+    published proto schema (cache_data.proto) with the same content."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/simple")
+    try:
+        from proto.cache_data_pb2 import StatVarGroups
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("reference pb2/protobuf unavailable")
+    finally:
+        sys.path.remove("/root/reference/simple")
+
+    from import_ray.sources.db_sink import (
+        build_svg_cache_nodes,
+        encode_stat_var_groups,
+    )
+
+    svg_triples = [
+        {"subject_id": "c/g/Root", "predicate": "name",
+         "object_id": "", "object_value": "Custom Variables"},
+        {"subject_id": "c/g/1", "predicate": "name",
+         "object_id": "", "object_value": "Group One"},
+        {"subject_id": "c/g/1", "predicate": "specializationOf",
+         "object_id": "c/g/Root", "object_value": ""},
+    ]
+    sv_triples = [
+        {"subject_id": "sv1", "predicate": "name",
+         "object_id": "", "object_value": "SV One"},
+        {"subject_id": "sv1", "predicate": "description",
+         "object_id": "", "object_value": "first var"},
+        {"subject_id": "sv1", "predicate": "memberOf",
+         "object_id": "c/g/1", "object_value": ""},
+    ]
+    data = encode_stat_var_groups(build_svg_cache_nodes(svg_triples, sv_triples))
+    msg = StatVarGroups()
+    msg.ParseFromString(data)
+    assert set(msg.stat_var_groups.keys()) == {"c/g/Root", "c/g/1"}
+    root = msg.stat_var_groups["c/g/Root"]
+    assert root.absolute_name == "Custom Variables"
+    assert [c.id for c in root.child_stat_var_groups] == ["c/g/1"]
+    g1 = msg.stat_var_groups["c/g/1"]
+    assert g1.absolute_name == "Group One"
+    (sv,) = g1.child_stat_vars
+    assert sv.id == "sv1"
+    assert sv.display_name == "SV One"
+    assert list(sv.search_names) == ["SV One", "first var"]
+
+
+def test_schemaupdate_mode_skips_imports(ray_session, tmp_path):
+    """schemaupdate creates/updates the sqlite tables without running
+    any data imports (runner.py:382-383)."""
+    import sqlite3
+
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    out_dir = str(tmp_path / "out")
+    artifacts = run_simple_import(
+        str(tmp_path), out_dir, mode="schemaupdate"  # no config.json needed
+    )
+    assert "observations" not in artifacts
+    conn = sqlite3.connect(artifacts["db"])
+    tables = {
+        r[0]
+        for r in conn.execute(
+            "select name from sqlite_master where type='table'"
+        ).fetchall()
+    }
+    assert {"triples", "observations", "key_value_store", "imports"} <= tables
+    assert conn.execute("select count(*) from triples").fetchone()[0] == 0
+    conn.close()
+
+
+def test_maindc_mode_output_layout(ray_session, tmp_path):
+    """maindc writes per-input observation CSVs + observations.tmcf +
+    schema.mcf restricted to SV/SVG nodes (db.py:273-345 MainDcDb)."""
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    out_dir = str(tmp_path / "out")
+    artifacts = run_simple_import(CASE, out_dir, mode="maindc")
+    paths = artifacts["maindc"]
+
+    with open(paths["observations_tmcf"]) as f:
+        tmcf = f.read()
+    assert "typeOf: dcs:StatVarObservation" in tmcf
+    assert "value: C:Table->value" in tmcf
+
+    with open(paths["schema_mcf"]) as f:
+        mcf = f.read()
+    assert "Node: dcid:var1" in mcf
+    assert "typeOf: StatisticalVariable" in mcf
+    # non-SV/SVG nodes (topics) excluded from schema.mcf
+    assert "Node: dcid:topic1" not in mcf
+    # includedIn is blocklisted from MCF output
+    assert "includedIn" not in mcf
+
+    assert paths["observation_csvs"], "per-file CSVs written"
+    df = pd.read_csv(paths["observation_csvs"][0])
+    assert list(df.columns) == ["entity", "variable", "date", "value"]
+    assert len(df) == 4
+    # no SVG hierarchy for maindc
+    assert "svg_triples" not in artifacts
