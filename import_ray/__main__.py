@@ -104,7 +104,7 @@ def main(argv=None) -> int:
     simp.add_argument(
         "--mode",
         default="customdc",
-        choices=["customdc", "schemaupdate", "maindc"],
+        choices=["customdc", "schemaupdate", "maindc", "dcpbridge"],
         help="runner mode (RunMode, runner.py:79-83)",
     )
     simp.add_argument(

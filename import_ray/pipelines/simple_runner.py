@@ -96,10 +96,13 @@ def run_simple_import(
       for main DC, runner.py:833-835), and write the Main-DC layout —
       per-input observation CSVs + ``observations.tmcf`` +
       ``schema.mcf`` (db.py:273-345 MainDcDb) — instead of sqlite.
+    - ``dcpbridge``: run imports and export triples as sharded JSON-LD
+      docs (runner.py:1144-1156 ``_run_imports_and_export_jsonld`` /
+      ``jsonld_stream_db.py``) under ``<output_dir>/jsonld``.
     """
     import ray.data
 
-    if mode not in ("customdc", "schemaupdate", "maindc"):
+    if mode not in ("customdc", "schemaupdate", "maindc", "dcpbridge"):
         raise ValueError(f"unsupported mode: {mode!r}")
 
     if config is None:
@@ -295,8 +298,14 @@ def run_simple_import(
             nl_stage.generate_topic_cache(topic_triples, nl_dir)
         artifacts["nl"] = nl_dir
 
-    # --- output layout: Main-DC files or Custom-DC sqlite -----------------
-    if mode == "maindc":
+    # --- output layout: Main-DC files / JSON-LD / Custom-DC sqlite --------
+    if mode == "dcpbridge":
+        from import_ray.sources.db_sink import write_triples_jsonld
+
+        artifacts["jsonld"] = write_triples_jsonld(
+            triples_ds, os.path.join(output_dir, "jsonld")
+        )
+    elif mode == "maindc":
         import pyarrow.compute as pc
 
         from import_ray.sources.db_sink import write_main_dc_output

@@ -284,6 +284,38 @@ def generate_svg_cache_value(
     return gzip_and_base64_encode(encode_stat_var_groups(nodes))
 
 
+def write_triples_jsonld(triples_ds, out_dir: str) -> str:
+    """DCP-bridge export (jsonld_stream_db.py semantics): triples →
+    one JSON-LD doc per subject, sharded JSON files.
+
+    Distributed: hash-repartition on subject_id so each node's triples
+    co-locate, then per-block group → doc. Serialization cost is
+    per-node json.dumps either way; the shuffle moves triple rows once."""
+    import pyarrow as pa
+
+    from import_ray.core.context import npartitions
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        docs = []
+        for subj, grp in df.groupby("subject_id", sort=True):
+            doc: dict = {"@id": subj}
+            for pred, oid, oval in zip(
+                grp["predicate"], grp["object_id"], grp["object_value"]
+            ):
+                val = {"@id": oid} if oid else {"@value": oval}
+                if pred == "typeOf":
+                    doc.setdefault("@type", []).append(oid or oval)
+                else:
+                    doc.setdefault(pred, []).append(val)
+            docs.append(json.dumps(doc, sort_keys=True))
+        return pa.table({"jsonld": docs})
+
+    ds = triples_ds.repartition(npartitions(), keys=["subject_id"])
+    ds.map_batches(to_docs, batch_format="pyarrow").write_json(out_dir)
+    return out_dir
+
+
 # --- Main-DC output layout (db.py:273-345 MainDcDb) ---------------------------
 
 OBSERVATIONS_TMCF = """Node: E:Table->E0

@@ -261,3 +261,29 @@ def test_maindc_mode_output_layout(ray_session, tmp_path):
     assert len(df) == 4
     # no SVG hierarchy for maindc
     assert "svg_triples" not in artifacts
+
+
+def test_dcpbridge_mode_jsonld_export(ray_session, tmp_path):
+    """dcpbridge exports one JSON-LD doc per subject as sharded JSON
+    (runner.py:1144-1156 semantics)."""
+    import glob
+
+    from import_ray.pipelines.simple_runner import run_simple_import
+
+    out_dir = str(tmp_path / "out")
+    artifacts = run_simple_import(CASE, out_dir, mode="dcpbridge")
+    files = glob.glob(os.path.join(artifacts["jsonld"], "*.json"))
+    assert files
+    docs = []
+    for p in files:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    docs.append(json.loads(line)["jsonld"])
+    parsed = [json.loads(d) for d in docs]
+    by_id = {d["@id"]: d for d in parsed}
+    assert "var1" in by_id
+    assert "StatisticalVariable" in by_id["var1"]["@type"]
+    # ref-valued predicates carry @id, text-valued carry @value
+    assert {"@value": "Variable1 Name"} in by_id["var1"]["name"]
