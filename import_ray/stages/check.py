@@ -50,12 +50,17 @@ class NodeChecker:
         known_dcids: set[str] | None = None,
         file: str = "",
         is_template: bool = False,
+        existence=None,
     ):
         self.counters = counters if counters is not None else CounterSet()
         self.allow_nan_svobs = allow_nan_svobs
         self.known_dcids = known_dcids
         self.file = file
         self.is_template = is_template
+        # optional batched checker (state/existence.py): routes reference
+        # checks through the submit/drain DC-API protocol instead of the
+        # direct known-dcid membership test; caller drains per batch
+        self.existence = existence
         self._node_failure = False
 
     def _log(self, counter: str, message: str, level: str = LEVEL_ERROR):
@@ -153,6 +158,20 @@ class NodeChecker:
                 if vtype == ValueType.RESOLVED_REF:
                     if not self._check_dcid(value, prop, node_id):
                         pass
+                    elif self.existence is not None and self._should_check_existence(
+                        prop, types
+                    ):
+                        v = value.replace("dcAggregate/", "") if prop == vocab.MEASUREMENT_METHOD else value
+                        if v:
+                            self.existence.submit_node_check(
+                                v,
+                                lambda counter, msg, _p=prop, _v=v: self.counters.add(
+                                    LEVEL_WARNING,
+                                    f"{counter}_{_p}",
+                                    f"{msg} :: property-ref: '{_p}', node: '{_v}'",
+                                    self.file,
+                                ),
+                            )
                     elif self.known_dcids is not None and self._should_check_existence(
                         prop, types
                     ):

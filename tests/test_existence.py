@@ -131,3 +131,41 @@ def test_known_triples_transport():
     ck.submit_triple_check("age", "rangeIncludes", "Text", collect_cb(log))
     ck.drain_remote_calls()
     assert log == ["Existence_MissingTriple"]
+
+
+def test_node_checker_routes_through_batched_protocol():
+    """NodeChecker(existence=...) submits reference checks through the
+    batched protocol; missing refs surface as Existence_MissingReference
+    counters after drain, and the transport is called in batches."""
+    from import_ray.sources.mcf import parse_mcf_string
+    from import_ray.stages.check import NodeChecker
+    from import_ray.state.counters import CounterSet
+
+    rec = Recorder(known={"Count_Person", "geoId/06"})
+    counters = CounterSet()
+    ck = ExistenceChecker(rec, batch_limit=100)
+    checker = NodeChecker(counters=counters, existence=ck)
+    res = parse_mcf_string(
+        "Node: obs1\n"
+        "typeOf: dcs:StatVarObservation\n"
+        "variableMeasured: dcs:Count_Person\n"
+        "observationAbout: dcid:geoId/06\n"
+        "observationDate: \"2020\"\n"
+        "value: 42\n"
+        "\n"
+        "Node: obs2\n"
+        "typeOf: dcs:StatVarObservation\n"
+        "variableMeasured: dcs:NoSuchVariable\n"
+        "observationAbout: dcid:geoId/06\n"
+        "observationDate: \"2020\"\n"
+        "value: 7\n"
+    )
+    for node_id, node in res.graph.items():
+        checker.check_node(node_id, node)
+    ck.drain_remote_calls()
+    missing = {
+        c: n for (lvl, c), n in counters.counts.items() if c.startswith("Existence_")
+    }
+    assert missing == {"Existence_MissingReference_variableMeasured": 1}
+    # batched: one typeOf call covered all distinct subjects
+    assert [p for _, p in rec.calls] == ["typeOf"]
