@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "token_stats_docs",
     "minhash_dedup_docs",
     "simhash_pairs_docs",
+    "ngram_jaccard_docs",
+    "embedding_neardup_pairs",
     "knn_cosine",
 ]
 

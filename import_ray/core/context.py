@@ -46,16 +46,26 @@ def data_nparts(ds) -> int:
     Fewer partitions = fewer shuffle aggregator actors — on small
     inputs actor-pool spin-up otherwise dominates wall time, while at
     scale the cap stays 2×CPUs (npartitions_for_bytes)."""
+    _BASE = ("Read", "InputData", "FromItems", "FromArrow", "FromPandas")
     try:
         dag = ds._logical_plan.dag
-        if type(dag).__name__ in (
-            "Read",
-            "InputData",
-            "FromItems",
-            "FromArrow",
-            "FromPandas",
-        ):
-            sz = ds.size_bytes()
+        # walk single-input map lineage down to the base op — row-wise
+        # maps/filters/projections roughly preserve data scale, so the
+        # base read's metadata size is the right partition-count signal
+        # even for derived datasets (planted fixtures, key projections)
+        _MAPLIKE = ("MapBatches", "MapRows", "Filter", "Project", "FlatMap", "Limit")
+        hops = 0
+        while type(dag).__name__ not in _BASE and hops < 16:
+            deps = getattr(dag, "input_dependencies", [])
+            if len(deps) != 1 or type(dag).__name__ not in _MAPLIKE:
+                break
+            dag = deps[0]
+            hops += 1
+        if type(dag).__name__ in _BASE:
+            try:
+                sz = dag.infer_metadata().size_bytes
+            except Exception:
+                sz = ds.size_bytes() if hops == 0 else None
             if sz:
                 return npartitions_for_bytes(sz)
     except Exception:

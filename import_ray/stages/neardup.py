@@ -671,12 +671,20 @@ def _pairwise_jaccard(counts_lo, flat_lo, counts_hi, flat_hi) -> np.ndarray:
 
 
 def join_pairs_with_blobs(
-    pairs_ds, blobs_ds, lo_col: str, hi_col: str, blob_col: str, id_col: str = "doc_id"
+    pairs_ds,
+    blobs_ds,
+    lo_col: str,
+    hi_col: str,
+    blob_col: str,
+    id_col: str = "doc_id",
+    nparts: int | None = None,
 ):
     """Attach a per-id binary payload to both sides of a pair Dataset:
     two distributed hash joins (pairs ⋈ blobs on lo, then on hi).
     Nothing corpus-sized ever reaches the driver; payload bytes move
-    only for ids that appear in a pair."""
+    only for ids that appear in a pair. Pass ``nparts`` sized to the
+    DATA — every shuffle stage spins up that many aggregator actors,
+    which dominates wall time on small inputs."""
     from import_ray.core.context import join_safe, npartitions
 
     def side(suffix):
@@ -687,7 +695,7 @@ def join_pairs_with_blobs(
             batch_format="pyarrow",
         )
 
-    nparts = npartitions()
+    nparts = nparts or npartitions()
     j = join_safe(pairs_ds).join(
         join_safe(side("_lo")),
         join_type="inner",
@@ -711,13 +719,16 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_n: int = 3):
     blobs (two hash joins), then a vectorized per-batch exact set
     Jaccard. Returns a Dataset (doc_lo, doc_hi, jaccard); nothing
     corpus- or candidate-sized is materialized on the driver."""
+    nparts = _data_nparts(docs_ds)
     pairs = minhash_lsh_pairs(docs_ds, threshold=0.3).select_columns(
         ["doc_lo", "doc_hi"]
     )
     blobs = docs_ds.map_batches(
         ShingleBlobs(shingle_n), batch_format="pyarrow", batch_size=512
     )
-    joined = join_pairs_with_blobs(pairs, blobs, "doc_lo", "doc_hi", "sh")
+    joined = join_pairs_with_blobs(
+        pairs, blobs, "doc_lo", "doc_hi", "sh", nparts=nparts
+    )
 
     def verify(b: pa.Table) -> pa.Table:
         c_lo, f_lo = _blob_flat_u64(b["sh_lo"])

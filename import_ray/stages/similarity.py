@@ -453,7 +453,9 @@ def embedding_neardup_pairs(
         .select_columns(["vec_lo", "vec_hi"])
     )
     blobs = ds.map_batches(_emb_blobs, batch_format="pyarrow")
-    joined = join_pairs_with_blobs(cand, blobs, "vec_lo", "vec_hi", "eb", id_col="vec_id")
+    joined = join_pairs_with_blobs(
+        cand, blobs, "vec_lo", "vec_hi", "eb", id_col="vec_id", nparts=nparts
+    )
 
     def verify(b: pa.Table) -> pa.Table:
         c_lo, f_lo = _blob_flat_u64(b["eb_lo"])
