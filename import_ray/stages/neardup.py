@@ -145,9 +145,16 @@ class MinHashSignatures:
         sh_counts, sh = _shingle_hashes_flat(counts, h, self.shingle_n)
         seg = np.zeros(len(counts), np.int64)
         np.cumsum(sh_counts[:-1], out=seg[1:])
-        # (k, S) wraparound universal hashing, then per-doc segmented min
-        vals = self.a[:, None] * sh[None, :] + self.b[:, None]
-        return np.minimum.reduceat(vals, seg, axis=1)
+        # one permutation at a time: peak temp is O(S), not O(k·S) — the
+        # (k, S) product matrix is ~0.5 GB at batch_size=512 on long docs
+        # and trashes cache; the per-row loop stays L2-resident
+        out = np.empty((self.num_perm, len(counts)), np.uint64)
+        tmp = np.empty(len(sh), np.uint64)
+        for k in range(self.num_perm):
+            np.multiply(self.a[k], sh, out=tmp)
+            np.add(tmp, self.b[k], out=tmp)
+            out[k] = np.minimum.reduceat(tmp, seg)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -206,6 +213,44 @@ def _dedup_pair_arrays(lo: np.ndarray, hi: np.ndarray, *extras: np.ndarray):
     keep = np.ones(len(lo), bool)
     keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
     return (lo[keep], hi[keep], *(e[order][keep] for e in extras))
+
+
+def dedup_pairs_exchange(pairs_ds, lo_col: str, hi_col: str, nparts: int):
+    """Globally drop duplicate (lo, hi) rows with ONE keyed shuffle +
+    a per-block lexsort dedup — all extra columns keep the first
+    survivor's value (callers only pass extras that are pure functions
+    of the pair, so any survivor is correct).
+
+    This replaces ``groupby(...).aggregate(...)`` for pair dedup: ray
+    2.49's HashAggregate runs Python-level per-group finalization
+    (measured 5-8x the wall of a plain keyed shuffle on 150k pairs),
+    while hash-partitioning on ``lo_col`` + a vectorized per-block pass
+    is exact because the hash-shuffle aggregator finalizes each
+    partition as a SINGLE block (hash_shuffle.py Concat.finalize) and
+    ``map_batches(batch_size=None)`` never splits a block across
+    batches — every copy of a pair shares lo, hence partition, hence
+    batch."""
+
+    def block_dedup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        lo = b[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        extras = [
+            b[c].to_numpy(zero_copy_only=False)
+            for c in b.schema.names
+            if c not in (lo_col, hi_col)
+        ]
+        names = [c for c in b.schema.names if c not in (lo_col, hi_col)]
+        lo, hi, *extras = _dedup_pair_arrays(lo, hi, *extras)
+        cols = {lo_col: pa.array(lo, pa.int64()), hi_col: pa.array(hi, pa.int64())}
+        for name, e in zip(names, extras):
+            cols[name] = pa.array(e)
+        return pa.table(cols)
+
+    return pairs_ds.repartition(nparts, keys=[lo_col]).map_batches(
+        block_dedup, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def _bucket_pairs(batch: pa.Table, threshold: float, num_perm: int) -> pa.Table:
@@ -293,13 +338,11 @@ def _lsh_raw_pairs(docs_ds, threshold: float, num_perm: int, bands: int):
 
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
     """Dataset of near-duplicate candidate pairs with estimated Jaccard."""
-    from ray.data.aggregate import Max
-
     pairs, nparts = _lsh_raw_pairs(docs_ds, threshold, num_perm, bands)
-    # same pair can surface from multiple bands → exact dedup on the pair
-    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=nparts).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    # same pair can surface from multiple bands with IDENTICAL
+    # est_jaccard (pure function of the two signatures) → exact dedup
+    # on the pair via one keyed shuffle
+    return dedup_pairs_exchange(pairs, "doc_lo", "doc_hi", nparts)
 
 
 def propagate_min_labels(pairs_ds, max_rounds: int = 25):
@@ -586,11 +629,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     rows = sigs.map_batches(band_rows, batch_format="pyarrow")
     rows = rows.repartition(nparts, keys=["band_hash"])
     pairs = rows.map_batches(bucket_pairs, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["doc_lo", "doc_hi"], num_partitions=nparts).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    # hamming is a pure function of the pair's simhashes → duplicates
+    # across bands agree; keyed-shuffle dedup, any survivor correct
+    return dedup_pairs_exchange(pairs, "doc_lo", "doc_hi", nparts)
 
 
 class ShingleBlobs:

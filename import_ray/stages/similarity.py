@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 from import_ray.stages.neardup import (  # noqa: F401 (worker kernels)
     _blob_flat_u64,
     _dedup_pair_arrays,
+    dedup_pairs_exchange,
     join_pairs_with_blobs,
 )
 
@@ -325,11 +326,15 @@ class HyperplaneBands:
     ``n_bits`` fixed hyperplanes (seeded standard normals, built lazily
     from the first batch's dimension) split into ``bands`` bands of
     ``n_bits // bands`` sign bits; each band's bits pack into one int64
-    key. For cosine θ a bit agrees w.p. 1 − arccos(θ)/π, so with r=8,
-    b=16 a 0.95-cosine pair collides in ≥1 band w.p. ≈0.9998; EXACT
-    vector copies share every band deterministically."""
+    key. For cosine θ a bit agrees w.p. 1 − arccos(θ)/π, so with the
+    default r=16, b=16 a 0.95-cosine pair collides in ≥1 band w.p.
+    ≈0.96 (0.98-cosine: ≈0.999); EXACT vector copies share every band
+    deterministically (recall 1.0 on duplicates). r=16 gives 65,536
+    buckets per band — r=8's 256 buckets force unrelated vectors
+    together at ~N/256 per bucket, an O(N²/256) candidate explosion
+    (measured 143k candidate pairs from 2k random vectors)."""
 
-    def __init__(self, n_bits: int = 128, bands: int = 16, seed: int = 23):
+    def __init__(self, n_bits: int = 256, bands: int = 16, seed: int = 23):
         assert n_bits % bands == 0
         self.n_bits = n_bits
         self.bands = bands
@@ -420,7 +425,7 @@ def _emb_blobs(batch: pa.Table) -> pa.Table:
 def embedding_neardup_pairs(
     embeddings_ds,
     threshold: float = 0.95,
-    n_bits: int = 128,
+    n_bits: int = 256,
     bands: int = 16,
     round_to: int = 6,
 ):
@@ -431,9 +436,10 @@ def embedding_neardup_pairs(
     exchange volume ∝ band rows + candidate pairs, never O(N²).
 
     Exact copies share every band deterministically (recall 1.0 on
-    duplicates); pairs at cosine ≥0.95 collide w.p. ≈0.9998 with the
-    default r=8 × b=16 geometry. ``embedding_neardup_pairs_exact`` is
-    the brute-force verifier for recall tests."""
+    duplicates); a 0.98-cosine pair collides in ≥1 band w.p. ≈0.999
+    with the default r=16 × b=16 geometry (see ``HyperplaneBands``).
+    ``embedding_neardup_pairs_exact`` is the brute-force verifier for
+    recall tests."""
     from import_ray.core.context import data_nparts, ensure_hash_shuffle
 
     ensure_hash_shuffle(embeddings_ds)
@@ -444,14 +450,10 @@ def embedding_neardup_pairs(
     )
     rows = rows.repartition(nparts, keys=["band_hash"])
     cand = rows.map_batches(_emb_bucket_pairs, batch_format="pyarrow")
-    # same pair can surface from multiple bands → global pair dedup
-    from ray.data.aggregate import Count
-
-    cand = (
-        cand.groupby(["vec_lo", "vec_hi"], num_partitions=nparts)
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["vec_lo", "vec_hi"])
-    )
+    # same pair can surface from multiple bands → global pair dedup via
+    # one keyed shuffle (HashAggregate's per-group Python finalization
+    # measured 5-8x slower at equal partitioning)
+    cand = dedup_pairs_exchange(cand, "vec_lo", "vec_hi", nparts)
     blobs = ds.map_batches(_emb_blobs, batch_format="pyarrow")
     joined = join_pairs_with_blobs(
         cand, blobs, "vec_lo", "vec_hi", "eb", id_col="vec_id", nparts=nparts
