@@ -551,6 +551,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.customers_without_orders,
         "orders_running_total": R.orders_running_total,
         "purchase_last_signup": R.purchase_last_signup,
+        "q6_discount_revenue": R.q6_discount_revenue,
+        "q4_order_priority": R.q4_order_priority,
+        "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
+        "top_orders_per_priority": R.top_orders_per_priority,
+        "purchase_click_window": R.purchase_click_window,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
@@ -591,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "orders_running_total": R.RUNNING_TOTAL_SQL,
         "purchase_last_signup": R.ASOF_JOIN_SQL,
+        "q6_discount_revenue": R.Q6_SQL,
+        "q4_order_priority": R.Q4_SQL,
+        "q12_priority_by_returnflag": R.Q12_SQL,
+        "top_orders_per_priority": R.TOPK_PER_GROUP_SQL,
+        "purchase_click_window": R.RANGE_JOIN_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

@@ -576,3 +576,271 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND s.ts <= p.ts
 """
+
+
+# --- q6: filtered global aggregate (TPC-H Q6 shape; SURVEY §2.4+§2.7) --------
+
+
+def q6_discount_revenue(sf_dir: str):
+    """Filter-heavy scan + single global sum: the filter and the partial
+    sum both run inside map_batches (combiner pattern), so only one tiny
+    partial row per batch reaches the final aggregate."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        mask = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (qty < 24)
+        )
+        cents = _cents(ep[mask] * disc[mask])
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    total = partials.aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    return pd.DataFrame({"revenue_cents": [int(total["revenue_cents"])]})
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q4: EXISTS semi-join + grouped count (TPC-H Q4 shape; SURVEY §2.6) ------
+
+
+def q4_order_priority(sf_dir: str):
+    """orders ⋉ (lineitem with returned flag) on orderkey, then a count
+    per priority. Only the 8-byte key column leaves the lineitem side."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["l_returnflag"], pa.scalar("R"))
+        ).select(["l_orderkey"])
+
+    keys = li.map_batches(returned_keys, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n = _np_for(orders)
+    matched = orders.join(
+        keys,
+        join_type="left_semi",
+        num_partitions=n,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    from ray.data.aggregate import Count
+
+    return (
+        matched.groupby("o_orderpriority", num_partitions=n)
+        .aggregate(Count(alias_name="order_count"))
+        .select_columns(["o_orderpriority", "order_count"])
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q12: fact-fact join + conditional aggregation (TPC-H Q12 shape) ---------
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """lineitem(1996 shipments) ⋈ orders, grouped by return flag with a
+    CASE-style split of high- vs low-priority orders — the conditional
+    is a vectorized numpy mask inside map_batches, pre-aggregated per
+    batch before the (3-group) final groupby."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ship >= lo) & (ship < hi))).select(
+            ["l_orderkey", "l_returnflag"]
+        )
+
+    li = li.map_batches(in_window, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n = _np_for(li)
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def split_counts(batch: pa.Table) -> pa.Table:
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(prio, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "high_count": pa.array(high),
+                "low_count": pa.array(1 - high),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(split_counts, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=n)
+        .aggregate(
+            Sum("high_count", alias_name="high_count"),
+            Sum("low_count", alias_name="low_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- per-group top-k (window-rank shape; SURVEY §2.8) ------------------------
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3):
+    """Top-k orders by price within each priority class, combiner-style:
+    each batch emits its LOCAL top-k per group (vectorized pandas
+    sort + head), so the final per-group merge sees ≤ k × #batches
+    tiny rows — no global sort, no full-table shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_cents"] = _cents(df["o_totalprice"].to_numpy())
+        df = df.sort_values(
+            ["o_orderpriority", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("o_orderpriority", sort=False).head(k)
+        return pa.Table.from_pandas(
+            out[["o_orderpriority", "o_orderkey", "price_cents"]],
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return df[["o_orderpriority", "o_orderkey", "price_cents"]]
+
+    from import_ray.core.context import join_safe
+
+    return join_safe(
+        partials.groupby("o_orderpriority", num_partitions=_np())
+    .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_orderpriority, o_orderkey, price_cents FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- range join: clicks within a 1-day window before each purchase -----------
+
+
+def purchase_click_window(sf_dir: str):
+    """Interval join: for each purchase event, the number of click
+    events by the same user in [ts - 1 day, ts]. Keyed repartition on
+    user_id co-locates each user's events; within a block the window
+    match is a vectorized pandas merge on user_id + mask (per-user
+    event counts are bounded — for hot keys, salt by time bucket and
+    merge the two boundary buckets)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        p = df[df["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        c = df[df["event_type"] == "click"][["user_id", "ts"]].rename(
+            columns={"ts": "click_ts"}
+        )
+        if p.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_clicks": pa.array([], pa.int64()),
+                }
+            )
+        pairs = p.merge(c, on="user_id", how="left")
+        delta = pairs["ts"] - pairs["click_ts"]
+        in_win = (delta >= pd.Timedelta(0)) & (delta <= pd.Timedelta(days=1))
+        counts = (
+            in_win.groupby(pairs["event_id"]).sum().astype(np.int64)
+        )
+        out = p[["event_id", "user_id"]].copy()
+        out["n_clicks"] = out["event_id"].map(counts).fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow"
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 DAY AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+"""
