@@ -1,0 +1,66 @@
+"""Oracle-compare tests for the round-3 relational queries.
+
+Mirrors the driver's correctness gate (tools/check_correctness.py):
+run the Ray pipeline and its DuckDB oracle SQL on the same sf dir,
+compare row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+NEW_QUERIES = [
+    "q6_discount_revenue",
+    "q4_order_priority",
+    "q12_priority_by_returnflag",
+    "top_orders_per_priority",
+    "purchase_click_window",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_small):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(ray_session, sf_small, oracle_con, name):
+    import __ray_entry__ as entry
+
+    ray_df = _canon(_to_pandas(entry.queries()[name](sf_small)))
+    sql_df = _canon(oracle_con.sql(entry.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    pd.testing.assert_frame_equal(
+        ray_df, sql_df, check_dtype=False, check_exact=True
+    )
