@@ -537,6 +537,22 @@ def _events_series(sf_dir: str):
     )
 
 
+def _hll_distinct_users(sf_dir: str):
+    """HyperLogLog grouped distinct count (rows-only: approximate by
+    design; the exact twin is ``distinct_users_by_type`` and the
+    tolerance bound is pytest-asserted in tests/test_sketch.py)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.sketch import hll_distinct
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ds, "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from import_ray.pipelines import relational as R
 
@@ -556,6 +572,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
         "top_orders_per_priority": R.top_orders_per_priority,
         "purchase_click_window": R.purchase_click_window,
+        "events_sliding_counts": R.events_sliding_counts,
+        "price_percentiles_by_flag": R.price_percentiles_by_flag,
+        "distinct_users_by_type": R.distinct_users_by_type,
+        "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
@@ -601,6 +621,9 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_by_returnflag": R.Q12_SQL,
         "top_orders_per_priority": R.TOPK_PER_GROUP_SQL,
         "purchase_click_window": R.RANGE_JOIN_SQL,
+        "events_sliding_counts": R.SLIDING_SQL,
+        "price_percentiles_by_flag": R.PERCENTILE_SQL,
+        "distinct_users_by_type": R.DISTINCT_USERS_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

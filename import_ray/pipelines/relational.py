@@ -844,3 +844,182 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts >= p.ts - INTERVAL 1 DAY AND c.ts <= p.ts
 GROUP BY p.event_id, p.user_id
 """
+
+
+# --- sliding-window aggregate: trailing 7-day event counts -------------------
+
+
+def events_sliding_counts(sf_dir: str):
+    """Tumbling-daily partial counts (combiner inside map_batches) →
+    tiny (type, day) groupby → per-type trailing 7-ROW window sum.
+    The window stage runs on the AGGREGATED series (schema-scale:
+    #types × #days rows), never on raw events; integer window sums
+    keep the cross-engine hash exact (no float accumulation)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def daily_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "day": batch["ts"].to_pandas().dt.strftime("%Y-%m-%d"),
+            }
+        )
+        g = df.groupby(["event_type", "day"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    n = _np_for(ds)
+    daily = (
+        ds.map_batches(daily_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=n)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="mergesort").reset_index(drop=True)
+        df["cnt7"] = (
+            df["cnt"].rolling(7, min_periods=1).sum().astype(np.int64)
+        )
+        return df[["event_type", "day", "cnt", "cnt7"]]
+
+    from import_ray.core.context import join_safe
+
+    return join_safe(
+        daily.groupby("event_type", num_partitions=n).map_groups(
+            window, batch_format="pandas"
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT event_type, day, cnt,
+       CAST(SUM(cnt) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cnt7
+FROM (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+)
+"""
+
+
+# --- exact grouped percentiles via integer-domain histogram ------------------
+
+
+def price_percentiles_by_flag(sf_dir: str):
+    """Exact p50/p90 of price cents per return flag WITHOUT a global
+    sort: per-batch (flag, cents) histogram partials → count groupby
+    (shuffle rows bounded by the DISTINCT integer domain, not the row
+    count) → per-flag percentile read off the merged histogram's
+    cumulative counts. PERCENTILE_DISC semantics: the value at 0-based
+    ordinal ceil(q·n)−1 (matches DuckDB quantile_disc)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def histogram_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "price_cents": _cents(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "price_cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    n = _np_for(ds)
+    hist = (
+        ds.map_batches(histogram_partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "price_cents"], num_partitions=n)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def percentiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("price_cents", kind="mergesort")
+        v = df["price_cents"].to_numpy()
+        cum = df["cnt"].to_numpy().cumsum()
+        total = int(cum[-1])
+
+        def disc(q: float) -> int:
+            target = int(np.ceil(q * total))
+            return int(v[np.searchsorted(cum, target, side="left")])
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [df["l_returnflag"].iloc[0]],
+                "p50_cents": [disc(0.5)],
+                "p90_cents": [disc(0.9)],
+            }
+        )
+
+    from import_ray.core.context import join_safe
+
+    return join_safe(
+        hist.groupby("l_returnflag", num_partitions=n).map_groups(
+            percentiles, batch_format="pandas"
+        )
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS BIGINT)
+         AS p50_cents,
+       CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.9) AS BIGINT)
+         AS p90_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- grouped distinct count (two-level dedup-then-count) ---------------------
+
+
+def distinct_users_by_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type: per-batch local distinct
+    (the combiner — repeated pairs never leave the map stage), a keyed
+    distinct on the (type, user) PAIR, then a count per type. Both
+    exchanges move only key columns. The HLL sketch variant
+    (stages/sketch.py) replaces the pair shuffle with fixed 4 KB
+    register partials when approximate counts suffice."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False
+        )
+
+    from ray.data.aggregate import Count
+
+    n = _np_for(ds)
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"], num_partitions=n)
+        .aggregate(Count(alias_name="_c"))
+    )
+    return (
+        pairs.groupby("event_type", num_partitions=n)
+        .aggregate(Count(alias_name="n_users"))
+        .select_columns(["event_type", "n_users"])
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""

@@ -21,6 +21,9 @@ NEW_QUERIES = [
     "q12_priority_by_returnflag",
     "top_orders_per_priority",
     "purchase_click_window",
+    "events_sliding_counts",
+    "price_percentiles_by_flag",
+    "distinct_users_by_type",
 ]
 
 

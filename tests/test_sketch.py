@@ -1,0 +1,43 @@
+"""HyperLogLog sketch: estimate accuracy vs exact distinct counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_hll_distinct_accuracy(ray_session):
+    import ray.data
+
+    from import_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    frames = []
+    truth = {"a": 100, "b": 5_000, "c": 40_000}
+    for g, n in truth.items():
+        keys = rng.choice(n * 10, size=n, replace=False) + hash(g) % 1000
+        # repeat each key up to 3x — dedup is the sketch's job
+        rep = np.repeat(keys, rng.integers(1, 4, size=n))
+        frames.append(pd.DataFrame({"g": g, "k": rep}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=3)
+
+    ds = ray.data.from_pandas(df).map_batches(lambda b: b, batch_format="pyarrow")
+    out = hll_distinct(ds, "g", "k", p=12).to_pandas()
+    est = dict(zip(out["g"], out["n_distinct"]))
+    assert set(est) == set(truth)
+    for g, n in truth.items():
+        rel_err = abs(est[g] - n) / n
+        # 1.04/sqrt(2^12) ≈ 1.6% std error; allow 4 sigma
+        assert rel_err < 0.065, (g, est[g], n)
+
+
+def test_hll_query_matches_exact_within_tolerance(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    approx = entry.queries()["hll_distinct_users"](sf_small).to_pandas()
+    exact = entry.queries()["distinct_users_by_type"](sf_small).to_pandas()
+    merged = approx.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = (merged["n_distinct"] - merged["n_users"]).abs() / merged["n_users"]
+    assert (rel < 0.065).all(), merged
