@@ -909,23 +909,82 @@ FROM (
 # --- exact grouped percentiles via integer-domain histogram ------------------
 
 
-def price_percentiles_by_flag(sf_dir: str):
-    """Exact p50/p90 of price cents per return flag WITHOUT a global
-    sort: per-batch (flag, cents) histogram partials → count groupby
-    (shuffle rows bounded by the DISTINCT integer domain, not the row
-    count) → per-flag percentile read off the merged histogram's
-    cumulative counts. PERCENTILE_DISC semantics: the value at 0-based
-    ordinal ceil(q·n)−1 (matches DuckDB quantile_disc)."""
+_PCTL_BUCKET_BITS = 12  # 4096-cent coarse buckets
+
+
+def price_percentiles_by_flag(sf_dir: str, quantiles=(0.5, 0.9)):
+    """Exact grouped percentiles WITHOUT a global sort, in two streaming
+    passes (the classic distributed exact-quantile shape):
+
+    1. coarse pass — per-batch counts per (flag, cents >> 12) bucket;
+       the merged coarse histogram is DOMAIN-bounded (≤ domain/4096
+       rows, ~2.7k for 7-digit cent prices), so it collects driver-side
+       at schema scale regardless of row count;
+    2. locate each quantile's target bucket + within-bucket rank from
+       the coarse cumsums, then a fine pass that keeps ONLY rows in the
+       ≤ #flags × #quantiles target buckets (broadcast set) and counts
+       exact cents there — ~n/4096 rows per target ever leave the scan.
+
+    PERCENTILE_DISC semantics: the value at 0-based ordinal ceil(q·n)−1
+    (matches DuckDB quantile_disc). An earlier one-pass
+    (flag, cents)-groupby version degenerated when cents were
+    near-unique (600k groups at sf0.1 → 21 s); this shape is exact and
+    independent of value cardinality. For wider domains, widen the
+    bucket bits or recurse the locate step."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    def histogram_partials(batch: pa.Table) -> pa.Table:
+    def coarse_partials(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_pandas(),
-                "price_cents": _cents(
+                "bucket": _cents(
                     batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                ),
+                )
+                >> _PCTL_BUCKET_BITS,
             }
+        )
+        g = df.groupby(["l_returnflag", "bucket"], sort=False).size().reset_index(
+            name="cnt"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # partials are #blocks × (#flags × domain/4096) rows — schema-scale,
+    # so merge driver-side (a shuffle groupby here measured 10× the cost
+    # of the whole scan: Ray HashAggregate finalization is per-group)
+    coarse = (
+        ds.map_batches(coarse_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["l_returnflag", "bucket"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
+    )
+
+    # locate, per (flag, q): the bucket holding ordinal ceil(q·n) and
+    # the residual rank within that bucket
+    targets: dict[tuple[str, int], list[tuple[float, int]]] = {}
+    for flag, grp in coarse.groupby("l_returnflag"):
+        grp = grp.sort_values("bucket")
+        cum = grp["cnt"].to_numpy().cumsum()
+        total = int(cum[-1])
+        for q in quantiles:
+            t = int(np.ceil(q * total))
+            j = int(np.searchsorted(cum, t, side="left"))
+            below = int(cum[j - 1]) if j > 0 else 0
+            bucket = int(grp["bucket"].iloc[j])
+            targets.setdefault((flag, bucket), []).append((q, t - below))
+
+    target_set = set(targets)
+
+    def fine_partials(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pandas().to_numpy(dtype=object)
+        cents = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        buckets = cents >> _PCTL_BUCKET_BITS
+        # ≤ #flags × #quantiles target buckets → a few vectorized masks
+        keep = np.zeros(len(flags), dtype=bool)
+        for f, b in target_set:
+            keep |= (flags == f) & (buckets == b)
+        df = pd.DataFrame(
+            {"l_returnflag": flags[keep], "price_cents": cents[keep]}
         )
         g = (
             df.groupby(["l_returnflag", "price_cents"], sort=False)
@@ -934,40 +993,36 @@ def price_percentiles_by_flag(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    n = _np_for(ds)
-    hist = (
-        ds.map_batches(histogram_partials, batch_format="pyarrow")
-        .groupby(["l_returnflag", "price_cents"], num_partitions=n)
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    fine = (
+        ds.map_batches(fine_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # bucket-bounded: ~n/4096 rows per target bucket
+        .groupby(["l_returnflag", "price_cents"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
     )
 
-    def percentiles(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("price_cents", kind="mergesort")
-        v = df["price_cents"].to_numpy()
-        cum = df["cnt"].to_numpy().cumsum()
-        total = int(cum[-1])
+    rows = {}
+    for (flag, bucket), wants in targets.items():
+        sub = fine[
+            (fine["l_returnflag"] == flag)
+            & ((fine["price_cents"].to_numpy() >> _PCTL_BUCKET_BITS) == bucket)
+        ].sort_values("price_cents")
+        v = sub["price_cents"].to_numpy()
+        cum = sub["cnt"].to_numpy().cumsum()
+        for q, rank in wants:
+            val = int(v[np.searchsorted(cum, rank, side="left")])
+            rows.setdefault(flag, {})[q] = val
 
-        def disc(q: float) -> int:
-            target = int(np.ceil(q * total))
-            return int(v[np.searchsorted(cum, target, side="left")])
-
-        return pd.DataFrame(
-            {
-                "l_returnflag": [df["l_returnflag"].iloc[0]],
-                "p50_cents": [disc(0.5)],
-                "p90_cents": [disc(0.9)],
-            }
-        )
-
-    from import_ray.core.context import join_safe
-
-    return join_safe(
-        hist.groupby("l_returnflag", num_partitions=n).map_groups(
-            percentiles, batch_format="pandas"
-        )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": sorted(rows),
+            **{
+                f"p{int(q*100)}_cents": [rows[f][q] for f in sorted(rows)]
+                for q in quantiles
+            },
+        }
     )
+    return out
 
 
 PERCENTILE_SQL = """
@@ -986,9 +1041,10 @@ GROUP BY l_returnflag
 
 def distinct_users_by_type(sf_dir: str):
     """COUNT(DISTINCT user_id) per event_type: per-batch local distinct
-    (the combiner — repeated pairs never leave the map stage), a keyed
-    distinct on the (type, user) PAIR, then a count per type. Both
-    exchanges move only key columns. The HLL sketch variant
+    (the combiner — repeated pairs never leave the map stage), ONE keyed
+    shuffle on the (type, user) pair, then a block-local distinct+count
+    whose per-type partials (#types × #blocks rows) merge driver-side.
+    The single exchange moves only key columns. The HLL sketch variant
     (stages/sketch.py) replaces the pair shuffle with fixed 4 KB
     register partials when approximate counts suffice."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -1004,18 +1060,34 @@ def distinct_users_by_type(sf_dir: str):
             df.drop_duplicates(), preserve_index=False
         )
 
-    from ray.data.aggregate import Count
+    def block_count(batch: pa.Table) -> pa.Table:
+        # keyed repartition co-located every (type, user) pair in one
+        # block, so a block-local distinct-then-count is globally exact;
+        # one tiny row per type per block reaches the driver merge
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n_users")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
     n = _np_for(ds)
-    pairs = (
-        ds.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"], num_partitions=n)
-        .aggregate(Count(alias_name="_c"))
+    partials = (
+        ds.map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
+        .repartition(n, keys=["event_type", "user_id"])
+        .map_batches(block_count, batch_format="pyarrow")
+        .to_pandas()  # #types × #blocks rows
     )
     return (
-        pairs.groupby("event_type", num_partitions=n)
-        .aggregate(Count(alias_name="n_users"))
-        .select_columns(["event_type", "n_users"])
+        partials.groupby("event_type", sort=True)["n_users"]
+        .sum()
+        .reset_index()
+        .astype({"n_users": "int64"})
     )
 
 

@@ -35,8 +35,11 @@ def test_hll_distinct_accuracy(ray_session):
 def test_hll_query_matches_exact_within_tolerance(ray_session, sf_small):
     import __ray_entry__ as entry
 
-    approx = entry.queries()["hll_distinct_users"](sf_small).to_pandas()
-    exact = entry.queries()["distinct_users_by_type"](sf_small).to_pandas()
+    def _df(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    approx = _df(entry.queries()["hll_distinct_users"](sf_small))
+    exact = _df(entry.queries()["distinct_users_by_type"](sf_small))
     merged = approx.merge(exact, on="event_type")
     assert len(merged) == len(exact)
     rel = (merged["n_distinct"] - merged["n_users"]).abs() / merged["n_users"]
