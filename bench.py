@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "ngram_jaccard_docs",
     "embedding_neardup_pairs",
     "knn_cosine",
+    "q4_order_priority",
+    "q12_priority_by_returnflag",
+    "price_percentiles_by_flag",
+    "distinct_users_by_type",
+    "purchase_click_window",
+    "hll_distinct_users",
 ]
 
 
