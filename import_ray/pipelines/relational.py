@@ -178,13 +178,39 @@ def q3_top_orders(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    from ray.data.aggregate import Sum
 
-    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=n_li).aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents")
+    # the join hash-partitioned on l_orderkey; re-key explicitly so each
+    # block holds ALL rows of its keys, then a block-local sum + local
+    # top-10 per block (a per-group HashAggregate over #orders groups +
+    # a global sort measured 2× this shape) — only 10 × #blocks partial
+    # rows reach the driver merge
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue_cents"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(joined)
+    partials = (
+        joined.repartition(n_li, keys=["l_orderkey"])
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
     )
-    top = agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
-    return top
+    return (
+        partials.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 Q3_SQL = """
