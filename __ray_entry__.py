@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": R.events_sliding_counts,
         "price_percentiles_by_flag": R.price_percentiles_by_flag,
         "distinct_users_by_type": R.distinct_users_by_type,
+        "lineitem_rollup": R.lineitem_rollup,
+        "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
@@ -624,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_counts": R.SLIDING_SQL,
         "price_percentiles_by_flag": R.PERCENTILE_SQL,
         "distinct_users_by_type": R.DISTINCT_USERS_SQL,
+        "lineitem_rollup": R.ROLLUP_SQL,
+        "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

@@ -1121,3 +1121,127 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# --- rollup aggregate (GROUP BY ROLLUP shape; SURVEY §2.7) -------------------
+
+
+def lineitem_rollup(sf_dir: str):
+    """Hierarchical totals in ONE scan: per-batch partials at the finest
+    (returnflag, linestatus) grain — 6 groups, schema-scale — then the
+    coarser levels (per-flag subtotal, grand total) derive from the
+    merged finest level without touching the data again. 'ALL' marks
+    the rolled-up dimensions (COALESCE'd identically in the oracle)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "l_quantity": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # ≤ 6 × #blocks rows
+        .groupby(["l_returnflag", "l_linestatus"], sort=True)
+        .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+        .reset_index()
+    )
+
+    by_flag = (
+        fine.groupby("l_returnflag", sort=True)
+        .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+        .reset_index()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n_items": [fine["n_items"].sum()],
+            "sum_qty": [fine["sum_qty"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_flag, total], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "n_items", "sum_qty"]].astype(
+        {"n_items": "int64", "sum_qty": "int64"}
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- intersect set-op: customers ordering in BOTH years ----------------------
+
+
+def repeat_customers_1995_1996(sf_dir: str):
+    """INTERSECT via two filtered key projections + a distinct semi-join:
+    each side sheds everything but the 8-byte key inside map_batches,
+    the semi-join co-locates by key hash, and a keyed block distinct
+    dedups — no full-width row ever shuffles."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def keys_in_year(year: int):
+        lo = np.datetime64(f"{year}-01-01")
+        hi = np.datetime64(f"{year + 1}-01-01")
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_custkey"])
+            # local distinct — the combiner
+            return pa.table(
+                {"o_custkey": pa.array(np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)))}
+            )
+
+        return kernel
+
+    k95 = orders.map_batches(keys_in_year(1995), batch_format="pyarrow")
+    k96 = orders.map_batches(keys_in_year(1996), batch_format="pyarrow")
+
+    # no distinct needed on the probe side: a semi-join never multiplies
+    # left rows, and the left side gets its distinct after the join
+    n = _np_for(orders)
+    both = k95.join(
+        k96,
+        join_type="left_semi",
+        num_partitions=n,
+        on=("o_custkey",),
+    )
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": pa.array(np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False)))}
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(both)
+    return both.repartition(n, keys=["o_custkey"]).map_batches(
+        block_distinct, batch_format="pyarrow", batch_size=None
+    )
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""

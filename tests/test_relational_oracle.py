@@ -24,6 +24,9 @@ NEW_QUERIES = [
     "events_sliding_counts",
     "price_percentiles_by_flag",
     "distinct_users_by_type",
+    "lineitem_rollup",
+    "repeat_customers_1995_1996",
+    "q3_top_orders",
 ]
 
 
