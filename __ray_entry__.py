@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": R.distinct_users_by_type,
         "lineitem_rollup": R.lineitem_rollup,
         "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
+        "sessionize_events": R.sessionize_events,
+        "pivot_user_event_counts": R.pivot_user_event_counts,
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
@@ -628,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": R.DISTINCT_USERS_SQL,
         "lineitem_rollup": R.ROLLUP_SQL,
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
+        "sessionize_events": R.SESSIONIZE_SQL,
+        "pivot_user_event_counts": R.PIVOT_SQL,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

@@ -1245,3 +1245,119 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 """
+
+
+# --- sessionization: 30-min inactivity-gap session ids per user --------------
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Streaming-window sessionization: a keyed repartition co-locates
+    each user's events, then one vectorized pandas pass per block sorts
+    by (user, ts, event_id), flags gaps > ``gap_minutes``, and cumsums
+    the flags into per-user 1-based session ordinals. The shuffle moves
+    4 narrow columns; no global sort (order only matters within a
+    user's partition)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        prev_ts = df.groupby("user_id", sort=False)["ts"].shift()
+        new_session = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+        df["session_idx"] = (
+            new_session.astype(np.int64).groupby(df["user_id"], sort=False).cumsum()
+        )
+        return pa.Table.from_pandas(
+            df[["event_id", "user_id", "session_idx"]], preserve_index=False
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow"
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+
+# --- pivot (long→wide): per-user event-type counts ---------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_event_counts(sf_dir: str):
+    """Long→wide pivot (the inverse of the melt operator): per-batch
+    (user, type) count partials — the combiner — then a keyed
+    repartition on user and a block-local pivot_table over the FIXED
+    type vocabulary (wide schemas need a known column set; discover it
+    with a distinct pass first when it isn't fixed)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(
+            name="cnt"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def block_pivot(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        wide = df.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="cnt",
+            aggfunc="sum",
+            fill_value=0,
+        ).reindex(columns=_PIVOT_TYPES, fill_value=0)
+        wide = wide.reset_index()
+        wide.columns = ["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES]
+        for c in wide.columns[1:]:
+            wide[c] = wide[c].astype(np.int64)
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    n = _np_for(ds)
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .repartition(n, keys=["user_id"])
+        .map_batches(block_pivot, batch_format="pyarrow", batch_size=None)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""

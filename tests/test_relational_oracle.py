@@ -27,6 +27,8 @@ NEW_QUERIES = [
     "lineitem_rollup",
     "repeat_customers_1995_1996",
     "q3_top_orders",
+    "sessionize_events",
+    "pivot_user_event_counts",
 ]
 
 
