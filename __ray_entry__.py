@@ -553,6 +553,35 @@ def _hll_distinct_users(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id")
 
 
+def _top_tokens_docs(sf_dir: str):
+    """Exact corpus-wide top-20 tokens (heavy hitters)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.text import top_tokens
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(ds, k=20)
+
+
+def _cms_top_tokens_docs(sf_dir: str):
+    """Count-Min-sketch approximate top-20 tokens (rows-only: CMS
+    overestimates by design; tolerance vs the exact twin is asserted in
+    tests/test_sketch.py)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.text import cms_top_tokens
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_top_tokens(ds, k=20)
+
+
+from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from import_ray.pipelines import relational as R
 
@@ -579,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
+        "top_tokens_docs": _top_tokens_docs,
+        "cms_top_tokens_docs": _cms_top_tokens_docs,
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
@@ -632,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
+        "top_tokens_docs": TOP_TOKENS_ORACLE,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

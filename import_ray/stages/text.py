@@ -180,3 +180,133 @@ def doc_fingerprint(batch: pa.Table) -> pa.Table:
     np.cumsum(sh_counts[:-1], out=seg[1:])
     fps = np.minimum.reduceat(sh, seg)
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.uint64())})
+
+
+# --- heavy hitters: corpus-wide top-k tokens ---------------------------------
+
+
+def _batch_token_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (token, cnt) partials — the combiner. Same single-space
+    split as token_stats (DuckDB string_split parity)."""
+    import pandas as pd
+
+    lists = pc.split_pattern(_text_col(batch), pattern=" ")
+    flat = pc.list_flatten(lists)
+    counts = pd.Series(flat.to_pandas()).value_counts()
+    return pa.table(
+        {
+            "token": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+            "cnt": pa.array(counts.to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def top_tokens(ds, k: int = 20):
+    """Exact corpus-wide top-k tokens: batch count partials → keyed
+    repartition on token (only (token, int64) pairs shuffle, bounded by
+    vocabulary × #blocks, not corpus size) → block-local sum + local
+    top-k → k × #blocks rows merge driver-side. Ties break on token
+    text ascending for cross-engine determinism."""
+    import pandas as pd
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    n = data_nparts(ds)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = (
+        ds.map_batches(_batch_token_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(n, keys=["token"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return (
+        partials.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+TOP_TOKENS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+# --- Count-Min sketch heavy hitters (approximate scale path) -----------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1 << 14  # 16384 columns → 512 KB per partial at int64
+_CMS_SEEDS = ("cmsseed0aaaaaaaa", "cmsseed1bbbbbbbb", "cmsseed2cccccccc", "cmsseed3dddddddd")
+
+
+def _cms_rows(tokens: np.ndarray) -> np.ndarray:
+    """d hash rows per token (pd.util.hash_array with per-row keys)."""
+    import pandas as pd
+
+    return np.stack(
+        [
+            (pd.util.hash_array(tokens, hash_key=seed) % _CMS_WIDTH).astype(np.int64)
+            for seed in _CMS_SEEDS
+        ]
+    )
+
+
+def cms_top_tokens(ds, k: int = 20, candidates_per_block: int = 200):
+    """Approximate top-k tokens: each batch emits (a) a fixed-size
+    Count-Min matrix partial (d×w int64 — merge is elementwise SUM,
+    independent of vocabulary size) and (b) its local top-m candidate
+    tokens. The driver sums the matrices (d×w×#blocks bytes, data-size
+    independent), unions the candidates, reads each candidate's
+    upper-bound count from the merged sketch (min over d rows), and
+    returns the top k. Overestimates only (CMS guarantee); exact twin:
+    ``top_tokens``."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts_tbl = _batch_token_counts(batch)
+        toks = counts_tbl["token"].to_numpy(zero_copy_only=False)
+        cnts = counts_tbl["cnt"].to_numpy(zero_copy_only=False)
+        mat = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        rows = _cms_rows(toks)
+        for d in range(_CMS_DEPTH):
+            np.add.at(mat[d], rows[d], cnts)
+        order = np.lexsort((toks, -cnts))[:candidates_per_block]
+        return pa.table(
+            {
+                "sketch": pa.array([mat.tobytes()], pa.large_binary()),
+                "cand_tokens": pa.array([list(toks[order])], pa.list_(pa.string())),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow", batch_size=None).to_pandas()
+    mat = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    cands: set[str] = set()
+    for _, r in rows.iterrows():
+        mat += np.frombuffer(r["sketch"], dtype=np.int64).reshape(_CMS_DEPTH, _CMS_WIDTH)
+        cands.update(r["cand_tokens"])
+
+    cand_arr = np.array(sorted(cands), dtype=object)
+    hrows = _cms_rows(cand_arr)
+    est = np.min(
+        np.stack([mat[d][hrows[d]] for d in range(_CMS_DEPTH)]), axis=0
+    )
+    df = pd.DataFrame({"token": cand_arr, "est_cnt": est.astype(np.int64)})
+    return (
+        df.sort_values(["est_cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "q3_top_orders",
     "sessionize_events",
     "pivot_user_event_counts",
+    "top_tokens_docs",
 ]
 
 

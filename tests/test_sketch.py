@@ -44,3 +44,18 @@ def test_hll_query_matches_exact_within_tolerance(ray_session, sf_small):
     assert len(merged) == len(exact)
     rel = (merged["n_distinct"] - merged["n_users"]).abs() / merged["n_users"]
     assert (rel < 0.065).all(), merged
+
+
+def test_cms_top_tokens_matches_exact(ray_session, sf_small):
+    """CMS heavy hitters: same top-20 token SET as exact (the planted
+    corpus vocabulary is far below the 4×16384 sketch capacity, so
+    collisions cannot reorder the heavy head), and every estimate is an
+    upper bound within 1% of the true count."""
+    import __ray_entry__ as entry
+
+    exact = entry.queries()["top_tokens_docs"](sf_small)
+    approx = entry.queries()["cms_top_tokens_docs"](sf_small)
+    assert set(approx["token"]) == set(exact["token"])
+    merged = exact.merge(approx, on="token")
+    assert (merged["est_cnt"] >= merged["cnt"]).all()
+    assert ((merged["est_cnt"] - merged["cnt"]) / merged["cnt"] < 0.01).all()
