@@ -580,6 +580,22 @@ def _cms_top_tokens_docs(sf_dir: str):
 
 
 from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
+from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
+
+
+def _corpus_clean_exact(sf_dir: str):
+    """Composite cleaning flow, SQL-checkable stages (filter + exact
+    dedup with planted copies)."""
+    from import_ray.pipelines.corpus import corpus_clean_exact
+
+    return corpus_clean_exact(sf_dir)
+
+
+def _corpus_clean(sf_dir: str):
+    """Full cleaning flow incl. MinHash near-dup removal (rows-only)."""
+    from import_ray.pipelines.corpus import corpus_clean
+
+    return corpus_clean(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -610,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "top_tokens_docs": _top_tokens_docs,
         "cms_top_tokens_docs": _cms_top_tokens_docs,
+        "corpus_clean_exact": _corpus_clean_exact,
+        "corpus_clean": _corpus_clean,
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "token_stats_docs": _token_stats,
@@ -664,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": R.SESSIONIZE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
         "top_tokens_docs": TOP_TOKENS_ORACLE,
+        "corpus_clean_exact": CORPUS_CLEAN_ORACLE,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),

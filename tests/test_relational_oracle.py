@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "sessionize_events",
     "pivot_user_event_counts",
     "top_tokens_docs",
+    "corpus_clean_exact",
 ]
 
 
