@@ -49,6 +49,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from import_ray.core.arrowutil import from_pandas_clean
 
 from import_ray.core import vocab
 from import_ray.core.model import strip_namespace
@@ -95,7 +96,7 @@ def _triple_table(frames: list[pd.DataFrame]) -> pa.Table:
     df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         columns=_TRIPLE_COLS
     )
-    return pa.Table.from_pandas(df[_TRIPLE_COLS].astype(str), preserve_index=False)
+    return from_pandas_clean(df[_TRIPLE_COLS].astype(str), preserve_index=False)
 
 
 def _const_frame(n: int, **cols) -> pd.DataFrame:
@@ -450,7 +451,7 @@ class ObservationsKernel(_BroadcastMixin):
         out = out[~out["value"].isin(_INVALID_VALUES)].reset_index(drop=True)
         out["provenance"] = self.prov
         out["file_order"] = np.int64(self.file_order)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out[_OBS_COLS + ["file_order"]], preserve_index=False
         )
 
@@ -477,7 +478,7 @@ class EventCountsKernel(_BroadcastMixin):
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(counts, preserve_index=False)
+        return from_pandas_clean(counts, preserve_index=False)
 
 
 class EventTriplesKernel(_BroadcastMixin):
@@ -910,7 +911,7 @@ def run_config_import_ray(
 
     triple_parts.append(
         _rd.from_arrow(
-            pa.Table.from_pandas(
+            from_pandas_clean(
                 pd.DataFrame(
                     source_rows,
                     columns=_TRIPLE_COLS,

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 from import_ray.stages.text import _text_col, _token_counts
 
+from import_ray.core.arrowutil import from_pandas_clean
+
 _PLANT_OFFSET = 1_000_000
 
 
@@ -33,8 +35,11 @@ def _read_docs(sf_dir: str):
     from import_ray.core.context import configure_data_context
 
     configure_data_context()
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
     )
 
 
@@ -87,7 +92,7 @@ def _exact_keep_ids(filtered_ds, n: int):
     def block_min(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         keep = df.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
-        return pa.Table.from_pandas(keep[["doc_id"]], preserve_index=False)
+        return from_pandas_clean(keep[["doc_id"]], preserve_index=False)
 
     keys = filtered_ds.map_batches(_content_keys, batch_format="pyarrow")
     ensure_hash_shuffle(keys)

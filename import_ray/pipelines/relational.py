@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from import_ray.core.arrowutil import from_pandas_clean
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
@@ -31,7 +33,12 @@ def _read(sf_dir: str, table: str, columns=None):
     from import_ray.core.context import configure_data_context
 
     configure_data_context()
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip the files' embedded pandas metadata (dicts in it defeat Ray's
+    # schema-dedup hash on every shuffle bundle); metadata-only, zero-copy
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def _read_pandas(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
@@ -194,7 +201,7 @@ def q3_top_orders(sf_dir: str):
         g = g.sort_values(
             ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="mergesort"
         ).head(10)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from import_ray.core.context import ensure_hash_shuffle
 
@@ -532,7 +539,7 @@ def orders_running_total(sf_dir: str):
         df["price_cents"] = _cents(df["o_totalprice"].to_numpy())
         df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
         df["running_cents"] = df.groupby("o_custkey", sort=False)["price_cents"].cumsum()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             df[["o_orderkey", "o_custkey", "running_cents"]], preserve_index=False
         )
 
@@ -585,7 +592,7 @@ def purchase_last_signup(sf_dir: str):
         )
         out = joined[["event_id", "user_id", "signup_event_id"]].copy()
         out["signup_event_id"] = out["signup_event_id"].astype("Int64").fillna(-1).astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     from import_ray.core.context import ensure_hash_shuffle
 
@@ -783,7 +790,7 @@ def top_orders_per_priority(sf_dir: str, k: int = 3):
             kind="mergesort",
         )
         out = df.groupby("o_orderpriority", sort=False).head(k)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out[["o_orderpriority", "o_orderkey", "price_cents"]],
             preserve_index=False,
         )
@@ -851,7 +858,7 @@ def purchase_click_window(sf_dir: str):
         )
         out = p[["event_id", "user_id"]].copy()
         out["n_clicks"] = out["event_id"].map(counts).fillna(0).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     from import_ray.core.context import ensure_hash_shuffle
 
@@ -891,7 +898,7 @@ def events_sliding_counts(sf_dir: str):
             }
         )
         g = df.groupby(["event_type", "day"], sort=False).size().reset_index(name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -972,7 +979,7 @@ def price_percentiles_by_flag(sf_dir: str, quantiles=(0.5, 0.9)):
         g = df.groupby(["l_returnflag", "bucket"], sort=False).size().reset_index(
             name="cnt"
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     # partials are #blocks × (#flags × domain/4096) rows — schema-scale,
     # so merge driver-side (a shuffle groupby here measured 10× the cost
@@ -1017,7 +1024,7 @@ def price_percentiles_by_flag(sf_dir: str, quantiles=(0.5, 0.9)):
             .size()
             .reset_index(name="cnt")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     fine = (
         ds.map_batches(fine_partials, batch_format="pyarrow", batch_size=None)
@@ -1082,7 +1089,7 @@ def distinct_users_by_type(sf_dir: str):
                 "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
             }
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             df.drop_duplicates(), preserve_index=False
         )
 
@@ -1097,7 +1104,7 @@ def distinct_users_by_type(sf_dir: str):
             }
         ).drop_duplicates()
         g = df.groupby("event_type", sort=False).size().reset_index(name="n_users")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from import_ray.core.context import ensure_hash_shuffle
 
@@ -1148,7 +1155,7 @@ def lineitem_rollup(sf_dir: str):
             .reset_index()
         )
         g["sum_qty"] = g["sum_qty"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     fine = (
         ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
@@ -1270,7 +1277,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         df["session_idx"] = (
             new_session.astype(np.int64).groupby(df["user_id"], sort=False).cumsum()
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             df[["event_id", "user_id", "session_idx"]], preserve_index=False
         )
 
@@ -1323,7 +1330,7 @@ def pivot_user_event_counts(sf_dir: str):
         g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(
             name="cnt"
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def block_pivot(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1338,7 +1345,7 @@ def pivot_user_event_counts(sf_dir: str):
         wide.columns = ["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES]
         for c in wide.columns[1:]:
             wide[c] = wide[c].astype(np.int64)
-        return pa.Table.from_pandas(wide, preserve_index=False)
+        return from_pandas_clean(wide, preserve_index=False)
 
     from import_ray.core.context import ensure_hash_shuffle
 

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from import_ray.core.arrowutil import from_pandas_clean
+
 from import_ray.stages.neardup import _shingle_hashes_flat, _split_flat
 
 
@@ -220,7 +222,7 @@ def top_tokens(ds, k: int = 20):
         g = g.sort_values(
             ["cnt", "token"], ascending=[False, True], kind="mergesort"
         ).head(k)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     partials = (
         ds.map_batches(_batch_token_counts, batch_format="pyarrow", batch_size=None)
