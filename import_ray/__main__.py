@@ -26,8 +26,10 @@ def _init_ray():
     import ray
 
     if not ray.is_initialized():
+        # under `ray job submit` the runtime sets RAY_ADDRESS and init
+        # attaches to the cluster; standalone runs default to local mode
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
@@ -80,6 +82,25 @@ def cmd_simple_import(args) -> int:
     return 0
 
 
+def cmd_kg_job(args) -> int:
+    """The north-star flagship as a submittable job: transcripts →
+    canonical triples in ``<out>/shard=*/part_key=*/`` with per-shard
+    lineage manifests; a rerun resumes (skips finished shards). On a
+    cluster: ``ray job submit --working-dir . -- python -m import_ray
+    kg-job --input ... --output-dir ...`` (the entrypoint attaches via
+    RAY_ADDRESS; nothing else changes)."""
+    from import_ray.pipelines.kg import run_kg_job
+
+    summary = run_kg_job(
+        args.input,
+        args.output_dir,
+        shard_size=args.shard_size,
+        n_buckets=args.n_buckets,
+    )
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="import_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +134,16 @@ def main(argv=None) -> int:
         help="also emit the Custom-DC sqlite artifact (datacommons.db)",
     )
     simp.set_defaults(fn=cmd_simple_import)
+
+    kg = sub.add_parser(
+        "kg-job",
+        help="transcripts → canonical triples, resumable (ray job submit entrypoint)",
+    )
+    kg.add_argument("--input", required=True, help="transcripts parquet file or dir")
+    kg.add_argument("--output-dir", default="/tmp/import_ray_kg")
+    kg.add_argument("--shard-size", type=int, default=8)
+    kg.add_argument("--n-buckets", type=int, default=64)
+    kg.set_defaults(fn=cmd_kg_job)
 
     args = p.parse_args(argv)
     ray = _init_ray()
