@@ -101,6 +101,23 @@ def cmd_kg_job(args) -> int:
     return 0
 
 
+def cmd_corpus_job(args) -> int:
+    """Resumable corpus cleaning (filter → exact dedup → optional
+    MinHash near-dup) with stage-level checkpoints; same ``ray job
+    submit`` shape as kg-job."""
+    from import_ray.pipelines.corpus import run_corpus_job
+
+    summary = run_corpus_job(
+        args.input,
+        args.output_dir,
+        neardup=args.neardup,
+        shard_size=args.shard_size,
+        n_buckets=args.n_buckets,
+    )
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="import_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +161,17 @@ def main(argv=None) -> int:
     kg.add_argument("--shard-size", type=int, default=8)
     kg.add_argument("--n-buckets", type=int, default=64)
     kg.set_defaults(fn=cmd_kg_job)
+
+    corp = sub.add_parser(
+        "corpus-job",
+        help="documents → cleaned corpus, resumable stage checkpoints",
+    )
+    corp.add_argument("--input", required=True, help="documents parquet file or dir")
+    corp.add_argument("--output-dir", default="/tmp/import_ray_corpus")
+    corp.add_argument("--neardup", action="store_true")
+    corp.add_argument("--shard-size", type=int, default=4)
+    corp.add_argument("--n-buckets", type=int, default=16)
+    corp.set_defaults(fn=cmd_corpus_job)
 
     args = p.parse_args(argv)
     ray = _init_ray()

@@ -146,6 +146,172 @@ FROM filtered f JOIN keep k USING (doc_id)
 """
 
 
+def _read_doc_files(files):
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+
+    configure_data_context()
+    ds = ray.data.read_parquet(list(files), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
+def run_corpus_job(
+    input_path: str,
+    out_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+    min_distinct_ratio_micro: int = 300_000,
+    neardup: bool = False,
+    neardup_threshold: float = 0.7,
+    shard_size: int = 4,
+    n_buckets: int = 16,
+) -> dict:
+    """Resumable end-to-end corpus cleaning with stage-level checkpoints.
+
+    Global dedup cannot be resumed shard-by-shard (duplicates cross
+    shard boundaries), so the job splits at semantic boundaries:
+
+    1. ``stats/shard=*``  — per-input-shard, embarrassingly parallel and
+       resumable (``run_resumable``): tokenize + quality filter + 128-bit
+       content keys → (doc_id, h1, h2, n_tokens). This is the expensive
+       stage (reads every byte of text); a rerun skips finished shards.
+    2. ``keep/``  — GLOBAL: min-doc_id per content hash over the key
+       rows (28 B/row — bodies never move), optionally followed by
+       MinHash near-dup cluster representatives. Checkpointed against a
+       fingerprint of the stage-1 manifest + parameters
+       (``run_stage``): any shard rebuild forces a keep rebuild.
+    3. ``clean/part_key=*`` — GLOBAL: stats ⋈ keep semi-join →
+       surviving (doc_id, n_tokens), hash-bucketed parquet.
+
+    Returns a per-stage summary. Output layout is auditable lineage:
+    which input files fed which stats shard (manifest.jsonl), and which
+    stage fingerprints produced keep/clean (_stage.json).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from import_ray.core.context import (
+        data_nparts,
+        ensure_hash_shuffle,
+    )
+    from import_ray.state.lineage import (
+        manifest_fingerprint,
+        run_resumable,
+        run_stage,
+        _count_parquet_rows,
+    )
+
+    if os.path.isdir(input_path):
+        files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+
+    stats_dir = os.path.join(out_dir, "stats")
+    keep_dir = os.path.join(out_dir, "keep")
+    clean_dir = os.path.join(out_dir, "clean")
+
+    def build_stats(shard_files):
+        def kernel(batch: pa.Table) -> pa.Table:
+            out = _stats_filter(
+                batch, min_tokens, max_tokens, min_distinct_ratio_micro
+            )
+            keys = _content_keys(out)
+            return keys.append_column("n_tokens", out["n_tokens"])
+
+        return _read_doc_files(shard_files).map_batches(
+            kernel, batch_format="pyarrow"
+        )
+
+    stats_summary = run_resumable(
+        files, stats_dir, build_stats, shard_size=shard_size
+    )
+
+    def stats_ds():
+        shards = sorted(
+            _glob.glob(
+                os.path.join(stats_dir, "shard=*", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        ds = ray.data.read_parquet(shards)
+        return ensure_hash_shuffle(ds)
+
+    params_fp = (
+        f"{min_tokens}:{max_tokens}:{min_distinct_ratio_micro}:"
+        f"{neardup}:{neardup_threshold}"
+    )
+    keep_fp = manifest_fingerprint(stats_dir) + ":" + params_fp
+
+    def build_keep(tmp_dir):
+        keys = stats_ds()
+        n = data_nparts(keys)
+
+        def block_min(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            keep = df.groupby(["h1", "h2"], sort=False)["doc_id"].min()
+            return from_pandas_clean(
+                keep.reset_index()[["doc_id"]], preserve_index=False
+            )
+
+        exact = keys.repartition(n, keys=["h1", "h2"]).map_batches(
+            block_min, batch_format="pyarrow", batch_size=None
+        )
+        if neardup:
+            # near-dup needs text: re-read only the exact-unique docs
+            docs = _read_doc_files(files).join(
+                exact, join_type="left_semi", num_partitions=n, on=("doc_id",)
+            )
+            from import_ray.stages.neardup import minhash_dedup
+
+            labels = minhash_dedup(docs, threshold=neardup_threshold)
+            exact = labels.map_batches(
+                lambda b: b.filter(
+                    pc.equal(b["doc_id"], b["cluster_id"])
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            )
+        exact.write_parquet(tmp_dir)
+        return _count_parquet_rows(tmp_dir)
+
+    keep_summary = run_stage(keep_dir, keep_fp, build_keep)
+
+    def build_clean(tmp_dir):
+        keys = stats_ds()
+        n = data_nparts(keys)
+        keep_files = sorted(
+            _glob.glob(os.path.join(keep_dir, "**", "*.parquet"), recursive=True)
+        )
+        keep = ensure_hash_shuffle(ray.data.read_parquet(keep_files))
+        out = keys.select_columns(["doc_id", "n_tokens"]).join(
+            keep, join_type="left_semi", num_partitions=n, on=("doc_id",)
+        )
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pk = (ids % n_buckets).astype(np.int32)
+            return batch.append_column("part_key", pa.array(pk, pa.int32()))
+
+        out.map_batches(bucket, batch_format="pyarrow").write_parquet(
+            tmp_dir, partition_cols=["part_key"]
+        )
+        return _count_parquet_rows(tmp_dir)
+
+    clean_summary = run_stage(clean_dir, keep_fp + f":{n_buckets}", build_clean)
+
+    return {
+        "stats": stats_summary,
+        "keep": keep_summary,
+        "clean": clean_summary,
+        "rows_clean": clean_summary["rows"],
+    }
+
+
 def corpus_clean(
     sf_dir: str,
     min_tokens: int = 20,

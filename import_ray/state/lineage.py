@@ -111,6 +111,62 @@ def run_resumable(
     return summary
 
 
+def manifest_fingerprint(out_dir: str) -> str:
+    """Fingerprint of a completed shard manifest — the upstream-lineage
+    key for a GLOBAL stage: any shard rebuild (new inputs, changed
+    fingerprint, different row count) changes it, forcing downstream
+    global stages to rebuild."""
+    entries = load_manifest(out_dir)
+    parts = [
+        f"{sid}:{e.get('fingerprint')}:{e.get('rows')}"
+        for sid, e in sorted(entries.items())
+    ]
+    from import_ray.functions.farmhash import fingerprint64
+
+    return format(fingerprint64("|".join(parts)), "016x")
+
+
+def run_stage(stage_dir: str, fingerprint: str, build_fn) -> dict:
+    """Checkpoint a GLOBAL (non-shardable) stage: if ``stage_dir`` was
+    completed under the same upstream ``fingerprint``, skip; else build
+    into a tmp dir via ``build_fn(tmp_dir) -> rows`` and atomically
+    rename. Complements ``run_resumable`` for stages whose semantics
+    are corpus-wide (global dedup keep-sets, final joins) and therefore
+    cannot be resumed shard-by-shard.
+    """
+    marker = os.path.join(stage_dir, "_stage.json")
+    if os.path.isdir(stage_dir) and os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                prev = json.load(f)
+            if prev.get("fingerprint") == fingerprint:
+                return {"built": 0, "skipped": 1, "rows": prev.get("rows", 0)}
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp_dir = stage_dir.rstrip("/") + "._tmp"
+    for d in (tmp_dir, stage_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    os.makedirs(tmp_dir)
+    t0 = time.time()
+    rows = build_fn(tmp_dir)
+    with open(os.path.join(tmp_dir, "_stage.json"), "w") as f:
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "rows": rows,
+                "wall_sec": round(time.time() - t0, 3),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+            f,
+            sort_keys=True,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp_dir, stage_dir)
+    return {"built": 1, "skipped": 0, "rows": rows}
+
+
 def _count_parquet_rows(d: str) -> int:
     import pyarrow.parquet as pq
 
