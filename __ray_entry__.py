@@ -581,6 +581,41 @@ def _cms_top_tokens_docs(sf_dir: str):
 
 from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
 from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
+from import_ray.stages.scrub import (
+    HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
+    PII_REDACT_SQL as PII_REDACT_ORACLE,
+)
+
+
+def _pii_redact_planted(sf_dir: str):
+    """Vectorized RE2 PII redaction (emails/phones planted
+    deterministically; the oracle plants identically in SQL)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.scrub import pii_redact, plant_pii
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(plant_pii, batch_format="pyarrow").map_batches(
+        pii_redact, batch_format="pyarrow"
+    )
+
+
+def _hash_sample_docs(sf_dir: str):
+    """Deterministic multiplicative-hash Bernoulli sample (~20%)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.scrub import hash_sample
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(hash_sample, batch_format="pyarrow")
 
 
 def _corpus_clean_exact(sf_dir: str):
@@ -624,6 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
+        "customer_order_gaps": R.customer_order_gaps,
+        "pii_redact_planted": _pii_redact_planted,
+        "hash_sample_docs": _hash_sample_docs,
         "top_tokens_docs": _top_tokens_docs,
         "cms_top_tokens_docs": _cms_top_tokens_docs,
         "corpus_clean_exact": _corpus_clean_exact,
@@ -681,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
+        "customer_order_gaps": R.ORDER_GAPS_SQL,
+        "pii_redact_planted": PII_REDACT_ORACLE,
+        "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,
         "corpus_clean_exact": CORPUS_CLEAN_ORACLE,
         "dedup_exact_docs": (

@@ -1368,3 +1368,71 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# --- lead/lag window: per-customer order gaps --------------------------------
+#     LAG() OVER (PARTITION BY ... ORDER BY ...) re-expressed Ray-native:
+#     hash-repartition on the partition key co-locates each customer's
+#     orders in one block, then a vectorized pandas sort + groupby-diff
+#     computes consecutive-order day gaps with no per-row Python.
+
+
+def customer_order_gaps(sf_dir: str):
+    """(o_custkey, n_orders, min_gap_days, max_gap_days) for customers
+    with ≥2 orders; gap = days between consecutive orders (ties broken
+    by o_orderkey, matching the oracle's window ORDER BY)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = (
+            pd.to_datetime(df["o_orderdate"]).values.astype("datetime64[D]").astype(np.int64)
+        )
+        df = df.sort_values(["o_custkey", "day", "o_orderkey"], kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)
+        gaps = g["day"].diff()  # NaN on each customer's first order
+        out = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "gap": gaps,
+            }
+        )
+        agg = out.groupby("o_custkey", sort=False).agg(
+            n_orders=("gap", "size"),
+            min_gap_days=("gap", "min"),
+            max_gap_days=("gap", "max"),
+            n_gaps=("gap", "count"),
+        )
+        agg = agg[agg["n_gaps"] >= 1].reset_index()
+        for c in ("n_orders", "min_gap_days", "max_gap_days"):
+            agg[c] = agg[c].astype(np.int64)
+        return from_pandas_clean(
+            agg[["o_custkey", "n_orders", "min_gap_days", "max_gap_days"]],
+            preserve_index=False,
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["o_custkey"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM g
+GROUP BY o_custkey
+HAVING COUNT(gap) >= 1
+"""

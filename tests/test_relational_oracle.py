@@ -31,6 +31,9 @@ NEW_QUERIES = [
     "pivot_user_event_counts",
     "top_tokens_docs",
     "corpus_clean_exact",
+    "customer_order_gaps",
+    "pii_redact_planted",
+    "hash_sample_docs",
 ]
 
 
