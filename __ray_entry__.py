@@ -587,6 +587,34 @@ from import_ray.stages.scrub import (
 )
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means bucketing of the embeddings table
+    (rows-only: iterative, not SQL-expressible; the planted twin
+    ``kmeans_planted_purity`` is value-checked)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.clustering import kmeans
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans(ds, k=8, iters=3).select_columns(["vec_id", "cluster_id"])
+
+
+def _kmeans_planted(sf_dir: str):
+    from import_ray.stages.clustering import kmeans_planted_purity
+
+    return kmeans_planted_purity(n=200, groups=5)
+
+
+KMEANS_PLANTED_ORACLE = (
+    "SELECT DISTINCT CAST(vec_id % 5 AS BIGINT) AS group_id, TRUE AS pure "
+    "FROM embeddings WHERE vec_id < 200"
+)
+
+
 def _pii_redact_planted(sf_dir: str):
     """Vectorized RE2 PII redaction (emails/phones planted
     deterministically; the oracle plants identically in SQL)."""
@@ -660,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "kmeans_planted_purity": _kmeans_planted,
         "pii_redact_planted": _pii_redact_planted,
         "hash_sample_docs": _hash_sample_docs,
         "top_tokens_docs": _top_tokens_docs,
@@ -720,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": R.SESSIONIZE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
         "customer_order_gaps": R.ORDER_GAPS_SQL,
+        "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "distinct_users_by_type",
     "purchase_click_window",
     "hll_distinct_users",
+    "pii_redact_planted",
+    "customer_order_gaps",
 ]
 
 

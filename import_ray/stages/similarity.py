@@ -142,10 +142,20 @@ def knn_cosine(
 
 def _kmeans(data: np.ndarray, k: int, iters: int = 10, seed: int = 17) -> np.ndarray:
     """Small deterministic Lloyd's k-means on normalized vectors
-    (driver-side, on a sample) → centroid matrix."""
-    rng = np.random.default_rng(seed)
+    (driver-side, on a sample) → centroid matrix.
+
+    Init is k-center greedy (farthest-point): deterministic and
+    spread-guaranteeing — uniform choice can draw two seeds from one
+    tight cluster and none from another, which Lloyd cannot repair."""
     data = _normalize(data.astype(np.float64))
-    centroids = data[rng.choice(len(data), size=min(k, len(data)), replace=False)]
+    k = min(k, len(data))
+    seeds = [0]
+    nearest = data @ data[0]
+    for _ in range(k - 1):
+        idx = int(np.argmin(nearest))
+        seeds.append(idx)
+        nearest = np.maximum(nearest, data @ data[idx])
+    centroids = data[seeds]
     for _ in range(iters):
         assign = np.argmax(data @ centroids.T, axis=1)
         for c in range(len(centroids)):

@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "customer_order_gaps",
     "pii_redact_planted",
     "hash_sample_docs",
+    "kmeans_planted_purity",
 ]
 
 
