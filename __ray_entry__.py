@@ -581,10 +581,26 @@ def _cms_top_tokens_docs(sf_dir: str):
 
 from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
 from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
+from import_ray.stages.text import DOC_RARITY_SQL as DOC_RARITY_ORACLE
 from import_ray.stages.scrub import (
     HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
     PII_REDACT_SQL as PII_REDACT_ORACLE,
 )
+
+
+def _doc_rarity_stats(sf_dir: str):
+    """tf-idf-shaped df pipeline: distinct doc-token pairs → token
+    document frequency → join back → per-doc integer rollups."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.text import doc_rarity_stats
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return doc_rarity_stats(ds)
 
 
 def _kmeans_embeddings(sf_dir: str):
@@ -688,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
+        "doc_rarity_stats": _doc_rarity_stats,
         "kmeans_embeddings": _kmeans_embeddings,
         "kmeans_planted_purity": _kmeans_planted,
         "pii_redact_planted": _pii_redact_planted,
@@ -751,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_user_event_counts": R.PIVOT_SQL,
         "customer_order_gaps": R.ORDER_GAPS_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
+        "doc_rarity_stats": DOC_RARITY_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,

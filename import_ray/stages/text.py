@@ -312,3 +312,78 @@ def cms_top_tokens(ds, k: int = 20, candidates_per_block: int = 200):
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# --- tf-idf-shaped document-frequency pipeline -------------------------------
+
+
+def _distinct_doc_tokens(batch: pa.Table) -> pa.Table:
+    """Distinct (doc_id, token) pairs for a batch — the tokenizer's
+    flat dictionary-encode + one packed np.unique, no per-doc loops."""
+    text = _text_col(batch)
+    lists = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "tok": pa.array([], pa.string())}
+        )
+    parents = (
+        pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.unique((parents << np.int64(32)) | codes)
+    up, uc = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[up]),
+            "tok": pc.take(d.dictionary, pa.array(uc)),
+        }
+    )
+
+
+def doc_rarity_stats(ds):
+    """Per-doc document-frequency aggregates — the tf-idf join shape:
+    distinct (doc, token) pairs → token df (grouped count) → hash join
+    df back onto the pairs → per-doc integer rollups. Exact-integer
+    outputs keep the DuckDB oracle hash-comparable (float idf sums are
+    order-dependent; ``ln(N/df)`` is a trivial per-row map away).
+
+    Shuffle shape at 100 TB: pairs are (int64, token) rows bounded by
+    corpus token occurrences AFTER per-doc dedup; df is vocabulary-
+    scale; the join + final groupby shuffle key-sized rows only."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    n = data_nparts(ds)
+    pairs = ds.map_batches(_distinct_doc_tokens, batch_format="pyarrow")
+    df = pairs.groupby("tok", num_partitions=n).aggregate(
+        Count(alias_name="df")
+    )
+    joined = pairs.join(df, join_type="inner", num_partitions=n, on=("tok",))
+    out = joined.groupby("doc_id", num_partitions=n).aggregate(
+        Count(alias_name="n_distinct_tokens"),
+        Sum("df", alias_name="sum_df"),
+        Min("df", alias_name="min_df"),
+    )
+    return out
+
+
+DOC_RARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(d.df) AS BIGINT) AS sum_df,
+       CAST(MIN(d.df) AS BIGINT) AS min_df
+FROM pairs p JOIN df d USING (tok)
+GROUP BY p.doc_id
+"""

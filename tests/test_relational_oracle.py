@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "pii_redact_planted",
     "hash_sample_docs",
     "kmeans_planted_purity",
+    "doc_rarity_stats",
 ]
 
 
