@@ -582,10 +582,46 @@ def _cms_top_tokens_docs(sf_dir: str):
 from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
 from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
 from import_ray.stages.text import DOC_RARITY_SQL as DOC_RARITY_ORACLE
+from import_ray.stages.chunking import CHUNK_DOCS_SQL_TEMPLATE
+
+CHUNK_DOCS_ORACLE = CHUNK_DOCS_SQL_TEMPLATE.format(window=64, stride=48)
 from import_ray.stages.scrub import (
     HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
     PII_REDACT_SQL as PII_REDACT_ORACLE,
 )
+
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
+
+
+def _chunk_docs(sf_dir: str):
+    """Context-window chunking (window 64, stride 48) over documents."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.chunking import chunk_docs
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_docs(ds, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+
+def _pack_docs(sf_dir: str):
+    """Greedy FFD sequence packing into 512-token windows (rows-only:
+    block-local packing is not SQL-expressible; invariants tested in
+    tests/test_chunking.py)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.chunking import pack_sequences
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, capacity=512)
 
 
 def _doc_rarity_stats(sf_dir: str):
@@ -705,6 +741,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
         "doc_rarity_stats": _doc_rarity_stats,
+        "chunk_docs": _chunk_docs,
+        "pack_docs": _pack_docs,
         "kmeans_embeddings": _kmeans_embeddings,
         "kmeans_planted_purity": _kmeans_planted,
         "pii_redact_planted": _pii_redact_planted,
@@ -769,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_gaps": R.ORDER_GAPS_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
+        "chunk_docs": CHUNK_DOCS_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,

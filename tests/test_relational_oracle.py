@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "hash_sample_docs",
     "kmeans_planted_purity",
     "doc_rarity_stats",
+    "chunk_docs",
 ]
 
 
