@@ -624,6 +624,32 @@ def _pack_docs(sf_dir: str):
     return pack_sequences(ds, capacity=512)
 
 
+def _bloom_semi_orders(sf_dir: str):
+    """Bloom-prefiltered exact semi-join: orders of BUILDING-segment
+    customers. The Bloom stage cuts the fact-side exchange to
+    selectivity + FP-rate of rows; the trailing hash semi-join makes
+    the result exact."""
+    from import_ray.pipelines.relational import _read
+    from import_ray.stages.bloom import bloom_semi_join
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .rename_columns({"c_custkey": "o_custkey"})
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from import_ray.core.context import data_nparts
+
+    return bloom_semi_join(orders, cust, on="o_custkey", num_partitions=data_nparts(orders))
+
+
+BLOOM_SEMI_ORACLE = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 def _doc_rarity_stats(sf_dir: str):
     """tf-idf-shaped df pipeline: distinct doc-token pairs → token
     document frequency → join back → per-doc integer rollups."""
@@ -740,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
+        "bloom_semi_orders": _bloom_semi_orders,
         "doc_rarity_stats": _doc_rarity_stats,
         "chunk_docs": _chunk_docs,
         "pack_docs": _pack_docs,
@@ -808,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "chunk_docs": CHUNK_DOCS_ORACLE,
+        "bloom_semi_orders": BLOOM_SEMI_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,

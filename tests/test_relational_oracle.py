@@ -37,6 +37,7 @@ NEW_QUERIES = [
     "kmeans_planted_purity",
     "doc_rarity_stats",
     "chunk_docs",
+    "bloom_semi_orders",
 ]
 
 
