@@ -624,6 +624,76 @@ def _pack_docs(sf_dir: str):
     return pack_sequences(ds, capacity=512)
 
 
+_DECON_OFFSET = 3_000_000
+
+
+def _bench_filter(b):
+    """docs with doc_id % 25 == 0 (numpy mask; pyarrow lacks modulo)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return b.filter(pa.array(ids % 25 == 0))
+
+
+def _decontam_planted(sf_dir: str):
+    """Benchmark decontamination, planted oracle: benchmark = docs with
+    doc_id % 25 == 0; corpus = all docs + exact copies of the benchmark
+    (id + offset). Contaminated (containment ≥ 0.99) must be exactly
+    the benchmark members and their copies."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.decontam import benchmark_shingle_set, decontaminate
+
+    configure_data_context()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    bench = docs.map_batches(_bench_filter, batch_format="pyarrow")
+
+    def plant(b: pa.Table) -> pa.Table:
+        sub = _bench_filter(b)
+        copies = pa.table(
+            {
+                "doc_id": pc.add(sub["doc_id"], _DECON_OFFSET),
+                "text": sub["text"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)]).combine_chunks()
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow")
+    out = decontaminate(corpus, benchmark_shingle_set(bench), frac_threshold=0.99)
+    return out.map_batches(
+        lambda b: b.filter(b["contaminated"]), batch_format="pyarrow"
+    ).select_columns(["doc_id", "contaminated"])
+
+
+DECONTAM_PLANTED_ORACLE = f"""
+SELECT doc_id, TRUE AS contaminated FROM documents WHERE doc_id % 25 = 0
+UNION ALL
+SELECT doc_id + {_DECON_OFFSET} AS doc_id, TRUE AS contaminated
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _decontam_docs(sf_dir: str):
+    """Bulk decontamination stats at containment 0.5 (rows-only)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.decontam import benchmark_shingle_set, decontaminate
+
+    configure_data_context()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    bench = docs.map_batches(_bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, benchmark_shingle_set(bench), frac_threshold=0.5)
+
+
 def _bloom_semi_orders(sf_dir: str):
     """Bloom-prefiltered exact semi-join: orders of BUILDING-segment
     customers. The Bloom stage cuts the fact-side exchange to
@@ -767,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
         "bloom_semi_orders": _bloom_semi_orders,
+        "decontam_planted": _decontam_planted,
+        "decontam_docs": _decontam_docs,
         "doc_rarity_stats": _doc_rarity_stats,
         "chunk_docs": _chunk_docs,
         "pack_docs": _pack_docs,
@@ -836,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "chunk_docs": CHUNK_DOCS_ORACLE,
         "bloom_semi_orders": BLOOM_SEMI_ORACLE,
+        "decontam_planted": DECONTAM_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,

@@ -38,6 +38,7 @@ NEW_QUERIES = [
     "doc_rarity_stats",
     "chunk_docs",
     "bloom_semi_orders",
+    "decontam_planted",
 ]
 
 
