@@ -229,7 +229,13 @@ def run_corpus_job(
         )
 
     stats_summary = run_resumable(
-        files, stats_dir, build_stats, shard_size=shard_size
+        files,
+        stats_dir,
+        build_stats,
+        shard_size=shard_size,
+        extra_fingerprint=(
+            f"{min_tokens}:{max_tokens}:{min_distinct_ratio_micro}"
+        ),
     )
 
     def stats_ds():

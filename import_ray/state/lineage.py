@@ -68,8 +68,13 @@ def run_resumable(
     build_fn,
     shard_size: int = 4,
     write_kwargs: dict | None = None,
+    extra_fingerprint: str = "",
 ) -> dict:
     """Run ``build_fn(files) -> Dataset`` per input shard, resumably.
+
+    ``extra_fingerprint`` must encode every behavior-affecting option of
+    ``build_fn`` — a rerun with changed options rebuilds rather than
+    silently reusing stale shards.
 
     Returns a summary: shards total/skipped/built, rows built.
     """
@@ -80,6 +85,8 @@ def run_resumable(
     for idx, files in enumerate(shards):
         shard_id = f"{idx:05d}"
         fp = input_fingerprint(files)
+        if extra_fingerprint:
+            fp = fp + ":" + extra_fingerprint
         final_dir = os.path.join(out_dir, f"shard={shard_id}")
         prev = manifest.get(shard_id)
         if prev and prev.get("fingerprint") == fp and os.path.isdir(final_dir):

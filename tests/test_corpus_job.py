@@ -99,6 +99,12 @@ def test_corpus_job_partial_rebuild_on_input_change(ray_session, tmp_path):
     assert s["stats"]["built"] == 0
     assert s["keep"]["skipped"] == 1 and s["clean"]["built"] == 1
 
+    # changing a FILTER parameter invalidates the stats shards too
+    # (option change must never silently reuse stale shard output)
+    s = run_corpus_job(str(in_dir), out, shard_size=1, n_buckets=4, min_tokens=25)
+    assert s["stats"]["built"] == 2
+    assert s["keep"]["built"] == 1 and s["clean"]["built"] == 1
+
     # manifest records lineage per shard
     manifest = [
         json.loads(line)
