@@ -583,8 +583,10 @@ from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
 from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
 from import_ray.stages.text import DOC_RARITY_SQL as DOC_RARITY_ORACLE
 from import_ray.stages.chunking import CHUNK_DOCS_SQL_TEMPLATE
+from import_ray.stages.text import OOV_STATS_SQL_TEMPLATE
 
 CHUNK_DOCS_ORACLE = CHUNK_DOCS_SQL_TEMPLATE.format(window=64, stride=48)
+OOV_STATS_ORACLE = OOV_STATS_SQL_TEMPLATE.format(k=20)
 from import_ray.stages.scrub import (
     HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
     PII_REDACT_SQL as PII_REDACT_ORACLE,
@@ -720,6 +722,21 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+def _oov_stats_docs(sf_dir: str):
+    """Out-of-vocabulary token counts vs the corpus top-20 vocabulary
+    (broadcast-vocab unigram scoring shape)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.text import oov_stats
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return oov_stats(ds, vocab_k=20)
+
+
 def _doc_rarity_stats(sf_dir: str):
     """tf-idf-shaped df pipeline: distinct doc-token pairs → token
     document frequency → join back → per-doc integer rollups."""
@@ -840,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
         "doc_rarity_stats": _doc_rarity_stats,
+        "oov_stats_docs": _oov_stats_docs,
         "chunk_docs": _chunk_docs,
         "pack_docs": _pack_docs,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -906,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_gaps": R.ORDER_GAPS_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
+        "oov_stats_docs": OOV_STATS_ORACLE,
         "chunk_docs": CHUNK_DOCS_ORACLE,
         "bloom_semi_orders": BLOOM_SEMI_ORACLE,
         "decontam_planted": DECONTAM_PLANTED_ORACLE,

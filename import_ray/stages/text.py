@@ -387,3 +387,76 @@ SELECT p.doc_id,
 FROM pairs p JOIN df d USING (tok)
 GROUP BY p.doc_id
 """
+
+
+# --- OOV-rate scoring against a corpus top-K vocabulary ----------------------
+
+
+def oov_stats(ds, vocab_k: int = 20):
+    """(doc_id, n_tokens, n_oov) — tokens outside the corpus-wide top-K
+    vocabulary. The unigram-LM scoring shape at 100 TB: the vocabulary
+    is built with the heavy-hitter machinery (token-keyed partial
+    counts; only (token, int64) rows shuffle), the tiny top-K table is
+    broadcast into the scorer closure, and each batch counts membership
+    over its UNIQUE tokens only (dictionary-encode then fancy-index).
+    Ties in the vocabulary cut break on (count desc, token asc) —
+    deterministic cross-engine."""
+    vocab = set(top_tokens(ds, k=vocab_k)["token"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        lists = pc.split_pattern(text, pattern=" ")
+        n_tok = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        n = len(n_tok)
+        if n == 0 or len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_tok),
+                    "n_oov": pa.array(np.zeros(n, np.int64)),
+                }
+            )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_oov = np.array(
+            [tok not in vocab for tok in d.dictionary.to_pylist()], bool
+        )
+        parents = (
+            pc.list_parent_indices(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_oov = np.bincount(parents, weights=uniq_oov[codes], minlength=n).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+OOV_STATS_SQL_TEMPLATE = """
+WITH vocab AS (
+  SELECT token
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token
+  LIMIT {k}
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_oov
+FROM toks
+GROUP BY doc_id
+"""

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "chunk_docs",
     "bloom_semi_orders",
     "decontam_planted",
+    "oov_stats_docs",
 ]
 
 
