@@ -37,6 +37,22 @@ def _ensure_worker_importable() -> None:
 _ensure_worker_importable()
 
 
+
+def _read_table(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with pandas schema metadata stripped
+    (dict-valued metadata defeats Ray's schema-dedup hash on every
+    shuffle bundle; metadata-only map, zero-copy)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: deterministic transcripts (derived scale sf0.001)
     → canonical (subject, predicate, object) triples."""
@@ -68,7 +84,7 @@ def _dedup_exact_docs(sf_dir: str):
     from import_ray.core.context import configure_data_context, data_nparts
 
     configure_data_context()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     nparts = data_nparts(ds)
 
     def content_keys(b: pa.Table) -> pa.Table:
@@ -94,7 +110,7 @@ def _token_stats(sf_dir: str):
 
     from import_ray.stages.text import token_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(token_stats, batch_format="pyarrow")
 
 
@@ -103,7 +119,7 @@ def _quality(sf_dir: str):
 
     from import_ray.stages.text import quality_score
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
@@ -112,7 +128,7 @@ def _lang_id(sf_dir: str):
 
     from import_ray.stages.text import LangId
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
@@ -131,7 +147,7 @@ def _knn(sf_dir: str):
     queries = {
         r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
     }
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     return knn_cosine(ds, _KNN_QUERIES, _KNN_K, query_vectors=queries)
 
 
@@ -140,7 +156,7 @@ def _minhash_dedup_docs(sf_dir: str):
 
     from import_ray.stages.neardup import minhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.7)
 
 
@@ -160,7 +176,7 @@ def _minhash_planted_clusters(sf_dir: str):
     from import_ray.core.context import npartitions
     from import_ray.stages.neardup import minhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -214,7 +230,7 @@ def _plant_exact_copies(sf_dir: str, offset: int):
     import pyarrow as pa
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -281,7 +297,7 @@ def _simhash_pairs_docs(sf_dir: str):
 
     from import_ray.stages.neardup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds)
 
 
@@ -290,7 +306,7 @@ def _ngram_jaccard_docs(sf_dir: str):
 
     from import_ray.stages.neardup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
@@ -366,7 +382,7 @@ def _doc_fingerprints(sf_dir: str):
 
     from import_ray.stages.text import doc_fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(doc_fingerprint, batch_format="pyarrow")
 
 
@@ -392,7 +408,7 @@ def _ivf_knn(sf_dir: str):
     queries = {
         r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
     }
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     return ivf_knn(ds, queries, _KNN_K, n_clusters=8, n_probe=5)
 
 
@@ -485,7 +501,7 @@ def _embedding_neardup(sf_dir: str):
 
     from import_ray.stages.similarity import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
@@ -513,7 +529,7 @@ def _events_series(sf_dir: str):
 
     from import_ray.stages.observations import group_series
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"])
+    ds = _read_table(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
 
     def to_obs(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -547,9 +563,7 @@ def _hll_distinct_users(sf_dir: str):
     from import_ray.stages.sketch import hll_distinct
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
-    )
+    ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
     return hll_distinct(ds, "event_type", "user_id")
 
 
@@ -561,7 +575,7 @@ def _top_tokens_docs(sf_dir: str):
     from import_ray.stages.text import top_tokens
 
     configure_data_context()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_table(sf_dir, "documents", ["text"])
     return top_tokens(ds, k=20)
 
 
@@ -575,7 +589,7 @@ def _cms_top_tokens_docs(sf_dir: str):
     from import_ray.stages.text import cms_top_tokens
 
     configure_data_context()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_table(sf_dir, "documents", ["text"])
     return cms_top_tokens(ds, k=20)
 
 
@@ -604,9 +618,7 @@ def _chunk_docs(sf_dir: str):
     from import_ray.stages.chunking import chunk_docs
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return chunk_docs(ds, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
 
 
@@ -620,9 +632,7 @@ def _pack_docs(sf_dir: str):
     from import_ray.stages.chunking import pack_sequences
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return pack_sequences(ds, capacity=512)
 
 
@@ -651,9 +661,7 @@ def _decontam_planted(sf_dir: str):
     from import_ray.stages.decontam import benchmark_shingle_set, decontaminate
 
     configure_data_context()
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     bench = docs.map_batches(_bench_filter, batch_format="pyarrow")
 
     def plant(b: pa.Table) -> pa.Table:
@@ -689,9 +697,7 @@ def _decontam_docs(sf_dir: str):
     from import_ray.stages.decontam import benchmark_shingle_set, decontaminate
 
     configure_data_context()
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     bench = docs.map_batches(_bench_filter, batch_format="pyarrow")
     return decontaminate(docs, benchmark_shingle_set(bench), frac_threshold=0.5)
 
@@ -731,9 +737,7 @@ def _oov_stats_docs(sf_dir: str):
     from import_ray.stages.text import oov_stats
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return oov_stats(ds, vocab_k=20)
 
 
@@ -746,9 +750,7 @@ def _doc_rarity_stats(sf_dir: str):
     from import_ray.stages.text import doc_rarity_stats
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return doc_rarity_stats(ds)
 
 
@@ -762,9 +764,7 @@ def _kmeans_embeddings(sf_dir: str):
     from import_ray.stages.clustering import kmeans
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans(ds, k=8, iters=3).select_columns(["vec_id", "cluster_id"])
 
 
@@ -789,9 +789,7 @@ def _pii_redact_planted(sf_dir: str):
     from import_ray.stages.scrub import pii_redact, plant_pii
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(plant_pii, batch_format="pyarrow").map_batches(
         pii_redact, batch_format="pyarrow"
     )
@@ -805,9 +803,7 @@ def _hash_sample_docs(sf_dir: str):
     from import_ray.stages.scrub import hash_sample
 
     configure_data_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    ds = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.map_batches(hash_sample, batch_format="pyarrow")
 
 
