@@ -605,6 +605,15 @@ from import_ray.stages.scrub import (
     HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
     PII_REDACT_SQL as PII_REDACT_ORACLE,
 )
+from import_ray.stages.repetition import (
+    BIGRAM_REPETITION_SQL as BIGRAM_REPETITION_ORACLE,
+    CROSS_DUP_SQL as CROSS_DUP_ORACLE,
+)
+from import_ray.stages.sampling import (
+    MIXTURE_SAMPLE_SQL as MIXTURE_SAMPLE_ORACLE,
+    SAMPLED_PERCENTILES_SQL as SAMPLED_PERCENTILES_ORACLE,
+    STRATIFIED_SAMPLE_SQL as STRATIFIED_SAMPLE_ORACLE,
+)
 
 
 _CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
@@ -807,6 +816,44 @@ def _hash_sample_docs(sf_dir: str):
     return ds.map_batches(hash_sample, batch_format="pyarrow")
 
 
+def _bigram_repetition_docs(sf_dir: str):
+    """Within-doc bigram repetition signals (Gopher-style quality)."""
+    from import_ray.stages.repetition import bigram_repetition_stats
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(bigram_repetition_stats, batch_format="pyarrow")
+
+
+def _cross_dup_docs(sf_dir: str):
+    """Cross-document duplicated word-3-gram counts per doc."""
+    from import_ray.stages.repetition import cross_dup_stats
+
+    return cross_dup_stats(_read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _stratified_sample_docs(sf_dir: str):
+    """Deterministic bottom-5-by-hash cap per source (domain capping)."""
+    from import_ray.stages.sampling import stratified_sample
+
+    return stratified_sample(_read_table(sf_dir, "documents", ["doc_id", "source"]))
+
+
+def _mixture_sample_docs(sf_dir: str):
+    """Per-source keep-rate mix (training-data source weighting)."""
+    from import_ray.stages.sampling import mixture_sample
+
+    return mixture_sample(_read_table(sf_dir, "documents", ["doc_id", "source"]))
+
+
+def _sampled_percentiles_orders(sf_dir: str):
+    """PERCENTILE_DISC over the deterministic bottom-2048 hash sample."""
+    from import_ray.stages.sampling import sampled_percentiles
+
+    return sampled_percentiles(
+        _read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    )
+
+
 def _corpus_clean_exact(sf_dir: str):
     """Composite cleaning flow, SQL-checkable stages (filter + exact
     dedup with planted copies)."""
@@ -860,6 +907,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_planted_purity": _kmeans_planted,
         "pii_redact_planted": _pii_redact_planted,
         "hash_sample_docs": _hash_sample_docs,
+        "bigram_repetition_docs": _bigram_repetition_docs,
+        "cross_dup_docs": _cross_dup_docs,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "mixture_sample_docs": _mixture_sample_docs,
+        "sampled_percentiles_orders": _sampled_percentiles_orders,
         "top_tokens_docs": _top_tokens_docs,
         "cms_top_tokens_docs": _cms_top_tokens_docs,
         "corpus_clean_exact": _corpus_clean_exact,
@@ -926,6 +978,11 @@ def oracle_sql() -> dict[str, str]:
         "decontam_planted": DECONTAM_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
+        "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
+        "cross_dup_docs": CROSS_DUP_ORACLE,
+        "stratified_sample_docs": STRATIFIED_SAMPLE_ORACLE,
+        "mixture_sample_docs": MIXTURE_SAMPLE_ORACLE,
+        "sampled_percentiles_orders": SAMPLED_PERCENTILES_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,
         "corpus_clean_exact": CORPUS_CLEAN_ORACLE,
         "dedup_exact_docs": (

@@ -40,6 +40,11 @@ NEW_QUERIES = [
     "bloom_semi_orders",
     "decontam_planted",
     "oov_stats_docs",
+    "bigram_repetition_docs",
+    "cross_dup_docs",
+    "stratified_sample_docs",
+    "mixture_sample_docs",
+    "sampled_percentiles_orders",
 ]
 
 
