@@ -608,6 +608,7 @@ from import_ray.stages.scrub import (
 from import_ray.stages.repetition import (
     BIGRAM_REPETITION_SQL as BIGRAM_REPETITION_ORACLE,
     CROSS_DUP_SQL as CROSS_DUP_ORACLE,
+    DUP_SPAN_SQL as DUP_SPAN_ORACLE,
 )
 from import_ray.stages.sampling import (
     MIXTURE_SAMPLE_SQL as MIXTURE_SAMPLE_ORACLE,
@@ -831,6 +832,13 @@ def _cross_dup_docs(sf_dir: str):
     return cross_dup_stats(_read_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _dup_span_docs(sf_dir: str):
+    """Longest cross-document duplicated 3-gram span per doc."""
+    from import_ray.stages.repetition import dup_span_stats
+
+    return dup_span_stats(_read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _stratified_sample_docs(sf_dir: str):
     """Deterministic bottom-5-by-hash cap per source (domain capping)."""
     from import_ray.stages.sampling import stratified_sample
@@ -909,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_docs": _hash_sample_docs,
         "bigram_repetition_docs": _bigram_repetition_docs,
         "cross_dup_docs": _cross_dup_docs,
+        "dup_span_docs": _dup_span_docs,
         "stratified_sample_docs": _stratified_sample_docs,
         "mixture_sample_docs": _mixture_sample_docs,
         "sampled_percentiles_orders": _sampled_percentiles_orders,
@@ -980,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
+        "dup_span_docs": DUP_SPAN_ORACLE,
         "stratified_sample_docs": STRATIFIED_SAMPLE_ORACLE,
         "mixture_sample_docs": MIXTURE_SAMPLE_ORACLE,
         "sampled_percentiles_orders": SAMPLED_PERCENTILES_ORACLE,

@@ -215,6 +215,168 @@ def cross_dup_stats(docs_ds, n: int = 3):
     )
 
 
+def _pos_doc_shingles(batch: pa.Table, n: int) -> pa.Table:
+    """(sh, doc_id, pos) rows — EVERY shingle position (1-based, SQL
+    ``generate_subscripts`` parity), not per-doc distinct: span
+    localization needs the positions of repeated occurrences too."""
+    ids = _doc_ids(batch)
+    counts, h = _split_flat(batch)
+    empty = pa.table(
+        {
+            "sh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+    if len(counts) == 0:
+        return empty
+    sh_counts, sh = _shingle_hashes_flat(counts, h, n)
+    offsets = np.zeros(len(counts), np.int64)
+    np.cumsum(sh_counts[:-1], out=offsets[1:])
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), sh_counts)
+    pos = np.arange(len(sh), dtype=np.int64) - np.repeat(offsets, sh_counts) + 1
+    valid = np.repeat(counts >= n, sh_counts)
+    if not valid.any():
+        return empty
+    return pa.table(
+        {
+            "sh": pa.array(sh[valid].view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[doc_idx[valid]], pa.int64()),
+            "pos": pa.array(pos[valid], pa.int64()),
+        }
+    )
+
+
+def _flag_dup_positions(batch: pa.Table) -> pa.Table:
+    """Per shingle-keyed block (= globally complete postings): mark a
+    position duplicated iff its shingle occurs in ≥ 2 distinct docs.
+    One lexsort; distinct-doc counts per shingle via run boundaries."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "dup": pa.array([], pa.int8()),
+            }
+        )
+    sh = batch["sh"].to_numpy(zero_copy_only=False)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    pos = batch["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, sh))
+    sh_s, doc_s = sh[order], doc[order]
+    new_sh = np.empty(len(sh_s), bool)
+    new_sh[0] = True
+    new_sh[1:] = sh_s[1:] != sh_s[:-1]
+    new_doc = new_sh.copy()
+    new_doc[1:] |= doc_s[1:] != doc_s[:-1]
+    run_id = np.cumsum(new_sh) - 1
+    ndocs = np.bincount(run_id[new_doc])
+    dup_sorted = (ndocs[run_id] >= 2).astype(np.int8)
+    dup = np.empty(len(sh), np.int8)
+    dup[order] = dup_sorted
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "dup": pa.array(dup, pa.int8()),
+        }
+    )
+
+
+def _doc_span_stats(batch: pa.Table) -> pa.Table:
+    """Doc-keyed block: per doc, total positions, duplicated positions,
+    and the longest consecutive duplicated run (gaps-and-islands,
+    vectorized over the whole block)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_pos": pa.array([], pa.int64()),
+                "n_dup_pos": pa.array([], pa.int64()),
+                "max_dup_run": pa.array([], pa.int64()),
+            }
+        )
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    pos = batch["pos"].to_numpy(zero_copy_only=False)
+    dup = batch["dup"].to_numpy(zero_copy_only=False).astype(bool)
+    uniq_docs, codes = np.unique(doc, return_inverse=True)
+    n_pos = np.bincount(codes).astype(np.int64)
+    n_dup = np.bincount(codes, weights=dup).astype(np.int64)
+    max_run = np.zeros(len(uniq_docs), np.int64)
+    if dup.any():
+        dc, dp = codes[dup], pos[dup]
+        order = np.lexsort((dp, dc))
+        dc, dp = dc[order], dp[order]
+        newrun = np.empty(len(dc), bool)
+        newrun[0] = True
+        newrun[1:] = (dc[1:] != dc[:-1]) | (dp[1:] != dp[:-1] + 1)
+        run_starts = np.flatnonzero(newrun)
+        run_parents = dc[run_starts]
+        run_lens = np.diff(np.append(run_starts, len(dc))).astype(np.int64)
+        doc_first = np.flatnonzero(
+            np.append(True, run_parents[1:] != run_parents[:-1])
+        )
+        max_run[run_parents[doc_first]] = np.maximum.reduceat(run_lens, doc_first)
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq_docs, pa.int64()),
+            "n_pos": pa.array(n_pos),
+            "n_dup_pos": pa.array(n_dup),
+            "max_dup_run": pa.array(max_run),
+        }
+    )
+
+
+def dup_span_stats(docs_ds, n: int = 3):
+    """(doc_id, n_pos, n_dup_pos, max_dup_run): per doc, how many
+    shingle positions are cross-document duplicates and the longest
+    consecutive duplicated span (in shingles; + n - 1 gives tokens) —
+    the span-localization core of substring-level dedup (Lee et al.).
+
+    Scale shape: unlike ``cross_dup_stats`` this must move
+    POSITION-level rows (localization needs them co-located twice:
+    once by shingle to decide duplication, once by doc to find runs)
+    — two keyed exchanges of ~17 B rows, O(total tokens) — still
+    hashes only; document text never shuffles."""
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    nparts = data_nparts(docs_ds)
+    pos_rows = docs_ds.map_batches(
+        lambda b: _pos_doc_shingles(b, n), batch_format="pyarrow"
+    )
+    flagged = pos_rows.repartition(nparts, keys=["sh"]).map_batches(
+        _flag_dup_positions, batch_size=None, batch_format="pyarrow"
+    )
+    return flagged.repartition(nparts, keys=["doc_id"]).map_batches(
+        _doc_span_stats, batch_size=None, batch_format="pyarrow"
+    )
+
+
+DUP_SPAN_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+ grams AS (SELECT doc_id,
+                  list_transform(list_zip(t[:len(t)-2], t[2:len(t)-1], t[3:]),
+                                 x -> x[1] || chr(31) || x[2] || chr(31) || x[3]) AS g
+           FROM toks),
+ sh AS (SELECT doc_id, unnest(g) AS s, generate_subscripts(g, 1) AS pos FROM grams),
+ dupset AS (SELECT s FROM (SELECT s, doc_id FROM sh GROUP BY s, doc_id)
+            GROUP BY s HAVING count(*) >= 2),
+ dup AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dupset)),
+ isl AS (SELECT doc_id, pos,
+                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM dup),
+ runs AS (SELECT doc_id, count(*) AS runlen FROM isl GROUP BY doc_id, grp),
+ tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM sh GROUP BY doc_id),
+ dupcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos FROM dup GROUP BY doc_id),
+ mx AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_dup_run FROM runs GROUP BY doc_id)
+SELECT tot.doc_id, n_pos,
+       COALESCE(n_dup_pos, 0) AS n_dup_pos,
+       COALESCE(max_dup_run, 0) AS max_dup_run
+FROM tot LEFT JOIN dupcnt USING (doc_id) LEFT JOIN mx USING (doc_id)
+"""
+
+
 CROSS_DUP_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
  sh AS (SELECT doc_id,

@@ -42,6 +42,7 @@ NEW_QUERIES = [
     "oov_stats_docs",
     "bigram_repetition_docs",
     "cross_dup_docs",
+    "dup_span_docs",
     "stratified_sample_docs",
     "mixture_sample_docs",
     "sampled_percentiles_orders",

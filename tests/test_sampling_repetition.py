@@ -60,6 +60,35 @@ def test_cross_dup_planted(ray_session):
     assert out.loc[4, "n_shingles"] == 4 and out.loc[4, "n_cross_dup"] == 1
 
 
+def test_dup_span_planted(ray_session):
+    import ray.data
+
+    from import_ray.stages.repetition import dup_span_stats
+
+    # docs 1/2 share a 5-token prefix (3 consecutive dup shingles);
+    # doc 3 additionally repeats one of those shingles later, at a
+    # non-adjacent position — run must not bridge the gap.
+    rows = [
+        (1, "alpha beta gamma delta epsilon uu vv ww"),
+        (2, "alpha beta gamma delta epsilon xx yy zz"),
+        (3, "qq rr alpha beta gamma ss tt alpha beta gamma"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = dup_span_stats(ds, n=3).to_pandas().set_index("doc_id").sort_index()
+    # docs 1/2: shingles 1..3 dup ("alpha beta gamma".."gamma delta epsilon")
+    assert out.loc[1, "max_dup_run"] == 3 and out.loc[1, "n_dup_pos"] == 3
+    assert out.loc[1, "n_pos"] == 6
+    # doc 3: "alpha beta gamma" at pos 3 and pos 8 — two runs of 1
+    assert out.loc[3, "n_dup_pos"] == 2 and out.loc[3, "max_dup_run"] == 1
+
+
 def test_cross_dup_batch_size_invariant(ray_session, sf_small):
     """The keyed exchanges must make the result independent of how
     the input is blocked."""
