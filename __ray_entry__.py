@@ -904,6 +904,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q18_large_orders": R.q18_large_orders,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "top_supplier_per_nation": R.top_supplier_per_nation,
+        "q22_rich_inactive_customers": R.q22_rich_inactive_customers,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q16_part_supplier_counts": R.q16_part_supplier_counts,
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
@@ -979,6 +986,13 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": R.SESSIONIZE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
         "customer_order_gaps": R.ORDER_GAPS_SQL,
+        "q13_customer_distribution": R.Q13_SQL,
+        "q18_large_orders": R.Q18_SQL,
+        "q17_small_quantity_revenue": R.Q17_SQL,
+        "top_supplier_per_nation": R.TOP_SUPPLIER_SQL,
+        "q22_rich_inactive_customers": R.Q22_SQL,
+        "q14_promo_revenue": R.Q14_SQL,
+        "q16_part_supplier_counts": R.Q16_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

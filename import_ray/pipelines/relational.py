@@ -1436,3 +1436,577 @@ FROM g
 GROUP BY o_custkey
 HAVING COUNT(gap) >= 1
 """
+
+
+# --- q13: LEFT OUTER join + double aggregate (TPC-H Q13 shape; SURVEY §2.6) --
+
+
+def q13_customer_distribution(sf_dir: str):
+    """Distribution of per-customer order counts, keeping customers with
+    zero orders via a distributed LEFT OUTER hash join (the one join type
+    the engine had not yet exercised). Order counts are pre-aggregated
+    per block, combined with ONE keyed exchange, then the outer join
+    attaches them to customers; the final distribution has ~#distinct
+    counts rows so its partials merge driver-side."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def non_urgent_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], pa.scalar("1-URGENT"))
+        )
+        df = pd.DataFrame(
+            {"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("o_custkey", sort=False).size().reset_index(name="n")
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", sort=False)["n"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(orders)
+    n = _np_for(orders)
+    counts = (
+        orders.map_batches(non_urgent_partial, batch_format="pyarrow")
+        .repartition(n, keys=["o_custkey"])
+        .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=_np_for(cust),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        c = batch["n"].to_pandas().fillna(0).astype("int64")
+        vc = c.value_counts()
+        return pa.table(
+            {
+                "c_count": pa.array(vc.index.to_numpy(), pa.int64()),
+                "custdist": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(dist_partial, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.groupby("c_count", sort=False)["custdist"]
+        .sum()
+        .reset_index()
+        .sort_values(["custdist", "c_count"], ascending=[False, False], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"c_count": "int64", "custdist": "int64"})
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q18: group-HAVING + join back (TPC-H Q18 shape) -------------------------
+
+
+def q18_large_orders(sf_dir: str, threshold: int = 200):
+    """Orders whose total lineitem quantity exceeds `threshold`: partial
+    per-block quantity sums, one keyed exchange to finalize + HAVING
+    filter (the surviving key set is small), then inner joins back to
+    orders and customer, top-100 by total price via block-local partial
+    top-k (only 100 × #blocks rows reach the driver merge)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_sum_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] > threshold]
+        # l_quantity is integral-valued; the sum is exact in fp
+        g["sum_qty"] = g["qty"].astype("int64")
+        return from_pandas_clean(g[["l_orderkey", "sum_qty"]], preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(li)
+    n = _np_for(li)
+    big = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .repartition(n, keys=["l_orderkey"])
+        .map_batches(block_sum_filter, batch_format="pyarrow", batch_size=None)
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    j = orders.join(
+        big,
+        join_type="inner",
+        num_partitions=_np_for(orders),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j.join(
+        cust,
+        join_type="inner",
+        num_partitions=_np_for(orders),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["totalprice_cents"] = _cents(df["o_totalprice"].to_numpy())
+        df = df.sort_values(
+            ["totalprice_cents", "o_orderkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(100)
+        return from_pandas_clean(
+            df[
+                [
+                    "c_name",
+                    "o_custkey",
+                    "o_orderkey",
+                    "o_orderdate",
+                    "totalprice_cents",
+                    "sum_qty",
+                ]
+            ],
+            preserve_index=False,
+        )
+
+    partials = j2.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return (
+        partials.sort_values(
+            ["totalprice_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 200
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q17: aggregate-join-back (TPC-H Q17 shape) ------------------------------
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """Revenue from lineitems whose quantity is below 20% of the average
+    quantity for their (brand-filtered) part. The per-part average is
+    computed distributed (partial sums + one keyed exchange), restricted
+    to the brand via a semi-join, then joined BACK onto lineitem — the
+    correlated-subquery shape — and reduced to a single scalar."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_partkey", sort=False)["qty"].agg(["sum", "count"]).reset_index()
+        g.columns = ["l_partkey", "qty_sum", "qty_cnt"]
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_avg(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_partkey", sort=False)[["qty_sum", "qty_cnt"]].sum().reset_index()
+        # l_quantity is integral-valued → partial sums are exact, so this
+        # division is bit-identical to DuckDB's AVG over the same rows
+        g["avg_qty"] = g["qty_sum"] / g["qty_cnt"]
+        return from_pandas_clean(g[["l_partkey", "avg_qty"]], preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(li)
+    n = _np_for(li)
+    avgs = (
+        li.map_batches(qty_partials, batch_format="pyarrow")
+        .repartition(n, keys=["l_partkey"])
+        .map_batches(block_avg, batch_format="pyarrow", batch_size=None)
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def brand_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["p_brand"], pa.scalar(brand))).select(
+            ["p_partkey"]
+        )
+
+    brand_parts = part.map_batches(brand_keys, batch_format="pyarrow")
+    avgs = avgs.join(
+        brand_parts,
+        join_type="left_semi",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    j = li.join(
+        avgs,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("l_partkey",),
+        left_suffix="",
+        right_suffix="_avg",
+    )
+
+    def final_partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        avg = batch["avg_qty"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        mask = qty < 0.2 * avg
+        cents = _cents(ep[mask])
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    total = j.map_batches(final_partial, batch_format="pyarrow").aggregate(
+        Sum("cents", alias_name="cents")
+    )
+    return pd.DataFrame({"avg_yearly_cents": [int(total["cents"]) // 7]})
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l1.l_extendedprice*100) AS BIGINT)) // 7 AS BIGINT)
+         AS avg_yearly_cents
+FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l1.l_quantity < 0.2 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+"""
+
+
+# --- q2 shape: argmax-per-group + dimension join -----------------------------
+
+
+def top_supplier_per_nation(sf_dir: str):
+    """The highest-acctbal supplier in each nation (argmax per group,
+    min-suppkey tie-break): block-local argmax partials (≤ #nations rows
+    per block — the combiner), a driver-side final reduce over
+    #nations × #blocks rows, and a broadcast nation-name lookup."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["s_nationkey", "s_acctbal", "s_suppkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("s_nationkey", keep="first")
+        return from_pandas_clean(df, preserve_index=False)
+
+    partials = sup.map_batches(block_argmax, batch_format="pyarrow").to_pandas()
+    best = (
+        partials.sort_values(
+            ["s_nationkey", "s_acctbal", "s_suppkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .drop_duplicates("s_nationkey", keep="first")
+        .reset_index(drop=True)
+    )
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    best["n_name"] = best["s_nationkey"].map(names)
+    best["acctbal_cents"] = _cents(best["s_acctbal"].to_numpy())
+    return (
+        best[["n_name", "s_suppkey", "s_name", "acctbal_cents"]]
+        .sort_values("n_name", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+TOP_SUPPLIER_SQL = """
+SELECT n_name, s_suppkey, s_name,
+       CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM (
+  SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+) s JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY n_name
+"""
+
+
+# --- q22 shape: global-scalar broadcast + anti join --------------------------
+
+
+def q22_rich_inactive_customers(sf_dir: str):
+    """Customers with above-average (positive) balance and no order since
+    2000, grouped by market segment. Pass 1 reduces the table to one
+    (sum, count) scalar pair; pass 2 filters against the broadcast
+    scalar, anti-joins the recent-order key set, and merges ≤ #segments
+    partial rows driver-side. Balances compare as integer cents so the
+    threshold comparison is bit-identical to the SQL oracle."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "c": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    sums = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    thr = float(sums["s"].sum()) / float(sums["c"].sum())
+
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(
+                batch["o_orderdate"], pa.scalar(np.datetime64("2000-01-01", "us"))
+            )
+        ).select(["o_custkey"])
+
+    recent = recent.map_batches(recent_keys, batch_format="pyarrow")
+
+    def rich_kernel(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        mask = cents > thr
+        return pa.table(
+            {
+                "c_custkey": pc.filter(batch["c_custkey"], pa.array(mask)),
+                "c_mktsegment": pc.filter(batch["c_mktsegment"], pa.array(mask)),
+                "bal_cents": pa.array(cents[mask], pa.int64()),
+            }
+        )
+
+    rich = cust.map_batches(rich_kernel, batch_format="pyarrow")
+    inactive = rich.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=_np_for(cust),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+                "bal_cents": batch["bal_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby("c_mktsegment", sort=False)["bal_cents"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        g.columns = ["c_mktsegment", "n_cust", "acctbal_cents"]
+        return from_pandas_clean(g, preserve_index=False)
+
+    partials = inactive.map_batches(seg_partial, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.groupby("c_mktsegment", sort=True)[["n_cust", "acctbal_cents"]]
+        .sum()
+        .reset_index()
+    )
+    return out.astype({"n_cust": "int64", "acctbal_cents": "int64"})
+
+
+Q22_SQL = """
+WITH cents AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
+  FROM customer
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal) AS BIGINT) AS acctbal_cents
+FROM cents
+WHERE bal > (SELECT AVG(bal) FROM cents WHERE bal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- q14 shape: conditional aggregate over a fact-dim join -------------------
+
+
+def q14_promo_revenue(sf_dir: str):
+    """Promo vs total revenue for 1996 shipments: date filter at the
+    read, distributed hash join lineitem ⋈ part (part scales with SF so
+    it is NOT broadcast), then a CASE-style conditional sum folded to
+    one partial row per batch before a scalar aggregate."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        mask = (ship >= lo) & (ship < hi)
+        t = batch.filter(pa.array(mask))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "cents": pa.array(_cents(ep * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(in_window, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    n = _np_for(li)
+    j = li.join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def cond_partial(batch: pa.Table) -> pa.Table:
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(batch["p_type"], pa.scalar("PROMO")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(cents[promo].sum())], pa.int64()),
+                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = j.map_batches(cond_partial, batch_format="pyarrow").aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    return pd.DataFrame(
+        {
+            "promo_cents": [int(totals["promo_cents"])],
+            "total_cents": [int(totals["total_cents"])],
+        }
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+# --- q16 shape: grouped distinct count AFTER a join --------------------------
+
+
+def q16_part_supplier_counts(sf_dir: str):
+    """COUNT(DISTINCT supplier) per (brand, type, size) over the
+    lineitem part-supplier association, excluding one brand. Local
+    distinct inside the join output (the combiner), ONE keyed exchange
+    on the group columns, then a block-local exact distinct count."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return from_pandas_clean(df, preserve_index=False)
+
+    li = li.map_batches(local_pairs, batch_format="pyarrow")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def keep_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["p_brand"], pa.scalar("Brand#1")))
+
+    part = part.map_batches(keep_parts, batch_format="pyarrow")
+
+    n = _np_for(li)
+    j = li.join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.select(["p_brand", "p_type", "p_size", "l_suppkey"]).to_pandas()
+        return from_pandas_clean(df.drop_duplicates(), preserve_index=False)
+
+    def block_count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = (
+            df.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(j)
+    return (
+        j.map_batches(local_distinct, batch_format="pyarrow")
+        .repartition(n, keys=["p_brand", "p_type", "p_size"])
+        .map_batches(block_count, batch_format="pyarrow", batch_size=None)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""

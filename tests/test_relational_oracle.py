@@ -46,6 +46,13 @@ NEW_QUERIES = [
     "stratified_sample_docs",
     "mixture_sample_docs",
     "sampled_percentiles_orders",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q17_small_quantity_revenue",
+    "top_supplier_per_nation",
+    "q22_rich_inactive_customers",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
 ]
 
 
