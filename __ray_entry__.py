@@ -911,6 +911,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_rich_inactive_customers": R.q22_rich_inactive_customers,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q16_part_supplier_counts": R.q16_part_supplier_counts,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q8_market_share": R.q8_market_share,
+        "q10_returned_items": R.q10_returned_items,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q21_sole_return_suppliers": R.q21_sole_return_suppliers,
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
@@ -993,6 +999,12 @@ def oracle_sql() -> dict[str, str]:
         "q22_rich_inactive_customers": R.Q22_SQL,
         "q14_promo_revenue": R.Q14_SQL,
         "q16_part_supplier_counts": R.Q16_SQL,
+        "q7_volume_shipping": R.Q7_SQL,
+        "q8_market_share": R.Q8_SQL,
+        "q10_returned_items": R.Q10_SQL,
+        "q15_top_supplier": R.Q15_SQL,
+        "q19_disjunctive_revenue": R.Q19_SQL,
+        "q21_sole_return_suppliers": R.Q21_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

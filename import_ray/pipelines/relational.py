@@ -2010,3 +2010,701 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
 GROUP BY p_brand, p_type, p_size
 """
+
+
+# --- q7 shape: two fact-side distributed joins + nation-pair grouping --------
+
+
+def q7_volume_shipping(sf_dir: str):
+    """Shipping volume between distinct nation pairs by ship year
+    (TPC-H Q7 shape, all pairs): supplier and customer scale with SF so
+    both attach via distributed hash joins (only 8-byte keys + a small
+    nation-name string shuffle); nation itself is tiny and broadcast as
+    a dense numpy lookup. The final grouped sum has ≤ 25·24·years
+    groups — one keyed aggregate exchange."""
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    size = int(nation["n_nationkey"].max()) + 1
+    nk_name = np.full(size, "", dtype=object)
+    nk_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def sup_nation(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "supp_nation": pa.array(nk_name[nk], pa.string()),
+            }
+        )
+
+    sup = sup.map_batches(sup_nation, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_nation(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cust_nation": pa.array(nk_name[nk], pa.string()),
+            }
+        )
+
+    cust = cust.map_batches(cust_nation, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = _np_for(orders)
+    orders = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=n_orders,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "cust_nation"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    import datetime as _dt
+
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"]
+        keep = pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)), pc.less(ship, pa.scalar(hi))
+        )
+        batch = batch.filter(keep)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "l_year": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+                "volume_cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    n_li = _np_for(li)
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    li = li.join(
+        sup,
+        join_type="inner",
+        num_partitions=n_li,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_li,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def drop_same_nation(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["supp_nation"], batch["cust_nation"])
+        ).select(["supp_nation", "cust_nation", "l_year", "volume_cents"])
+
+    j = j.map_batches(drop_same_nation, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return j.groupby(
+        ["supp_nation", "cust_nation", "l_year"], num_partitions=n_li
+    ).aggregate(Sum("volume_cents", alias_name="revenue_cents"))
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS volume_cents
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q8 shape: market share (conditional sums after a 4-way join) ------------
+
+
+def q8_market_share(sf_dir: str, target_nation: str = "NATION_1"):
+    """National market share by order year (TPC-H Q8 shape): revenue
+    from `target_nation` suppliers vs total, restricted to ECONOMY
+    parts and AMERICA-region customers. part/supplier/customer all
+    scale with SF → semi-join on part keys, distributed inner joins for
+    supplier/customer sides; the final conditional sums collapse to ≤
+    #years rows via per-block partials (no global exchange). The
+    numerator/denominator are returned as integer cents (a ratio column
+    would be engine-dependent fp)."""
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
+    r_names = dict(zip(region["r_regionkey"], region["r_name"]))
+    size = int(nation["n_nationkey"].max()) + 1
+    nk_name = np.full(size, "", dtype=object)
+    nk_region = np.full(size, "", dtype=object)
+    nk_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nk_region[nation["n_nationkey"].to_numpy()] = (
+        nation["n_regionkey"].map(r_names).to_numpy()
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def econ_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["p_type"], pa.scalar("ECONOMY"))).select(
+            ["p_partkey"]
+        )
+
+    part = part.map_batches(econ_keys, batch_format="pyarrow")
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def sup_nation(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "supp_nation": pa.array(nk_name[nk], pa.string()),
+            }
+        )
+
+    sup = sup.map_batches(sup_nation, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def america_keys(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nk_region[nk] == "AMERICA"
+        return pa.table(
+            {"c_custkey": pa.array(batch["c_custkey"].to_numpy(zero_copy_only=False)[keep])}
+        )
+
+    cust = cust.map_batches(america_keys, batch_format="pyarrow")
+
+    import datetime as _dt
+
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"]
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo)), pc.less(od, pa.scalar(hi))
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    n_orders = _np_for(orders)
+    orders = orders.map_batches(orders_prep, batch_format="pyarrow")
+    orders = orders.join(
+        cust,
+        join_type="left_semi",
+        num_partitions=n_orders,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_year"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    n_li = _np_for(li)
+    li = li.join(
+        part,
+        join_type="left_semi",
+        num_partitions=n_li,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def volume(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "volume_cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    li = li.map_batches(volume, batch_format="pyarrow")
+    li = li.join(
+        sup,
+        join_type="inner",
+        num_partitions=n_li,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_li,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def year_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_year": batch["o_year"].to_numpy(zero_copy_only=False),
+                "vol": batch["volume_cents"].to_numpy(zero_copy_only=False),
+                "nat": np.where(
+                    batch["supp_nation"].to_numpy(zero_copy_only=False)
+                    == target_nation,
+                    batch["volume_cents"].to_numpy(zero_copy_only=False),
+                    0,
+                ),
+            }
+        )
+        g = df.groupby("o_year", sort=False).sum().reset_index()
+        return from_pandas_clean(
+            g.rename(columns={"nat": "nation_cents", "vol": "total_cents"}),
+            preserve_index=False,
+        )
+
+    partials = j.map_batches(year_partials, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.groupby("o_year", sort=True)[["nation_cents", "total_cents"]]
+        .sum()
+        .reset_index()
+    )
+    return out[["o_year", "nation_cents", "total_cents"]]
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(volume_cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS volume_cents,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- q10 shape: returned-item revenue per customer, top 20 -------------------
+
+
+def q10_returned_items(sf_dir: str):
+    """Revenue lost to returns per customer in one quarter (TPC-H Q10
+    shape): per-block revenue partials keyed on l_orderkey, a
+    distributed inner join onto the date-filtered orders, ONE keyed
+    exchange on o_custkey to finalize per-customer sums, a distributed
+    join back to customer attributes (broadcast nation names), then
+    block-local top-20 partials merged driver-side (20 × #blocks rows)."""
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 10, 1)
+    hi = _dt.datetime(1997, 1, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_window(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"]
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo)), pc.less(od, pa.scalar(hi))
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    n_orders = _np_for(orders)
+    orders = orders.map_batches(orders_window, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": _cents(ep * (1.0 - disc)),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False).sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    n_li = _np_for(li)
+    li = li.map_batches(returned_revenue, batch_format="pyarrow")
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_li,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cust_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": batch["revenue_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_custkey", sort=False).sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", sort=False)["revenue_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(j)
+    per_cust = (
+        j.map_batches(cust_partials, batch_format="pyarrow")
+        .repartition(n_orders, keys=["o_custkey"])
+        .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+    )
+
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    size = int(nation["n_nationkey"].max()) + 1
+    nk_name = np.full(size, "", dtype=object)
+    nk_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    j2 = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=n_orders,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def block_top20(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nk = df["c_nationkey"].to_numpy().astype(np.int64)
+        df["n_name"] = nk_name[nk]
+        df["acctbal_cents"] = _cents(df["c_acctbal"].to_numpy())
+        df = df.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        return from_pandas_clean(
+            df[["o_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]],
+            preserve_index=False,
+        )
+
+    partials = j2.map_batches(block_top20, batch_format="pyarrow").to_pandas()
+    return (
+        partials.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY o_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, o_custkey
+LIMIT 20
+"""
+
+
+# --- q15 shape: argmax-with-ties via global-scalar broadcast ------------------
+
+
+def q15_top_supplier(sf_dir: str):
+    """The supplier(s) with the maximum revenue in a quarter (TPC-H Q15
+    shape, ties preserved): per-block revenue partials keyed on
+    l_suppkey, ONE keyed exchange to finalize per-supplier totals, a
+    tiny Max aggregate reduced to a driver scalar, an equality filter
+    against the broadcast scalar, and a distributed join for the
+    supplier name. Only the (few) winners reach the driver."""
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"]
+        keep = pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)), pc.less(ship, pa.scalar(hi))
+        )
+        batch = batch.filter(keep)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "total_cents": _cents(ep * (1.0 - disc)),
+            }
+        )
+        g = df.groupby("l_suppkey", sort=False).sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_suppkey", sort=False)["total_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(li)
+    n = _np_for(li)
+    totals = (
+        li.map_batches(rev_partials, batch_format="pyarrow")
+        .repartition(n, keys=["l_suppkey"])
+        .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    from ray.data.aggregate import Max
+
+    mx = totals.aggregate(Max("total_cents", alias_name="mx"))["mx"]
+
+    def winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["total_cents"], pa.scalar(mx)))
+
+    win = totals.map_batches(winners, batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = win.join(
+        sup,
+        join_type="inner",
+        num_partitions=4,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    ).to_pandas()
+    out = out.rename(columns={"l_suppkey": "s_suppkey"})
+    return (
+        out[["s_suppkey", "s_name", "total_cents"]]
+        .sort_values("s_suppkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- q19 shape: disjunctive multi-predicate join reduced to a scalar ---------
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Revenue under three disjunctive (brand, size-range, qty-range)
+    predicates (TPC-H Q19 shape): part is pre-filtered to the three
+    brands before the distributed hash join (key + two small columns
+    shuffle), the disjunction evaluates vectorized in numpy over the
+    joined batches, and per-batch partial sums collapse to one scalar —
+    no global exchange at all."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    brands = ("Brand#12", "Brand#23", "Brand#34")
+
+    def keep_brands(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["p_brand"], pa.array(brands)))
+
+    part = part.map_batches(keep_brands, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    n = _np_for(li)
+    j = li.join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        keep = (
+            ((brand == "Brand#12") & (size >= 1) & (size <= 15) & (qty >= 1) & (qty <= 25))
+            | ((brand == "Brand#23") & (size >= 1) & (size <= 20) & (qty >= 10) & (qty <= 35))
+            | ((brand == "Brand#34") & (size >= 1) & (size <= 25) & (qty >= 20) & (qty <= 45))
+        )
+        s = int(_cents(ep[keep] * (1.0 - disc[keep])).sum())
+        return pa.table({"revenue_cents": pa.array([s], pa.int64())})
+
+    partials = j.map_batches(partial_sum, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(partials["revenue_cents"].sum())]})
+
+
+Q19_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+# --- q21 shape: sole-fault supplier via exists / not-exists on one fact ------
+
+
+def q21_sole_return_suppliers(sf_dir: str):
+    """Suppliers who were the ONLY supplier with returned ('R') items in
+    a multi-supplier order (TPC-H Q21's exists/not-exists shape on a
+    single fact table): per-block distinct (orderkey, suppkey, has_r)
+    partials, ONE keyed exchange on l_orderkey so each block holds whole
+    orders, block-local exists/not-exists evaluation, a per-supplier
+    count aggregate, a distributed name join, and block-local top-100
+    partials merged driver-side."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "has_r": (
+                    batch["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False)["has_r"].max().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_eval(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        per = df.groupby(["l_orderkey", "l_suppkey"], sort=False)["has_r"].max().reset_index()
+        ord_stats = per.groupby("l_orderkey", sort=False).agg(
+            nsupp=("l_suppkey", "size"), nr=("has_r", "sum")
+        )
+        per = per.join(ord_stats, on="l_orderkey")
+        hit = per[(per["has_r"] == 1) & (per["nsupp"] >= 2) & (per["nr"] == 1)]
+        g = hit.groupby("l_suppkey", sort=False).size().reset_index(name="numwait")
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(li)
+    n = _np_for(li)
+    per_supp_partials = (
+        li.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(n, keys=["l_orderkey"])
+        .map_batches(block_eval, batch_format="pyarrow", batch_size=None)
+    )
+
+    def supp_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_suppkey", sort=False)["numwait"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    per_supp = (
+        per_supp_partials.repartition(max(4, n // 4), keys=["l_suppkey"])
+        .map_batches(supp_sum, batch_format="pyarrow", batch_size=None)
+    )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    j = per_supp.join(
+        sup,
+        join_type="inner",
+        num_partitions=max(4, n // 4),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def block_top100(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["numwait", "l_suppkey"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+        df = df.rename(columns={"l_suppkey": "s_suppkey"})
+        return from_pandas_clean(
+            df[["s_suppkey", "s_name", "numwait"]], preserve_index=False
+        )
+
+    partials = j.map_batches(block_top100, batch_format="pyarrow").to_pandas()
+    return (
+        partials.sort_values(
+            ["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+Q21_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem
+  GROUP BY l_orderkey, l_suppkey
+), ord AS (
+  SELECT l_orderkey, COUNT(*) AS nsupp, SUM(has_r) AS nr
+  FROM per GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per
+JOIN ord USING (l_orderkey)
+JOIN supplier ON s_suppkey = per.l_suppkey
+WHERE per.has_r = 1 AND ord.nsupp >= 2 AND ord.nr = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""

@@ -53,6 +53,12 @@ NEW_QUERIES = [
     "q22_rich_inactive_customers",
     "q14_promo_revenue",
     "q16_part_supplier_counts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_suppliers",
 ]
 
 
