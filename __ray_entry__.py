@@ -105,6 +105,17 @@ def _dedup_exact_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_dups"])
 
 
+def _segment_dedup_docs(sf_dir: str):
+    """CCNet-style segment dedup: drop every repeated 4-token window
+    corpus-wide (keep the first occurrence), reassemble documents from
+    their surviving segments. Winner election shuffles 32-byte hash
+    keys only; document text crosses the wire once (the doc_id join)."""
+    from import_ray.stages.dedup import segment_dedup_documents
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup_documents(ds, seg_tokens=4)
+
+
 def _token_stats(sf_dir: str):
     import ray.data
 
@@ -737,6 +748,10 @@ SELECT o_orderkey, o_custkey FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """
 
+from import_ray.stages.dedup import SEGMENT_DEDUP_SQL_TEMPLATE
+
+SEGMENT_DEDUP_ORACLE = SEGMENT_DEDUP_SQL_TEMPLATE.format(seg_tokens=4)
+
 
 def _oov_stats_docs(sf_dir: str):
     """Out-of-vocabulary token counts vs the corpus top-20 vocabulary
@@ -940,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _corpus_clean,
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
+        "segment_dedup_docs": _segment_dedup_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
@@ -1010,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_stats_docs": OOV_STATS_ORACLE,
         "chunk_docs": CHUNK_DOCS_ORACLE,
         "bloom_semi_orders": BLOOM_SEMI_ORACLE,
+        "segment_dedup_docs": SEGMENT_DEDUP_ORACLE,
         "decontam_planted": DECONTAM_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,

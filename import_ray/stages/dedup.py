@@ -254,3 +254,179 @@ def exact_dedup_documents(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.groupby("text_hash", num_partitions=npartitions()).aggregate(
         Min(id_col, alias_name=id_col)
     )
+
+
+# --- segment-level dedup (CCNet-style paragraph dedup over token windows) ----
+
+
+def _segment_hashes(batch: pa.Table, seg_tokens: int):
+    """(doc_id, seg_idx, h1, h2) per fixed token window — no segment
+    strings are materialized: each segment's identity is a 128-bit
+    order-dependent polynomial hash over its token hashes, built with
+    flat numpy ops (split → flatten → reduceat). Only these 32-byte
+    key rows ever enter the dedup exchange."""
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text, pattern=" ")
+    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if len(ids) == 0 or n_tok.sum() == 0:
+        empty = pa.array([], pa.int64())
+        return pa.table({"doc_id": empty, "seg_idx": empty, "h1": empty, "h2": empty})
+    flat = pc.list_flatten(lists).to_pandas()
+    th1 = pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
+    # independent second hash: splitmix-style remix of the first
+    th2 = (th1 ^ np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+    # flat index → (doc, token position); segment = pos // seg_tokens
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+    offs = np.cumsum(n_tok) - n_tok
+    pos = np.arange(int(n_tok.sum()), dtype=np.int64) - offs[doc_of]
+    seg = pos // seg_tokens
+    pos_in_seg = pos % seg_tokens
+
+    pow1 = np.empty(seg_tokens, np.uint64)
+    pow2 = np.empty(seg_tokens, np.uint64)
+    pow1[0] = pow2[0] = 1
+    for k in range(1, seg_tokens):
+        pow1[k] = pow1[k - 1] * np.uint64(31)
+        pow2[k] = pow2[k - 1] * np.uint64(1000003)
+    terms1 = th1 * pow1[pos_in_seg]
+    terms2 = th2 * pow2[pos_in_seg]
+
+    # segment starts in the flat array: positions where pos_in_seg == 0
+    starts = np.nonzero(pos_in_seg == 0)[0]
+    h1 = np.add.reduceat(terms1, starts).astype(np.int64)
+    h2 = np.add.reduceat(terms2, starts).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_of[starts]]),
+            "seg_idx": pa.array(seg[starts]),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+        }
+    )
+
+
+def segment_dedup_documents(docs_ds, seg_tokens: int = 4):
+    """Corpus-level segment dedup (the CCNet paragraph-dedup shape over
+    fixed ``seg_tokens``-token windows, since the synthetic docs have no
+    paragraph breaks): every duplicated segment keeps only its FIRST
+    occurrence (min (doc_id, seg_idx)) across the whole corpus, and each
+    document is reassembled from its surviving segments. Docs that lose
+    every segment disappear (SQL ``string_agg`` group parity).
+
+    Scale plan: the winner election shuffles 32-byte hash keys only
+    (never text); the per-doc kept-segment lists (small ints) come back
+    to the docs via ONE distributed hash join on doc_id, so document
+    text crosses the wire exactly once.
+    """
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+
+    segs = docs_ds.map_batches(
+        lambda b: _segment_hashes(b, seg_tokens), batch_format="pyarrow"
+    )
+
+    def block_winners(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["h1", "h2", "doc_id", "seg_idx"], kind="mergesort"
+        ).drop_duplicates(["h1", "h2"], keep="first")
+        return pa.Table.from_pandas(
+            df[["doc_id", "seg_idx"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    winners = segs.repartition(n, keys=["h1"]).map_batches(
+        block_winners, batch_format="pyarrow", batch_size=None
+    )
+
+    def kept_lists(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+            .groupby("doc_id", sort=False)["seg_idx"]
+            .agg(lambda s: ",".join(map(str, s)))
+            .reset_index(name="kept")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    kept = winners.repartition(n, keys=["doc_id"]).map_batches(
+        kept_lists, batch_format="pyarrow", batch_size=None
+    )
+
+    j = docs_ds.select_columns(["doc_id", "text"]).join(
+        kept,
+        join_type="inner",
+        num_partitions=n,
+        on=("doc_id",),
+        right_on=("doc_id",),
+    )
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(text, pattern=" ")
+        n_tok = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists).to_pandas().to_numpy(dtype=object)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+        offs = np.cumsum(n_tok) - n_tok
+        pos = np.arange(int(n_tok.sum()), dtype=np.int64) - offs[doc_of]
+        seg = pos // seg_tokens
+        # token keep mask: (local doc index, seg) present in its kept list
+        kept_sets = [
+            frozenset(int(x) for x in s.split(",")) if s else frozenset()
+            for s in batch["kept"].to_pylist()
+        ]
+        max_seg = int(seg.max()) + 1 if len(seg) else 1
+        keep_flat = np.zeros(len(ids) * max_seg, dtype=bool)
+        for d, ks in enumerate(kept_sets):
+            for s in ks:
+                if s < max_seg:
+                    keep_flat[d * max_seg + s] = True
+        mask = keep_flat[doc_of * max_seg + seg]
+        df = pd.DataFrame({"doc_id": ids[doc_of[mask]], "tok": flat[mask]})
+        out = (
+            df.groupby("doc_id", sort=False)["tok"]
+            .agg(" ".join)
+            .reset_index(name="text")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return j.map_batches(reassemble, batch_format="pyarrow")
+
+
+SEGMENT_DEDUP_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(text,' ')) AS tok,
+         UNNEST(range(len(string_split(text,' ')))) AS i
+  FROM documents
+), segs AS (
+  SELECT doc_id, i // {seg_tokens} AS seg_idx,
+         string_agg(tok, ' ' ORDER BY i) AS seg
+  FROM toks GROUP BY doc_id, i // {seg_tokens}
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""

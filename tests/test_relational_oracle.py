@@ -59,6 +59,7 @@ NEW_QUERIES = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q21_sole_return_suppliers",
+    "segment_dedup_docs",
 ]
 
 
