@@ -105,6 +105,15 @@ def _dedup_exact_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_dups"])
 
 
+def _badword_filter_docs(sf_dir: str):
+    """C4-style token-blocklist filter: drop docs containing any
+    blocklisted token. Embarrassingly parallel (no exchange)."""
+    from import_ray.stages.scrub import badword_filter
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(badword_filter, batch_format="pyarrow")
+
+
 def _segment_dedup_docs(sf_dir: str):
     """CCNet-style segment dedup: drop every repeated 4-token window
     corpus-wide (keep the first occurrence), reassemble documents from
@@ -406,6 +415,24 @@ def _multimodal_features(sf_dir: str):
     return extract_media_features(ds).select_columns(
         ["media_id", "media_type", "payload_bytes"]
     )
+
+
+def _knn_int8(sf_dir: str):
+    """int8-quantized cosine top-k (4× smaller corpus-side memory
+    traffic; recall vs exact pytest-gated in test_similarity.py)."""
+    from import_ray.stages.similarity import knn_cosine_int8
+
+    ds = _read_table(sf_dir, "embeddings")
+    return knn_cosine_int8(ds, _KNN_QUERIES, 10)
+
+
+def _random_projection(sf_dir: str):
+    """Johnson–Lindenstrauss Gaussian projection 64→16 dims (seeded,
+    deterministic; distance-preservation pytest-gated)."""
+    from import_ray.stages.similarity import random_projection
+
+    ds = _read_table(sf_dir, "embeddings")
+    return random_projection(ds, out_dim=16, seed=7)
 
 
 def _ivf_knn(sf_dir: str):
@@ -749,6 +776,7 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 from import_ray.stages.dedup import SEGMENT_DEDUP_SQL_TEMPLATE
+from import_ray.stages.scrub import BADWORD_FILTER_SQL as BADWORD_FILTER_ORACLE
 
 SEGMENT_DEDUP_ORACLE = SEGMENT_DEDUP_SQL_TEMPLATE.format(seg_tokens=4)
 
@@ -956,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "segment_dedup_docs": _segment_dedup_docs,
+        "badword_filter_docs": _badword_filter_docs,
         "token_stats_docs": _token_stats,
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
@@ -972,6 +1001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_planted": _fingerprint_planted,
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
+        "knn_cosine_int8": _knn_int8,
+        "random_projection_embeddings": _random_projection,
         "embedding_neardup_pairs": _embedding_neardup,
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
@@ -1027,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": CHUNK_DOCS_ORACLE,
         "bloom_semi_orders": BLOOM_SEMI_ORACLE,
         "segment_dedup_docs": SEGMENT_DEDUP_ORACLE,
+        "badword_filter_docs": BADWORD_FILTER_ORACLE,
         "decontam_planted": DECONTAM_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,

@@ -111,3 +111,36 @@ SELECT doc_id, n_chars,
 FROM documents
 WHERE (doc_id * 2654435761) % 4294967296 < 858993459
 """
+
+
+# --- C4-style token-blocklist filter -----------------------------------------
+
+BADWORD_DEFAULT = ("spark", "dup")
+
+
+def badword_filter(batch: pa.Table, blocklist=BADWORD_DEFAULT) -> pa.Table:
+    """Drop documents containing any blocklisted token (the C4 bad-words
+    rule, token-exact so the DuckDB ``list_has_any`` oracle matches).
+    Vectorized: split → flatten → np.isin on the flat token array →
+    per-doc any() via bincount; no per-row loops."""
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text, pattern=" ")
+    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(n_tok)
+    if n == 0:
+        return batch.select(["doc_id", "text"])
+    flat = pc.list_flatten(lists).to_pandas().to_numpy(dtype=object)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+    bad = np.isin(flat, np.asarray(list(blocklist), dtype=object))
+    bad_per_doc = np.bincount(doc_of[bad], minlength=n) > 0
+    return batch.select(["doc_id", "text"]).filter(pa.array(~bad_per_doc))
+
+
+BADWORD_FILTER_SQL = """
+SELECT doc_id, text FROM documents
+WHERE NOT list_has_any(string_split(text, ' '), ['spark', 'dup'])
+"""

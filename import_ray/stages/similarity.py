@@ -495,3 +495,76 @@ def embedding_neardup_pairs(
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# --- random projection (JL dimensionality reduction) --------------------------
+
+
+def random_projection(embeddings_ds, out_dim: int = 16, seed: int = 7):
+    """Deterministic Gaussian random projection (Johnson–Lindenstrauss):
+    embedding (d) → (out_dim), scaled by 1/sqrt(out_dim) so expected
+    pairwise distances are preserved. The projection matrix is a
+    (d × out_dim) constant derived from ``seed`` — regenerated inside
+    each task from the seed (cheaper to rebuild than to ship), so the
+    stage is embarrassingly parallel with zero broadcast state."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch)
+        d = emb.shape[1]
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)
+        low = (emb @ proj).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array(list(low), pa.list_(pa.float32())),
+            }
+        )
+
+    return embeddings_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# --- int8-quantized cosine top-k ----------------------------------------------
+
+
+class PartialTopKInt8:
+    """Per-batch top-k like PartialTopK, but the corpus side is
+    symmetric-int8 quantized: each L2-normalized vector becomes
+    round(127·x) int8 codes, and scores are int32 dot products rescaled
+    by 1/127² — 4× less memory traffic per batch and int8 GEMM-shaped
+    compute (the at-scale memory/bandwidth path; recall is tested
+    against the exact kernel)."""
+
+    def __init__(self, queries: dict[int, np.ndarray], k: int):
+        self.qids = np.array(sorted(queries), dtype=np.int64)
+        qm = _normalize(np.stack([queries[q] for q in sorted(queries)]).astype(np.float64))
+        self.qq = np.clip(np.rint(qm * 127.0), -127, 127).astype(np.int8)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix(batch))
+        codes = np.clip(np.rint(emb * 127.0), -127, 127).astype(np.int8)
+        # int8 × int8 → int32 accumulate, then one float rescale
+        scores = (
+            self.qq.astype(np.int32) @ codes.astype(np.int32).T
+        ).astype(np.float64) / (127.0 * 127.0)
+        scores[vec_ids[None, :] == self.qids[:, None]] = -np.inf
+        return _emit_topk(self.qids, vec_ids, scores, self.k)
+
+
+def knn_cosine_int8(embeddings_ds, n_queries: int, k: int):
+    """Quantized variant of ``knn_cosine``: same pipeline shape
+    (broadcast queries → per-batch partial top-k → tiny grouped merge),
+    int8 corpus codes. Approximate — ranks can differ from exact where
+    cosine gaps are < ~1e-2; recall@k vs exact is pytest-gated."""
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(embeddings_ds)
+    q = embeddings_ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
+    query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
+    partial = PartialTopKInt8(query_vectors, k)
+    partials = join_safe(embeddings_ds.map_batches(partial, batch_format="pyarrow"))
+    return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
+        _final_topk_factory(k), batch_format="pandas"
+    )

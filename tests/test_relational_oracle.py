@@ -60,6 +60,7 @@ NEW_QUERIES = [
     "q19_disjunctive_revenue",
     "q21_sole_return_suppliers",
     "segment_dedup_docs",
+    "badword_filter_docs",
 ]
 
 

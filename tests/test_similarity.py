@@ -163,3 +163,52 @@ def test_embedding_neardup_lsh_recall_vs_exact(ray_session):
         key = (r["vec_lo"], r["vec_hi"])
         if key in exact_scores:
             assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_int8_knn_recall(embeddings):
+    """Quantized top-k must recall ≥0.9 of the exact neighbor sets."""
+    from import_ray.stages.similarity import knn_cosine, knn_cosine_int8
+
+    ds, queries = embeddings
+    exact = knn_cosine(ds, 5, 10, query_vectors=queries).take_all()
+    quant = knn_cosine_int8(ds, 5, 10).take_all()
+    exact_sets, quant_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & quant_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_random_projection_deterministic_and_distance_preserving(embeddings):
+    from import_ray.stages.similarity import _emb_matrix, random_projection
+
+    ds, _ = embeddings
+    import pyarrow as pa
+
+    out1 = random_projection(ds, out_dim=16, seed=7).sort("vec_id").take_all()
+    out2 = random_projection(ds, out_dim=16, seed=7).sort("vec_id").take_all()
+    assert [r["vec_id"] for r in out1] == [r["vec_id"] for r in out2]
+    m1 = np.stack([np.asarray(r["embedding"]) for r in out1])
+    m2 = np.stack([np.asarray(r["embedding"]) for r in out2])
+    assert m1.shape[1] == 16
+    np.testing.assert_array_equal(m1, m2)
+
+    # JL sanity: pairwise distances are preserved within a bounded mean
+    # relative error (the synthetic vectors are near-isotropic, so
+    # distances concentrate and correlation would be a meaningless
+    # metric; relative error is the actual JL guarantee)
+    t = ds.sort("vec_id").take_all()
+    hi = np.stack([np.asarray(r["embedding"]) for r in t]).astype(np.float64)
+    idx = np.arange(0, len(hi), 7)
+    dh = np.linalg.norm(hi[idx][:, None, :] - hi[idx][None, :, :], axis=2).ravel()
+    dl = np.linalg.norm(
+        m1[idx][:, None, :].astype(np.float64) - m1[idx][None, :, :], axis=2
+    ).ravel()
+    mask = dh > 0
+    rel = np.abs(dl[mask] - dh[mask]) / dh[mask]
+    assert rel.mean() < 0.2, rel.mean()
