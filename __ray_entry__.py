@@ -70,6 +70,16 @@ def _kg_transcript_triples(sf_dir: str):
     return build_triples(ensure_transcripts(sf_dir))
 
 
+def _kg_triple_diff(sf_dir: str):
+    """Incremental KG delta: current snapshot vs a deterministic
+    conversation-subset snapshot, distributed keyed diff (the reference
+    differ's ADDED/DELETED/MODIFIED shape over canonical triples)."""
+    from import_ray.pipelines.kg import kg_triple_diff
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return kg_triple_diff(ensure_transcripts(sf_dir), mod=10)
+
+
 def _dedup_exact_docs(sf_dir: str):
     """Exact doc dedup: group by a 128-bit CONTENT HASH (two independent
     keyed 64-bit hashes) instead of the raw text — the shuffle moves
@@ -1007,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
+        "kg_triple_diff": _kg_triple_diff,
     }
 
 

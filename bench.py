@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "pii_redact_planted",
     "customer_order_gaps",
+    "segment_dedup_docs",
+    "q10_returned_items",
+    "q21_sole_return_suppliers",
+    "knn_cosine_int8",
 ]
 
 

@@ -37,6 +37,7 @@ def build_triples(
     dedup: bool = True,
     conv_aggregates: bool = True,
     dedup_strategy: str = "shuffle",
+    conv_filter=None,
 ):
     """Lazy Dataset of canonical triples from a transcripts parquet path."""
     import ray.data
@@ -61,6 +62,10 @@ def build_triples(
     input_bytes = sum(_size(p) for p in paths)
     n_parts = npartitions_for_bytes(input_bytes)
     ds = ray.data.read_parquet(transcripts_path, columns=TRANSCRIPT_COLS)
+    if conv_filter is not None:
+        # snapshot selection (e.g. the previous-version subset for a
+        # triple diff) — a per-batch Arrow filter, applied at the read
+        ds = ds.map_batches(conv_filter, batch_format="pyarrow")
 
     turn_triples = ds.map_batches(
         TranscriptTripleExtractor(provenance=provenance),
@@ -160,3 +165,47 @@ def run_kg_job(
         shard_size=shard_size,
         write_kwargs={"partition_cols": ["part_key"]},
     )
+
+
+def _drop_mod_convs(mod: int = 10, residue: int = 0):
+    """Deterministic snapshot filter: drop conversations whose conv_id
+    hashes to ``residue`` mod ``mod`` (the 'previous version' subset)."""
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        cids = batch["conv_id"].to_pandas().to_numpy(dtype=object)
+        h = pd.util.hash_array(cids) % mod
+        return batch.filter(pa.array(h != residue))
+
+    return f
+
+
+def kg_triple_diff(transcripts_path: str | list[str], mod: int = 10):
+    """Incremental KG update delta (the reference differ's shape,
+    pipeline/differ/DifferUtils.java:97-139, over our triples): build
+    canonical triples for the CURRENT snapshot and for a PREVIOUS
+    snapshot (deterministically missing 1/``mod`` of conversations),
+    then a distributed keyed diff. The key is the full canonical
+    4-tuple, so rows are ADDED/DELETED only — exactly the incremental
+    ingest delta a 100 TB refresh would ship. Both builds stream; the
+    diff is one keyed exchange on a 4-tuple string key."""
+    from import_ray.stages.diff import diff_datasets
+
+    def to_kv(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.fill_null(pc.cast(batch[col], pa.string()), "")
+
+        key = pc.binary_join_element_wise(
+            s("subject_id"), s("predicate"), s("object_id"), s("object_value"), "|"
+        )
+        return pa.table(
+            {"key": key, "value": pc.cast(s("object_value"), pa.large_string())}
+        )
+
+    cur = build_triples(transcripts_path).map_batches(to_kv, batch_format="pyarrow")
+    prev = build_triples(transcripts_path, conv_filter=_drop_mod_convs(mod)).map_batches(
+        to_kv, batch_format="pyarrow"
+    )
+    return diff_datasets(cur, prev)

@@ -80,3 +80,17 @@ def test_distributed_diff_matches_driver(ray_session):
     got = {(r["key"], r["value_current"], r["value_previous"], r["diff"]) for r in out}
     want = {tuple(r) for r in diff_rows(cur_obs, prev_obs)}
     assert got == want
+
+
+def test_kg_triple_diff_is_pure_addition(ray_session):
+    """Diffing the full snapshot against a conversation-subset snapshot
+    must yield only ADDED triples (the subset's triples are a strict
+    subset after canonical dedup), and a nonempty delta."""
+    from import_ray.pipelines.kg import kg_triple_diff
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    rows = kg_triple_diff(path, mod=10).take_all()
+    assert rows, "expected a nonempty delta"
+    assert {r["diff"] for r in rows} == {"ADDED"}
+    assert all(r["value_previous"] == "" for r in rows)
