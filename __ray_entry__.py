@@ -70,6 +70,28 @@ def _kg_transcript_triples(sf_dir: str):
     return build_triples(ensure_transcripts(sf_dir))
 
 
+def _kg_predicate_counts(sf_dir: str):
+    """Triple fanout per predicate over the flagship KG output."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import predicate_counts
+
+    return predicate_counts(build_triples(ensure_transcripts(sf_dir)))
+
+
+def _kg_entity_components(sf_dir: str):
+    """Connected components of the KG entity-reference graph
+    (distributed min-label propagation); returns component sizes."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import component_sizes, entity_edges
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    # hub objects (power-law in-degree) would weld one giant component
+    # and inflate propagation rounds — capped per graph.entity_edges
+    return component_sizes(entity_edges(triples, max_object_degree=50))
+
+
 def _kg_triple_diff(sf_dir: str):
     """Incremental KG delta: current snapshot vs a deterministic
     conversation-subset snapshot, distributed keyed diff (the reference
@@ -1018,6 +1040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
         "kg_triple_diff": _kg_triple_diff,
+        "kg_predicate_counts": _kg_predicate_counts,
+        "kg_entity_components": _kg_entity_components,
     }
 
 

@@ -1,0 +1,179 @@
+"""Graph analysis over canonical KG triples.
+
+The reference materializes graphs as Node/Edge rows (SURVEY §2:
+``graphToEdges/graphToNodes``, pipeline/ ingestion); these operators
+add the analysis a KG-construction run needs to validate its output at
+scale:
+
+- ``predicate_counts``: triples per predicate (one small keyed
+  aggregate — #groups = #predicates, tiny).
+- ``out_degree_topk``: the highest-fanout subjects (per-block partial
+  counts + one keyed exchange + block-local partial top-k, so only
+  k × #blocks rows reach the driver merge).
+- ``entity_components``: connected components of the entity-reference
+  graph (subject —ref→ object), via the tested distributed min-label
+  propagation from the near-dup engine (``neardup.propagate_min_labels``
+  — groupby-min rounds bounded by component diameter). String dcids
+  enter the exchange as 64-bit hashes (16 B/edge); at 10^10 nodes the
+  birthday collision expectation is ~3e-3 — document-level dedup keys
+  use 128 bits, component labels tolerate 64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash_ids(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    s = col.to_pandas().to_numpy(dtype=object)
+    return pd.util.hash_array(s).astype(np.int64)
+
+
+def predicate_counts(triples_ds):
+    """(predicate, n_triples) — one keyed aggregate over #predicate groups."""
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import join_safe, npartitions
+
+    out = (
+        triples_ds.select_columns(["predicate"])
+        .groupby("predicate", num_partitions=npartitions())
+        .aggregate(Count(alias_name="n_triples"))
+    )
+    return join_safe(out)
+
+
+def out_degree_topk(triples_ds, k: int = 20):
+    """Top-k subjects by out-degree (triple fanout). Partial per-block
+    counts → keyed exchange → block-local top-k partials → driver merge
+    of k × #blocks rows."""
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+
+    ensure_hash_shuffle(triples_ds)
+    n = npartitions()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"subject_id": batch["subject_id"].to_pandas()})
+        g = df.groupby("subject_id", sort=False).size().reset_index(name="out_degree")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("subject_id", sort=False)["out_degree"].sum().reset_index()
+        g = g.sort_values(
+            ["out_degree", "subject_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = (
+        triples_ds.select_columns(["subject_id"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .repartition(n, keys=["subject_id"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return (
+        partials.sort_values(
+            ["out_degree", "subject_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def entity_edges(triples_ds, max_object_degree: int | None = None):
+    """Entity-reference edges as 64-bit node hashes: (doc_lo, doc_hi)
+    rows for every triple with a non-empty object_id ≠ subject_id
+    (column names match the near-dup pair schema so the label
+    propagation engine applies unchanged).
+
+    ``max_object_degree`` drops super-hub objects (in-degree above the
+    cap) before propagation — the standard pre-step for components over
+    power-law KG graphs: hubs weld everything into one giant component
+    and its diameter drives the propagation round count. The degree
+    filter is one partial-count + keyed exchange + semi-join, all on
+    8-byte hash keys."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        obj = batch["object_id"]
+        if isinstance(obj, pa.ChunkedArray):
+            obj = obj.combine_chunks()
+        keep = pc.and_(
+            obj.is_valid(),
+            pc.and_(
+                pc.not_equal(pc.fill_null(obj, ""), ""),
+                pc.not_equal(pc.fill_null(obj, ""), batch["subject_id"]),
+            ),
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_lo": pa.array(_hash_ids(batch["subject_id"])),
+                "doc_hi": pa.array(_hash_ids(batch["object_id"])),
+            }
+        )
+
+    edges = triples_ds.select_columns(["subject_id", "object_id"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    if max_object_degree is None:
+        return edges
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges)
+    n = npartitions()
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_hi": batch["doc_hi"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("doc_hi", sort=False).size().reset_index(name="deg")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def block_keep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("doc_hi", sort=False)["deg"].sum().reset_index()
+        g = g[g["deg"] <= max_object_degree]
+        return pa.Table.from_pandas(
+            g[["doc_hi"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    edges = join_safe(edges).materialize()
+    keep = (
+        edges.map_batches(partial_deg, batch_format="pyarrow")
+        .repartition(n, keys=["doc_hi"])
+        .map_batches(block_keep, batch_format="pyarrow", batch_size=None)
+    )
+    return edges.join(
+        join_safe(keep),
+        join_type="left_semi",
+        num_partitions=n,
+        on=("doc_hi",),
+        right_on=("doc_hi",),
+    )
+
+
+def connected_components(edges_ds, max_rounds: int = 25):
+    """(node, label) over an edge Dataset with doc_lo/doc_hi int64
+    columns — distributed min-label propagation (see neardup)."""
+    from import_ray.stages.neardup import propagate_min_labels
+
+    return propagate_min_labels(edges_ds, max_rounds=max_rounds)
+
+
+def component_sizes(edges_ds, max_rounds: int = 25):
+    """(label, size) per connected component — the KG canonicalization
+    cluster histogram. Singleton nodes never enter the propagation (they
+    have no edges), so sizes cover linked entities only."""
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import join_safe, npartitions
+
+    labels = connected_components(edges_ds, max_rounds=max_rounds)
+    return join_safe(
+        labels.groupby("label", num_partitions=npartitions()).aggregate(
+            Count(alias_name="size")
+        )
+    )

@@ -1,0 +1,105 @@
+"""Graph analysis: predicate counts, degree top-k, connected components."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def kg_triples(ray_session):
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    ds = build_triples(path).materialize()
+    return ds, ds.to_pandas()
+
+
+def test_predicate_counts_match_pandas(kg_triples):
+    from import_ray.stages.graph import predicate_counts
+
+    ds, df = kg_triples
+    got = (
+        predicate_counts(ds)
+        .to_pandas()
+        .sort_values("predicate")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("predicate").size().reset_index(name="n_triples")
+        .sort_values("predicate").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_out_degree_topk_matches_pandas(kg_triples):
+    from import_ray.stages.graph import out_degree_topk
+
+    ds, df = kg_triples
+    got = out_degree_topk(ds, k=10)
+    want = (
+        df.groupby("subject_id").size().reset_index(name="out_degree")
+        .sort_values(["out_degree", "subject_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(10).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_connected_components_planted(ray_session):
+    """Two planted components (a 4-chain and a triangle) + a self-less
+    singleton pair structure must label exactly by min node id."""
+    import ray.data
+
+    from import_ray.stages.graph import component_sizes, connected_components
+
+    edges = pa.table(
+        {
+            # chain 1-2-3-4, triangle 10-11-12
+            "doc_lo": pa.array([1, 2, 3, 10, 11, 10], pa.int64()),
+            "doc_hi": pa.array([2, 3, 4, 11, 12, 12], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges)
+    labels = {r["node"]: r["label"] for r in connected_components(ds).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    sizes = {r["label"]: r["size"] for r in component_sizes(ds).take_all()}
+    assert sizes == {1: 4, 10: 3}
+
+
+def test_entity_components_end_to_end(kg_triples):
+    """Entity-reference components over real triples: every labeled node
+    must appear in some edge, and labels must be component-minimal
+    (label ≤ node for every row)."""
+    from import_ray.stages.graph import connected_components, entity_edges
+
+    ds, _ = kg_triples
+    edges = entity_edges(ds)
+    labels = connected_components(edges).take_all()
+    assert labels
+    assert all(r["label"] <= r["node"] for r in labels)
+
+
+def test_entity_edges_degree_cap(ray_session):
+    """Edges into objects above the in-degree cap must be dropped."""
+    import ray.data
+
+    from import_ray.stages.graph import entity_edges
+
+    t = pa.table(
+        {
+            "subject_id": pa.array([f"s{i}" for i in range(6)] + ["s0", "s1"]),
+            "predicate": pa.array(["p"] * 8),
+            "object_id": pa.array(["hub"] * 6 + ["rare", "rare2"]),
+            "object_value": pa.array([""] * 8),
+            "provenance": pa.array(["t"] * 8),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    full = entity_edges(ds).count()
+    capped = entity_edges(ds, max_object_degree=2).count()
+    assert full == 8
+    assert capped == 2  # only the two rare-object edges survive
