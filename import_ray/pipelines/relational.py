@@ -2708,3 +2708,55 @@ GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_suppkey
 LIMIT 100
 """
+
+
+# --- semi-structured extraction: JSON props → typed column -------------------
+
+
+def events_props_stats(sf_dir: str):
+    """Per-event-type stats over a field EXTRACTED from the JSON
+    ``props`` column (semi-structured payload parsing — the pattern for
+    tool-call/metadata blobs in transcript pipelines). Extraction is a
+    vectorized RE2 kernel (``pc.extract_regex``) over the whole Arrow
+    batch — no per-row json.loads; DuckDB's ``json_extract_string`` is
+    the oracle. One small keyed aggregate (#event_types groups)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        g = (
+            df.groupby("event_type", sort=False)["k"]
+            .agg(sum_k="sum", n="size")
+            .reset_index()
+        )
+        g["sum_k"] = g["sum_k"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    partials = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.groupby("event_type", sort=True)[["sum_k", "n"]]
+        .sum()
+        .reset_index()
+    )
+    return out[["event_type", "sum_k", "n"]]
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -61,6 +61,7 @@ NEW_QUERIES = [
     "q21_sole_return_suppliers",
     "segment_dedup_docs",
     "badword_filter_docs",
+    "events_props_stats",
 ]
 
 
