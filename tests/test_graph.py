@@ -103,3 +103,37 @@ def test_entity_edges_degree_cap(ray_session):
     capped = entity_edges(ds, max_object_degree=2).count()
     assert full == 8
     assert capped == 2  # only the two rare-object edges survive
+
+
+def test_contraction_preserves_labels(kg_triples):
+    """Connected-component labels must be byte-identical with and
+    without the block-local contraction pre-pass — on a planted deep
+    chain AND on the real entity graph."""
+    import ray.data
+
+    from import_ray.stages.graph import connected_components, entity_edges
+
+    # deep chain 0-1-2-...-19 scattered across blocks
+    lo = list(range(19))
+    hi = list(range(1, 20))
+    chain = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(6)
+    with_c = sorted(
+        (r["node"], r["label"]) for r in connected_components(chain, contract=True).take_all()
+    )
+    without_c = sorted(
+        (r["node"], r["label"]) for r in connected_components(chain, contract=False).take_all()
+    )
+    assert with_c == without_c
+    assert all(lbl == 0 for _, lbl in with_c)
+
+    ds, _ = kg_triples
+    edges = entity_edges(ds, max_object_degree=20).materialize()
+    a = sorted(
+        (r["node"], r["label"]) for r in connected_components(edges, contract=True).take_all()
+    )
+    b = sorted(
+        (r["node"], r["label"]) for r in connected_components(edges, contract=False).take_all()
+    )
+    assert a == b
