@@ -92,6 +92,20 @@ def _kg_entity_components(sf_dir: str):
     return component_sizes(entity_edges(triples, max_object_degree=50))
 
 
+def _kg_pagerank(sf_dir: str):
+    """Entity hub scores: distributed PageRank over the KG
+    entity-reference graph (per-iteration edges⋈ranks hash join +
+    grouped sum, exact dangling redistribution). Returns the top 20
+    entities by rank."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import entity_edges, pagerank
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    ranks = pagerank(entity_edges(triples), iterations=5)
+    return ranks.sort("rank", descending=True).limit(20)
+
+
 def _kg_triple_diff(sf_dir: str):
     """Incremental KG delta: current snapshot vs a deterministic
     conversation-subset snapshot, distributed keyed diff (the reference
@@ -1043,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triple_diff": _kg_triple_diff,
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_entity_components": _kg_entity_components,
+        "kg_pagerank": _kg_pagerank,
     }
 
 

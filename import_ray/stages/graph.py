@@ -184,6 +184,150 @@ def component_sizes(edges_ds, max_rounds: int = 25):
     )
 
 
+def pagerank(edges_ds, iterations: int = 10, damping: float = 0.85):
+    """Distributed PageRank over an edge Dataset (doc_lo=src,
+    doc_hi=dst, int64 node hashes — the ``entity_edges`` schema).
+
+    The hub-score pass a KG-construction run uses to rank entities for
+    canonicalization priority / spot-check sampling (the reference's
+    graph tooling stops at node/edge materialization —
+    pipeline/src/.../GraphUtils.java builds edges; ranking is an engine
+    addition).
+
+    Scale shape: per-edge weight 1/out_degree(src) is computed ONCE
+    (one keyed count + one hash join) and the weighted edge set is
+    materialized; each iteration is then one edges⋈ranks hash join on
+    the 8-byte src key, one grouped sum over dst, and one left join
+    back onto the node set — message volume ∝ edges, every exchanged
+    column int64/float64, nothing driver-side but two scalars.
+    Dangling-node mass is exact and costs no extra exchange: with
+    Σ rank = 1, the uniformly-redistributed mass is
+    1 − Σ(per-dst contribution sums), a scalar aggregate over the sums
+    Dataset already in hand.
+
+    Parallel edges contribute multiply (multigraph semantics);
+    ``exact_dedup_triples`` upstream makes the entity graph simple.
+
+    Returns a Dataset (node:int64, rank:float64); Σ rank = 1 over the
+    non-isolated node set every iteration.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    edges = join_safe(edges_ds).materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([lo, hi])), pa.int64())}
+        )
+
+    nodes = (
+        join_safe(
+            edges.map_batches(nodes_of, batch_format="pyarrow")
+            .groupby("node", num_partitions=n)
+            .aggregate(Count(alias_name="_c"))
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+    num_nodes = nodes.count()
+
+    deg = join_safe(
+        edges.groupby("doc_lo", num_partitions=n).aggregate(Count(alias_name="deg"))
+    )
+    w_edges = (
+        edges.join(
+            deg,
+            join_type="inner",
+            num_partitions=n,
+            on=("doc_lo",),
+            right_on=("doc_lo",),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["doc_lo"],
+                    "dst": b["doc_hi"],
+                    "w": pc.divide(
+                        pa.scalar(1.0), pc.cast(b["deg"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    init = 1.0 / num_nodes
+    ranks = nodes.map_batches(
+        lambda b, v=init: pa.table(
+            {"node": b["node"], "rank": pa.array(np.full(len(b), v), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        msgs = w_edges.join(
+            ranks,
+            join_type="inner",
+            num_partitions=n,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b["dst"], "c": pc.multiply(b["w"], b["rank"])}
+            ),
+            batch_format="pyarrow",
+        )
+        sums = join_safe(
+            msgs.groupby("node", num_partitions=n).aggregate(Sum("c", alias_name="c"))
+        ).materialize()
+        row = sums.aggregate(Sum("c", alias_name="s"))
+        contributed = float(row["s"] or 0.0)
+        # Σ rank = 1 ⇒ dangling mass = 1 − mass that flowed along edges
+        dangling = max(0.0, 1.0 - contributed)
+        base = (1.0 - damping) / num_nodes + damping * dangling / num_nodes
+
+        ranks = (
+            nodes.join(
+                sums,
+                join_type="left_outer",
+                num_partitions=n,
+                on=("node",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b, base=base: pa.table(
+                    {
+                        "node": b["node"],
+                        "rank": pc.add(
+                            pa.scalar(base),
+                            pc.multiply(
+                                pa.scalar(damping),
+                                pc.fill_null(pc.cast(b["c"], pa.float64()), 0.0),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks
+
+
 def contract_edges_block(edges_ds, num_partitions: int | None = None):
     """Connectivity-preserving local contraction: hash-partition edges
     by doc_lo, run union-find INSIDE each block, and emit each block's

@@ -105,6 +105,64 @@ def test_entity_edges_degree_cap(ray_session):
     assert capped == 2  # only the two rare-object edges survive
 
 
+def _pagerank_dense(edges, n_nodes_map, iterations, damping):
+    """Dense power iteration with identical semantics (multigraph
+    weights, exact dangling redistribution) for parity checking."""
+    idx = n_nodes_map
+    n = len(idx)
+    M = np.zeros((n, n))
+    for a, b in edges:
+        M[idx[b], idx[a]] += 1.0
+    out = M.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        W = np.where(out > 0, M / out, 0.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contributed = W @ r
+        dangling = 1.0 - contributed.sum()
+        r = (1.0 - damping) / n + damping * (contributed + dangling / n)
+    return r
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """Distributed PageRank must match a dense same-semantics power
+    iteration to float tolerance on a graph with a dangling node, a
+    hub, a cycle, and a parallel edge."""
+    import ray.data
+
+    from import_ray.stages.graph import pagerank
+
+    # 0→1, 0→2, 1→2, 2→0 (cycle), 3→2 (3 dangles nothing... 3 has
+    # out-edge; 4 is dangling: only in-edges), parallel edge 0→1 again
+    lo = [0, 0, 1, 2, 3, 0, 2]
+    hi = [1, 2, 2, 0, 2, 1, 4]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(3)
+    got = {r["node"]: r["rank"] for r in pagerank(ds, iterations=8).take_all()}
+
+    idx = {v: i for i, v in enumerate(sorted(set(lo) | set(hi)))}
+    want = _pagerank_dense(list(zip(lo, hi)), idx, iterations=8, damping=0.85)
+    assert set(got) == set(idx)
+    for v, i in idx.items():
+        assert got[v] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_entity_graph(kg_triples):
+    """PageRank over the real entity graph: mass conserved, every
+    non-isolated node ranked."""
+    from import_ray.stages.graph import entity_edges, pagerank
+
+    ds, _ = kg_triples
+    edges = entity_edges(ds)
+    ranks = pagerank(edges, iterations=4).take_all()
+    assert ranks
+    total = sum(r["rank"] for r in ranks)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert all(r["rank"] > 0 for r in ranks)
+
+
 def test_contraction_preserves_labels(kg_triples):
     """Connected-component labels must be byte-identical with and
     without the block-local contraction pre-pass — on a planted deep
