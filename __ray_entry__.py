@@ -1007,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q21_sole_return_suppliers": R.q21_sole_return_suppliers,
         "events_props_stats": R.events_props_stats,
+        "ntile_customers": R.ntile_customers_by_balance,
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
@@ -1104,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": R.Q19_SQL,
         "q21_sole_return_suppliers": R.Q21_SQL,
         "events_props_stats": R.EVENTS_PROPS_SQL,
+        "ntile_customers": R.NTILE_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

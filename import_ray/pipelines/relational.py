@@ -2760,3 +2760,136 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- exact distributed NTILE (global-rank bucketing, no global sort) ---------
+
+
+_NTILE_BUCKET_BITS = 8
+
+
+def ntile_customers_by_balance(sf_dir: str, tiles: int = 4):
+    """Exact NTILE(tiles) OVER (ORDER BY c_acctbal, c_custkey),
+    aggregated per tile — WITHOUT a global sort.
+
+    The distributed exact-ranking shape (same family as
+    ``price_percentiles_by_flag``):
+
+    1. coarse pass — per-block histogram over balance-cent buckets
+       (domain-bounded: ≤ cent-domain/256 rows reach the driver);
+       prefix sums give every bucket's global rank offset and locate
+       the ≤ tiles−1 "boundary buckets" a tile boundary splits;
+    2. clean rows (bucket wholly inside one tile — the overwhelming
+       majority) are aggregated per block with the tile known from the
+       bucket alone: per-block (tile, n, sum) partials, driver merge of
+       tiles × blocks tiny rows — NO data shuffle at all;
+    3. boundary rows (≤ (tiles−1) × bucket-width ≈ n/4096 of the data)
+       are the only rows ever collected: exact-sorted by
+       (cents, custkey) with their global rank = bucket offset + local
+       position, then tiled by searchsorted into the cumulative tile
+       sizes.
+
+    Ties: cents is a bijection of the 2-decimal balance, so all equal
+    balances land in one bucket and the within-bucket custkey sort
+    reproduces SQL's deterministic ORDER BY tie-break exactly.
+    """
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        ub, cnt = np.unique(cents >> _NTILE_BUCKET_BITS, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(coarse, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("bucket", sort=True)["cnt"]
+        .sum()
+    )
+    buckets = hist.index.to_numpy()
+    counts = hist.to_numpy()
+    offsets = np.concatenate([[0], counts.cumsum()])
+    total = int(offsets[-1])
+
+    base, extra = divmod(total, tiles)
+    sizes = np.full(tiles, base, dtype=np.int64)
+    sizes[:extra] += 1
+    cum_sizes = sizes.cumsum()  # global rank r (0-based) → tile = searchsorted(cum, r, 'right')+1
+
+    start_tile = np.searchsorted(cum_sizes, offsets[:-1], side="right")
+    end_tile = np.searchsorted(cum_sizes, offsets[1:] - 1, side="right")
+    clean = start_tile == end_tile
+    clean_tile = (start_tile + 1).astype(np.int64)  # valid where clean
+    boundary_buckets = buckets[~clean]
+    bucket_offset = {int(b): int(o) for b, o in zip(buckets[~clean], offsets[:-1][~clean])}
+
+    def clean_partials(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        b = cents >> _NTILE_BUCKET_BITS
+        pos = np.searchsorted(buckets, b)
+        is_clean = clean[pos]
+        t = clean_tile[pos[is_clean]]
+        df = pd.DataFrame({"tile": t, "bal": cents[is_clean]})
+        g = df.groupby("tile", sort=False)["bal"].agg(
+            sum_cents="sum", n_customers="size"
+        ).reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        b = cents >> _NTILE_BUCKET_BITS
+        keep = np.isin(b, boundary_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(b[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "c_custkey": pa.array(
+                    batch["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = np.zeros((tiles, 2), dtype=np.int64)  # [n, sum_cents]
+    partials = ds.map_batches(
+        clean_partials, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    for t, grp in partials.groupby("tile"):
+        agg[int(t) - 1, 0] += int(grp["n_customers"].sum())
+        agg[int(t) - 1, 1] += int(grp["sum_cents"].sum())
+
+    bd = ds.map_batches(boundary_rows, batch_format="pyarrow").to_pandas()
+    if len(bd):
+        bd = bd.sort_values(["bucket", "cents", "c_custkey"], kind="mergesort")
+        for b, grp in bd.groupby("bucket", sort=True):
+            ranks = bucket_offset[int(b)] + np.arange(len(grp))
+            t = np.searchsorted(cum_sizes, ranks, side="right")
+            cents = grp["cents"].to_numpy()
+            for ti in np.unique(t):
+                m = t == ti
+                agg[ti, 0] += int(m.sum())
+                agg[ti, 1] += int(cents[m].sum())
+
+    return pd.DataFrame(
+        {
+            "tile": np.arange(1, tiles + 1, dtype=np.int64),
+            "n_customers": agg[:, 0],
+            "sum_cents": agg[:, 1],
+        }
+    )
+
+
+NTILE_SQL = """
+SELECT tile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+GROUP BY tile
+ORDER BY tile
+"""

@@ -62,6 +62,7 @@ NEW_QUERIES = [
     "segment_dedup_docs",
     "badword_filter_docs",
     "events_props_stats",
+    "ntile_customers",
 ]
 
 
