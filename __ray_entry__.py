@@ -1008,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_return_suppliers": R.q21_sole_return_suppliers,
         "events_props_stats": R.events_props_stats,
         "ntile_customers": R.ntile_customers_by_balance,
+        "first_last_touch": R.first_last_touch,
+        "top_event_per_user": R.top_event_per_user,
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
@@ -1106,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_return_suppliers": R.Q21_SQL,
         "events_props_stats": R.EVENTS_PROPS_SQL,
         "ntile_customers": R.NTILE_SQL,
+        "first_last_touch": R.FIRST_LAST_TOUCH_SQL,
+        "top_event_per_user": R.TOP_EVENT_PER_USER_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

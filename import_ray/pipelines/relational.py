@@ -2893,3 +2893,131 @@ FROM (
 GROUP BY tile
 ORDER BY tile
 """
+
+
+# --- first/last-touch attribution (grouped argmin/argmax) ---------------------
+
+
+def first_last_touch(sf_dir: str):
+    """Per-user first- and last-touch event types (marketing-attribution
+    shape): argmin/argmax over (ts, event_id) per user with the SQL
+    ROW_NUMBER tie-break reproduced exactly.
+
+    Per-block partial: one sort + drop_duplicates keeps only each
+    user's block-local extremes (2 rows/user/block max), so the keyed
+    exchange moves bounded partials, not events; the finalize pass after
+    the user_id repartition re-runs the same pick per group."""
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    ensure_hash_shuffle(ds)
+    n = npartitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        f = df.drop_duplicates("user_id", keep="first")
+        last = df.drop_duplicates("user_id", keep="last")
+        m = f.merge(last, on="user_id", suffixes=("_f", "_l"))
+        return from_pandas_clean(m, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        fa = df.sort_values(["user_id", "ts_f", "event_id_f"], kind="mergesort")
+        f = fa.drop_duplicates("user_id", keep="first")[["user_id", "event_type_f"]]
+        la = df.sort_values(["user_id", "ts_l", "event_id_l"], kind="mergesort")
+        last = la.drop_duplicates("user_id", keep="last")[["user_id", "event_type_l"]]
+        out = f.merge(last, on="user_id").rename(
+            columns={"event_type_f": "first_event", "event_type_l": "last_event"}
+        )
+        return from_pandas_clean(out, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(n, keys=["user_id"])
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+    return out
+
+
+FIRST_LAST_TOUCH_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events)
+SELECT user_id,
+       MAX(CASE WHEN rf = 1 THEN event_type END) AS first_event,
+       MAX(CASE WHEN rl = 1 THEN event_type END) AS last_event
+FROM ranked
+GROUP BY user_id
+"""
+
+
+# --- per-group mode (argmax over counted frequencies) -------------------------
+
+
+def top_event_per_user(sf_dir: str):
+    """Each user's most frequent event type (per-group MODE with the
+    deterministic (count DESC, value ASC) tie-break). Block-local
+    (user, type) count partials → one keyed exchange on user_id →
+    in-block merge + argmax; partial rows are bounded by
+    #users × #event-types per block, never raw events."""
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ensure_hash_shuffle(ds)
+    n = npartitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_pandas(),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        g = g.rename(columns={"event_type": "top_event"})
+        g["cnt"] = g["cnt"].astype("int64")
+        return from_pandas_clean(
+            g[["user_id", "top_event", "cnt"]], preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(n, keys=["user_id"])
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+TOP_EVENT_PER_USER_SQL = """
+SELECT user_id, event_type AS top_event, CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+         ) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+) t
+WHERE rn = 1
+"""

@@ -63,6 +63,8 @@ NEW_QUERIES = [
     "badword_filter_docs",
     "events_props_stats",
     "ntile_customers",
+    "first_last_touch",
+    "top_event_per_user",
 ]
 
 
