@@ -106,6 +106,21 @@ def _kg_pagerank(sf_dir: str):
     return ranks.sort("rank", descending=True).limit(20)
 
 
+def _kg_triangles(sf_dir: str):
+    """Triangle count over the entity CO-MENTION graph (entities
+    sharing a conversation), via degree-oriented wedge closing —
+    clique expansion capped per conversation (skew guard, logged)."""
+    import pyarrow as pa
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import co_mention_edges, triangle_count
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    n = triangle_count(co_mention_edges(triples))
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
 def _kg_triple_diff(sf_dir: str):
     """Incremental KG delta: current snapshot vs a deterministic
     conversation-subset snapshot, distributed keyed diff (the reference
@@ -1061,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_entity_components": _kg_entity_components,
         "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
     }
 
 

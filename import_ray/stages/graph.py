@@ -375,3 +375,255 @@ def contract_edges_block(edges_ds, num_partitions: int | None = None):
             contract, batch_format="pyarrow", batch_size=None
         )
     )
+
+
+def triangle_count(edges_ds):
+    """Distributed triangle counting via degree-ordered wedge closing.
+
+    Edges are canonicalized undirected (self-loops dropped, endpoints
+    sorted, dedup via one keyed exchange), then ORIENTED from the
+    lower-(degree, id) endpoint to the higher — the standard trick that
+    bounds every node's out-degree by O(sqrt(m)), so the wedge
+    (two-path) generation that follows is O(m^1.5) total instead of
+    O(sum deg^2) on power-law graphs. Wedges are emitted per source
+    group after a src-keyed repartition and closed with one hash join
+    against the oriented edge set. All exchanged columns are int64.
+
+    Returns the triangle count (int).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def canon(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        a = np.minimum(lo, hi)
+        c = np.maximum(lo, hi)
+        # block-local distinct before the exchange
+        key = np.stack([a, c], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    edges = join_safe(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=n)
+        .aggregate(Count(alias_name="_c"))
+    ).select_columns(["a", "b"]).materialize()
+    if edges.count() == 0:
+        return 0
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            b["a"].to_numpy(zero_copy_only=False),
+                            b["b"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    deg = join_safe(
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node", num_partitions=n)
+        .aggregate(Count(alias_name="deg"))
+    ).materialize()
+
+    # orient: src = endpoint with smaller (deg, id); dst = the other
+    with_da = edges.join(
+        deg, join_type="inner", num_partitions=n, on=("a",), right_on=("node",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"a": b["a"], "b": b["b"], "deg_a": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    oriented = (
+        with_da.join(
+            deg, join_type="inner", num_partitions=n, on=("b",), right_on=("node",)
+        )
+        .map_batches(
+            lambda b: _orient(b),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def wedges(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(zero_copy_only=False),
+                "dst": b["dst"].to_numpy(zero_copy_only=False),
+                "ddeg": b["ddeg"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # per source: all ordered out-neighbor pairs — v before w in the
+        # SAME (deg, id) order the orientation used, so the closing edge
+        # is exactly the oriented v→w; out-degree is O(sqrt(m))
+        outs_v = []
+        outs_w = []
+        for _, grp in df.groupby("src", sort=False):
+            g = grp.sort_values(["ddeg", "dst"], kind="mergesort")
+            d = g["dst"].to_numpy()
+            k = len(d)
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            outs_v.append(d[iu])
+            outs_w.append(d[ju])
+        if not outs_v:
+            return pa.table(
+                {"wv": pa.array([], pa.int64()), "ww": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "wv": pa.array(np.concatenate(outs_v), pa.int64()),
+                "ww": pa.array(np.concatenate(outs_w), pa.int64()),
+            }
+        )
+
+    wedge_ds = join_safe(
+        oriented.repartition(n, keys=["src"])
+        .map_batches(wedges, batch_format="pyarrow", batch_size=None)
+    ).materialize()
+    # Ray's hash-shuffle join drops the schema of a 0-block side and
+    # acero then can't resolve the key FieldRefs — short-circuit
+    if wedge_ds.count() == 0:
+        return 0
+    closed = wedge_ds.join(
+        oriented.select_columns(["src", "dst"]),
+        join_type="inner",
+        num_partitions=n,
+        on=("wv", "ww"),
+        right_on=("src", "dst"),
+    )
+    return closed.count()
+
+
+def _orient(b: pa.Table) -> pa.Table:
+    """Direct each undirected edge from the endpoint with the smaller
+    (degree, id) key toward the larger; carry the dst key for the
+    deterministic wedge ordering."""
+    a = b["a"].to_numpy(zero_copy_only=False)
+    bb = b["b"].to_numpy(zero_copy_only=False)
+    da = b["deg_a"].to_numpy(zero_copy_only=False)
+    db = b["deg"].to_numpy(zero_copy_only=False)
+    a_first = (da < db) | ((da == db) & (a < bb))
+    src = np.where(a_first, a, bb)
+    dst = np.where(a_first, bb, a)
+    ddeg = np.where(a_first, db, da)  # dst's degree: ordering key with dst id
+    return pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "ddeg": pa.array(ddeg, pa.int64()),
+        }
+    )
+
+
+CO_MENTION_PREDICATES = ("mentions", "mentionsPlace", "mentionsLocation")
+
+
+def co_mention_edges(
+    triples_ds,
+    predicates: tuple[str, ...] = CO_MENTION_PREDICATES,
+    max_entities_per_group: int = 64,
+):
+    """Entity co-mention edges: two entities are linked when mention
+    triples place them in the same conversation (subject
+    ``conv/<id>/t<k>`` → group ``conv/<id>``).
+
+    The clique expansion is the classic blow-up risk (a conversation
+    mentioning k entities yields k(k−1)/2 edges), so groups are capped
+    at ``max_entities_per_group`` lexicographically-first entities and
+    the cap is logged — the same skew guard as the LSH bucket cap.
+    Exchange shape: distinct (conv-hash, entity-hash) int64 pairs
+    (block-local distinct first), one keyed repartition, vectorized
+    in-block pair emission.
+    """
+    import logging
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    log = logging.getLogger(__name__)
+    ensure_hash_shuffle(triples_ds)
+    n = npartitions()
+    pred_set = list(predicates)
+
+    def mention_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["predicate"], value_set=pa.array(pred_set))
+        batch = batch.filter(keep)
+        subj = batch["subject_id"].to_pandas().astype(str)
+        conv = subj.str.rsplit("/", n=1).str[0]
+        ent = batch["object_id"].to_pandas().astype(str)
+        df = pd.DataFrame(
+            {
+                "conv": pd.util.hash_array(conv.to_numpy(dtype=object)).astype(np.int64),
+                "ent": pd.util.hash_array(ent.to_numpy(dtype=object)).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv": batch["conv"].to_numpy(zero_copy_only=False),
+                "ent": batch["ent"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        lo_parts, hi_parts = [], []
+        capped = 0
+        for _, grp in df.groupby("conv", sort=False):
+            ents = np.unique(grp["ent"].to_numpy())
+            if len(ents) > max_entities_per_group:
+                capped += 1
+                ents = ents[:max_entities_per_group]
+            k = len(ents)
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(ents[iu])
+            hi_parts.append(ents[ju])
+        if capped:
+            log.warning(
+                "co_mention_edges: %d group(s) over max_entities_per_group=%d; truncated",
+                capped,
+                max_entities_per_group,
+            )
+        if not lo_parts:
+            return pa.table(
+                {"doc_lo": pa.array([], pa.int64()), "doc_hi": pa.array([], pa.int64())}
+            )
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        key = np.stack([lo, hi], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "doc_lo": pa.array(uniq[:, 0], pa.int64()),
+                "doc_hi": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    return join_safe(
+        triples_ds.select_columns(["subject_id", "predicate", "object_id"])
+        .map_batches(mention_rows, batch_format="pyarrow")
+        .repartition(n, keys=["conv"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

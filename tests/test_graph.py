@@ -105,6 +105,91 @@ def test_entity_edges_degree_cap(ray_session):
     assert capped == 2  # only the two rare-object edges survive
 
 
+def test_triangle_count_planted(ray_session):
+    """K4 (4 triangles) + a 4-cycle (0) + a chain (0) + duplicate and
+    reversed edges (must not double-count)."""
+    import ray.data
+
+    from import_ray.stages.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    chain = [(20, 21), (21, 22)]
+    dups = [(2, 1), (1, 2), (3, 3)]  # reversed, duplicate, self-loop
+    lo, hi = zip(*(k4 + square + chain + dups))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(5)
+    assert triangle_count(ds) == 4
+
+
+def test_triangle_count_entity_graph_matches_bruteforce(kg_triples):
+    """Distributed count equals a driver brute-force over the same
+    (capped) entity graph."""
+    from itertools import combinations
+
+    from import_ray.stages.graph import entity_edges, triangle_count
+
+    ds, _ = kg_triples
+    edges = entity_edges(ds, max_object_degree=30).materialize()
+    got = triangle_count(edges)
+
+    rows = edges.take_all()
+    adj: dict[int, set[int]] = {}
+    und = set()
+    for r in rows:
+        a, b = r["doc_lo"], r["doc_hi"]
+        if a == b:
+            continue
+        und.add((min(a, b), max(a, b)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # each triangle {x<y<z} counted exactly once: via edge (x,y), c=z>y
+    want = sum(len([c for c in adj[a] & adj[b] if c > b]) for a, b in und)
+    assert got == want
+
+
+def test_co_mention_triangles_match_bruteforce(kg_triples):
+    """Triangles over the co-mention graph equal a driver brute-force
+    built from the same (conv, entity) mention pairs."""
+    from import_ray.stages.graph import (
+        CO_MENTION_PREDICATES,
+        co_mention_edges,
+        triangle_count,
+    )
+
+    ds, df = kg_triples
+    # cap disabled for exact parity with the uncapped brute force
+    edges = co_mention_edges(ds, max_entities_per_group=1_000_000).materialize()
+    got = triangle_count(edges)
+    assert edges.count() > 0
+
+    # the skew cap must strictly shrink the clique expansion
+    capped = co_mention_edges(ds, max_entities_per_group=8).count()
+    assert 0 < capped < edges.count()
+
+    m = df[df["predicate"].isin(CO_MENTION_PREDICATES)].copy()
+    m["conv"] = m["subject_id"].str.rsplit("/", n=1).str[0]
+    und = set()
+    for _, grp in m.groupby("conv"):
+        ents = sorted(
+            pd.util.hash_array(
+                np.unique(grp["object_id"].astype(str).to_numpy(dtype=object))
+            ).astype(np.int64)
+        )
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                und.add((ents[i], ents[j]))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(len([c for c in adj[a] & adj[b] if c > b]) for a, b in und)
+    assert got == want
+    assert got > 0
+
+
 def _pagerank_dense(edges, n_nodes_map, iterations, damping):
     """Dense power iteration with identical semantics (multigraph
     weights, exact dangling redistribution) for parity checking."""
