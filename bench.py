@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q21_sole_return_suppliers",
     "knn_cosine_int8",
+    "ntile_customers",
+    "first_last_touch",
+    "top_event_per_user",
 ]
 
 
