@@ -121,6 +121,26 @@ def _kg_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([n], pa.int64())})
 
 
+def _kg_co_mention_pmi(sf_dir: str):
+    """Top entity associations by PMI over conversation co-mentions
+    (pair counts + marginal hash joins + block-local partial top-k)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import co_mention_pmi
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    return co_mention_pmi(triples, min_pairs=2, top_k=50)
+
+
+def _kg_turn_latency(sf_dir: str):
+    """Per-role response-latency stats over raw transcripts (conv-keyed
+    exchange + in-block LAG diff; exact integer ms sums)."""
+    from import_ray.pipelines.kg import turn_latency_stats
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return turn_latency_stats(ensure_transcripts(sf_dir))
+
+
 def _kg_triple_diff(sf_dir: str):
     """Incremental KG delta: current snapshot vs a deterministic
     conversation-subset snapshot, distributed keyed diff (the reference
@@ -1077,6 +1097,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_components": _kg_entity_components,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
+        "kg_co_mention_pmi": _kg_co_mention_pmi,
+        "kg_turn_latency": _kg_turn_latency,
     }
 
 

@@ -209,3 +209,63 @@ def kg_triple_diff(transcripts_path: str | list[str], mod: int = 10):
         to_kv, batch_format="pyarrow"
     )
     return diff_datasets(cur, prev)
+
+
+def turn_latency_stats(transcripts_path: str | list[str]):
+    """Per-role response-latency stats over raw transcripts: for every
+    turn after the first in its conversation, latency = ts − previous
+    turn's ts (by turn_idx order), attributed to the RESPONDING turn's
+    role. Returns one row per role: n_turns, sum_latency_ms,
+    max_latency_ms (exact integers — SQL LAG-window comparable).
+
+    Shape: conv-keyed repartition (the one exchange; rows are
+    conv hash + role + int64 ts), in-block per-conversation lexsort +
+    diff, per-block partial (role → n/sum/max) rows, driver merge of
+    #roles × #blocks partials.
+    """
+    import pandas as pd
+    import ray.data
+
+    from import_ray.core.context import configure_data_context, npartitions
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "ts"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = npartitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        ts_ms = df["ts"].astype("int64").to_numpy() // 1_000  # us → ms
+        conv = df["conv_id"].to_numpy(dtype=object)
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = conv[1:] == conv[:-1]
+        lat = np.zeros(len(df), dtype=np.int64)
+        if len(df):
+            lat[1:] = ts_ms[1:] - ts_ms[:-1]
+        g = pd.DataFrame({"role": df["role"].to_numpy()[same], "lat": lat[same]})
+        out = g.groupby("role", sort=False)["lat"].agg(
+            n_turns="size", sum_latency_ms="sum", max_latency_ms="max"
+        ).reset_index()
+        for c in ("n_turns", "sum_latency_ms", "max_latency_ms"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    parts = (
+        ds.repartition(n, keys=["conv_id"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("role", sort=True)
+        .agg(
+            n_turns=("n_turns", "sum"),
+            sum_latency_ms=("sum_latency_ms", "sum"),
+            max_latency_ms=("max_latency_ms", "max"),
+        )
+        .reset_index()
+    )
+    return out

@@ -627,3 +627,153 @@ def co_mention_edges(
 
 def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def co_mention_pmi(
+    triples_ds,
+    predicates: tuple[str, ...] = CO_MENTION_PREDICATES,
+    min_pairs: int = 2,
+    top_k: int = 50,
+    max_entities_per_group: int = 64,
+):
+    """Entity-association strength: pointwise mutual information over
+    conversation co-mentions — PMI(a,b) = log(N·c(a,b) / (c(a)·c(b)))
+    with c(·) counting CONVERSATIONS (distinct pairs per conversation,
+    the same dedup as ``co_mention_edges``).
+
+    Exchange shape: pair counts ride the co-mention pair pipeline
+    (int64 hash pairs); marginals are one small keyed count; the two
+    marginal lookups are hash joins on 8-byte keys; the final top-k is
+    block-local partial top-k + a tiny driver merge. ``min_pairs``
+    suppresses the unstable PMI of singleton pairs.
+
+    Returns a pandas DataFrame (ent_lo, ent_hi, n_pair, n_lo, n_hi,
+    pmi) of the top_k pairs by (pmi, ent_lo, ent_hi).
+    """
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(triples_ds)
+    n = npartitions()
+
+    # distinct (conv, entity) rows — same kernel as co_mention_edges
+    pred_set = list(predicates)
+
+    def mention_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["predicate"], value_set=pa.array(pred_set))
+        batch = batch.filter(keep)
+        subj = batch["subject_id"].to_pandas().astype(str)
+        conv = subj.str.rsplit("/", n=1).str[0]
+        ent = batch["object_id"].to_pandas().astype(str)
+        df = pd.DataFrame(
+            {
+                "conv": pd.util.hash_array(conv.to_numpy(dtype=object)).astype(np.int64),
+                "ent": pd.util.hash_array(ent.to_numpy(dtype=object)).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return from_pandas_clean(df)
+
+    mentions = join_safe(
+        triples_ds.select_columns(["subject_id", "predicate", "object_id"])
+        .map_batches(mention_rows, batch_format="pyarrow")
+        .groupby(["conv", "ent"], num_partitions=n)
+        .aggregate(Count(alias_name="_c"))
+    ).select_columns(["conv", "ent"]).materialize()
+
+    total_convs = (
+        join_safe(
+            mentions.select_columns(["conv"])
+            .groupby("conv", num_partitions=n)
+            .aggregate(Count(alias_name="_c"))
+        ).count()
+    )
+
+    marginals = join_safe(
+        mentions.groupby("ent", num_partitions=n).aggregate(Count(alias_name="n_ent"))
+    ).materialize()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv": batch["conv"].to_numpy(zero_copy_only=False),
+                "ent": batch["ent"].to_numpy(zero_copy_only=False),
+            }
+        )
+        lo_parts, hi_parts = [], []
+        for _, grp in df.groupby("conv", sort=False):
+            ents = np.unique(grp["ent"].to_numpy())[:max_entities_per_group]
+            k = len(ents)
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            lo_parts.append(ents[iu])
+            hi_parts.append(ents[ju])
+        if not lo_parts:
+            return pa.table(
+                {"ent_lo": pa.array([], pa.int64()), "ent_hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "ent_lo": pa.array(np.concatenate(lo_parts), pa.int64()),
+                "ent_hi": pa.array(np.concatenate(hi_parts), pa.int64()),
+            }
+        )
+
+    pair_counts = join_safe(
+        mentions.repartition(n, keys=["conv"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["ent_lo", "ent_hi"], num_partitions=n)
+        .aggregate(Count(alias_name="n_pair"))
+    ).filter(expr=f"n_pair >= {int(min_pairs)}")
+
+    # join output partitions can be empty schema-less blocks; re-block
+    # before the next keyed op (join_safe) — same guard as everywhere
+    with_lo = join_safe(
+        pair_counts.join(
+            marginals, join_type="inner", num_partitions=n, on=("ent_lo",), right_on=("ent",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "ent_lo": b["ent_lo"],
+                    "ent_hi": b["ent_hi"],
+                    "n_pair": b["n_pair"],
+                    "n_lo": b["n_ent"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = with_lo.join(
+        marginals, join_type="inner", num_partitions=n, on=("ent_hi",), right_on=("ent",)
+    )
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ent_lo": batch["ent_lo"].to_numpy(zero_copy_only=False),
+                "ent_hi": batch["ent_hi"].to_numpy(zero_copy_only=False),
+                "n_pair": batch["n_pair"].to_numpy(zero_copy_only=False),
+                "n_lo": batch["n_lo"].to_numpy(zero_copy_only=False),
+                "n_hi": batch["n_ent"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["pmi"] = np.log(
+            (total_convs * df["n_pair"].to_numpy(dtype=np.float64))
+            / (df["n_lo"].to_numpy(dtype=np.float64) * df["n_hi"].to_numpy())
+        )
+        df = df.sort_values(
+            ["pmi", "ent_lo", "ent_hi"], ascending=[False, True, True], kind="mergesort"
+        ).head(top_k)
+        return from_pandas_clean(df)
+
+    partials = joined.map_batches(
+        score_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return (
+        partials.sort_values(
+            ["pmi", "ent_lo", "ent_hi"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(top_k)
+        .reset_index(drop=True)
+    )

@@ -280,3 +280,44 @@ def test_contraction_preserves_labels(kg_triples):
         (r["node"], r["label"]) for r in connected_components(edges, contract=False).take_all()
     )
     assert a == b
+
+
+def test_co_mention_pmi_matches_bruteforce(kg_triples):
+    """PMI scores must match a pandas brute force over the same
+    (conversation, entity) mention sets."""
+    import math
+
+    from import_ray.stages.graph import CO_MENTION_PREDICATES, co_mention_pmi
+
+    ds, df = kg_triples
+    got = co_mention_pmi(ds, min_pairs=2, top_k=25, max_entities_per_group=1_000_000)
+
+    m = df[df["predicate"].isin(CO_MENTION_PREDICATES)].copy()
+    m["conv"] = m["subject_id"].str.rsplit("/", n=1).str[0]
+    m["ent"] = pd.util.hash_array(
+        m["object_id"].astype(str).to_numpy(dtype=object)
+    ).astype(np.int64)
+    per_conv = m.groupby("conv")["ent"].apply(lambda s: np.unique(s.to_numpy()))
+    n_convs = len(per_conv)
+    marg: dict[int, int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for ents in per_conv:
+        for e in ents:
+            marg[e] = marg.get(e, 0) + 1
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                k = (ents[i], ents[j])
+                pair[k] = pair.get(k, 0) + 1
+    rows = [
+        (a, b, c, marg[a], marg[b], math.log(n_convs * c / (marg[a] * marg[b])))
+        for (a, b), c in pair.items()
+        if c >= 2
+    ]
+    want = (
+        pd.DataFrame(rows, columns=["ent_lo", "ent_hi", "n_pair", "n_lo", "n_hi", "pmi"])
+        .sort_values(["pmi", "ent_lo", "ent_hi"], ascending=[False, True, True],
+                     kind="mergesort")
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)

@@ -96,3 +96,35 @@ def test_write_partitioned(ray_session, transcripts_path, tmp_path):
     write_triples(ds, str(tmp_path / "out"), n_buckets=4)
     parts = glob.glob(str(tmp_path / "out" / "part_key=*"))
     assert len(parts) >= 2
+
+
+def test_turn_latency_stats_matches_duckdb(ray_session, transcripts_path):
+    """Per-role latency stats must match a DuckDB LAG window over the
+    same parquet (floor-to-ms before subtraction, as the kernel does)."""
+    import duckdb
+    import pandas as pd
+
+    from import_ray.pipelines.kg import turn_latency_stats
+
+    got = turn_latency_stats(transcripts_path).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH lagged AS (
+          SELECT role,
+                 epoch_us(ts) // 1000 AS ts_ms,
+                 LAG(epoch_us(ts) // 1000) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                 ) AS prev_ms
+          FROM read_parquet('{transcripts_path}')
+        )
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(ts_ms - prev_ms) AS BIGINT) AS sum_latency_ms,
+               CAST(MAX(ts_ms - prev_ms) AS BIGINT) AS max_latency_ms
+        FROM lagged WHERE prev_ms IS NOT NULL
+        GROUP BY role ORDER BY role
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
