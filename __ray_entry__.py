@@ -132,6 +132,30 @@ def _kg_co_mention_pmi(sf_dir: str):
     return co_mention_pmi(triples, min_pairs=2, top_k=50)
 
 
+def _kg_k_core(sf_dir: str):
+    """Dense-subgraph extraction: the 2-core of the entity co-mention
+    graph (iterative distributed peeling — keyed degree count + two
+    semi-joins per round, 8-byte keys only)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import co_mention_edges, k_core
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    return k_core(co_mention_edges(triples), k=2).sort("node")
+
+
+def _kg_adamic_adar(sf_dir: str):
+    """Link prediction: top non-adjacent entity pairs by Adamic-Adar
+    score over the co-mention graph (keyed wedge emission + grouped
+    sum + anti join against existing edges, hub fanout capped)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import adamic_adar_topk, co_mention_edges
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    return adamic_adar_topk(co_mention_edges(triples), top_k=50)
+
+
 def _kg_turn_latency(sf_dir: str):
     """Per-role response-latency stats over raw transcripts (conv-keyed
     exchange + in-block LAG diff; exact integer ms sums)."""
@@ -1099,6 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "kg_co_mention_pmi": _kg_co_mention_pmi,
         "kg_turn_latency": _kg_turn_latency,
+        "kg_k_core": _kg_k_core,
+        "kg_adamic_adar": _kg_adamic_adar,
     }
 
 

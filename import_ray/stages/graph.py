@@ -777,3 +777,238 @@ def co_mention_pmi(
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+def k_core(edges_ds, k: int = 2, max_rounds: int = 30):
+    """Nodes of the k-core: iteratively peel nodes with degree < k
+    until fixpoint (the standard distributed peeling loop — round
+    count bounded by the peeling depth, degrees recomputed per round).
+
+    Per round: one keyed degree count + two semi-joins that keep only
+    edges whose BOTH endpoints survive — all on 8-byte hash keys.
+    Convergence when the edge count stops changing.
+
+    Returns a Dataset (node:int64) of surviving nodes (empty when the
+    k-core is empty).
+    """
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def canon(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        a = np.minimum(lo, hi)
+        c = np.maximum(lo, hi)
+        uniq = np.unique(np.stack([a, c], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    edges = join_safe(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=n)
+        .aggregate(Count(alias_name="_c"))
+    ).select_columns(["a", "b"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            b["a"].to_numpy(zero_copy_only=False),
+                            b["b"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    prev_edges = edges.count()
+    survivors = None
+    for _ in range(max_rounds):
+        if prev_edges == 0:
+            import ray.data
+
+            return ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+        deg = join_safe(
+            edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node", num_partitions=n)
+            .aggregate(Count(alias_name="deg"))
+        )
+        survivors = join_safe(
+            deg.filter(expr=f"deg >= {int(k)}").select_columns(["node"])
+        )
+        if survivors.count() == 0:
+            import ray.data
+
+            return ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+        # join_safe after EACH semi-join: a hash-shuffle join partition
+        # with zero rows emits a schema-less block that poisons the next
+        # keyed exchange (left OR right side, depending on key hashing)
+        edges = join_safe(
+            join_safe(
+                edges.join(
+                    survivors,
+                    join_type="left_semi",
+                    num_partitions=n,
+                    on=("a",),
+                    right_on=("node",),
+                )
+            ).join(
+                survivors, join_type="left_semi", num_partitions=n, on=("b",), right_on=("node",)
+            )
+        )
+        cur = edges.count()
+        if cur == prev_edges:
+            break
+        prev_edges = cur
+    return survivors
+
+
+def adamic_adar_topk(edges_ds, top_k: int = 50, max_wedges_per_node: int = 10_000):
+    """Link prediction: top-k NON-adjacent node pairs by Adamic–Adar
+    score AA(v,w) = Σ over common neighbors u of 1/ln(deg(u)).
+
+    Shape: degrees (one keyed count) join onto edges; wedges (v,w)
+    through each u are emitted per u-group after a keyed repartition,
+    each carrying 1/ln(deg(u)); per-pair scores are one grouped sum;
+    existing edges are removed with one anti join; the top-k is
+    block-local partial top-k + tiny driver merge. Hub wedge fanout is
+    capped per node (logged) — the same skew guard as the co-mention
+    clique cap.
+
+    Returns a pandas DataFrame (node_lo, node_hi, aa_score).
+    """
+    import logging
+
+    from ray.data.aggregate import Count, Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    log = logging.getLogger(__name__)
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def canon(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        a = np.minimum(lo, hi)
+        c = np.maximum(lo, hi)
+        uniq = np.unique(np.stack([a, c], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    edges = join_safe(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=n)
+        .aggregate(Count(alias_name="_c"))
+    ).select_columns(["a", "b"]).materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node_lo": [], "node_hi": [], "aa_score": []})
+
+    # adjacency as (u, nbr) both directions; deg(u) from the same rows
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, c]), pa.int64()),
+                "nbr": pa.array(np.concatenate([c, a]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def wedges(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "u": b["u"].to_numpy(zero_copy_only=False),
+                "nbr": b["nbr"].to_numpy(zero_copy_only=False),
+            }
+        )
+        lo_parts, hi_parts, w_parts = [], [], []
+        capped = 0
+        for _, grp in df.groupby("u", sort=False):
+            nbrs = np.unique(grp["nbr"].to_numpy())
+            m = len(nbrs)
+            if m < 2:
+                continue
+            if m * (m - 1) // 2 > max_wedges_per_node:
+                capped += 1
+                m = int((2 * max_wedges_per_node) ** 0.5) + 1
+                nbrs = nbrs[:m]
+            iu, ju = np.triu_indices(m, 1)
+            lo_parts.append(nbrs[iu])
+            hi_parts.append(nbrs[ju])
+            w_parts.append(np.full(len(iu), 1.0 / np.log(len(np.unique(grp["nbr"])))))
+        if capped:
+            log.warning(
+                "adamic_adar: %d hub node(s) over max_wedges_per_node=%d; wedges sampled",
+                capped,
+                max_wedges_per_node,
+            )
+        if not lo_parts:
+            return pa.table(
+                {
+                    "node_lo": pa.array([], pa.int64()),
+                    "node_hi": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "node_lo": pa.array(np.concatenate(lo_parts), pa.int64()),
+                "node_hi": pa.array(np.concatenate(hi_parts), pa.int64()),
+                "w": pa.array(np.concatenate(w_parts), pa.float64()),
+            }
+        )
+
+    scores = join_safe(
+        adj.repartition(n, keys=["u"])
+        .map_batches(wedges, batch_format="pyarrow", batch_size=None)
+        .groupby(["node_lo", "node_hi"], num_partitions=n)
+        .aggregate(Sum("w", alias_name="aa_score"))
+    )
+    if scores.count() == 0:
+        return pd.DataFrame({"node_lo": [], "node_hi": [], "aa_score": []})
+
+    non_edges = scores.join(
+        edges,
+        join_type="left_anti",
+        num_partitions=n,
+        on=("node_lo", "node_hi"),
+        right_on=("a", "b"),
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["aa_score", "node_lo", "node_hi"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(top_k)
+        return from_pandas_clean(df)
+
+    partials = non_edges.map_batches(
+        block_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return (
+        partials.sort_values(
+            ["aa_score", "node_lo", "node_hi"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(top_k)
+        .reset_index(drop=True)
+    )

@@ -321,3 +321,81 @@ def test_co_mention_pmi_matches_bruteforce(kg_triples):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_k_core_planted(ray_session):
+    """K4 plus a pendant chain: the 3-core is exactly the K4 nodes; the
+    2-core adds the attached triangle; k=5 core is empty."""
+    import ray.data
+
+    from import_ray.stages.graph import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(4, 5), (5, 6), (6, 4)]      # triangle hanging off node 4
+    chain = [(6, 7), (7, 8)]            # pendant chain (peeled at k=2)
+    lo, hi = zip(*(k4 + tri + chain))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(4)
+
+    three_core = sorted(r["node"] for r in k_core(ds, k=3).take_all())
+    assert three_core == [1, 2, 3, 4]
+    two_core = sorted(r["node"] for r in k_core(ds, k=2).take_all())
+    assert two_core == [1, 2, 3, 4, 5, 6]
+    assert k_core(ds, k=5).count() == 0
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    """AA scores on a planted graph must equal the textbook formula,
+    and existing edges must be excluded."""
+    import math
+
+    import ray.data
+
+    from import_ray.stages.graph import adamic_adar_topk
+
+    # path 1-2-3 + hub 10 connected to 1,2,3,4
+    e = [(1, 2), (2, 3), (10, 1), (10, 2), (10, 3), (10, 4)]
+    lo, hi = zip(*e)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(3)
+    got = adamic_adar_topk(ds, top_k=100)
+
+    und = {(min(a, b), max(a, b)) for a, b in e}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[tuple[int, int], float] = {}
+    nodes = sorted(adj)
+    for i, v in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if (v, w) in und:
+                continue
+            s = sum(1.0 / math.log(len(adj[u])) for u in adj[v] & adj[w])
+            if s > 0:
+                want[(v, w)] = s
+    got_pairs = {
+        (int(r.node_lo), int(r.node_hi)): r.aa_score for r in got.itertuples()
+    }
+    assert set(got_pairs) == set(want)
+    for k_, v_ in want.items():
+        assert got_pairs[k_] == pytest.approx(v_, abs=1e-12)
+    # no existing edge may appear
+    assert not (set(got_pairs) & und)
+
+
+def test_k_core_and_aa_on_co_mention_graph(kg_triples):
+    """Smoke at real scale: the 2-core of the co-mention graph is
+    non-empty and AA returns capped top-k with descending scores."""
+    from import_ray.stages.graph import adamic_adar_topk, co_mention_edges, k_core
+
+    ds, _ = kg_triples
+    edges = co_mention_edges(ds, max_entities_per_group=16).materialize()
+    core = k_core(edges, k=2)
+    assert core.count() > 0
+    aa = adamic_adar_topk(edges, top_k=10)
+    assert 0 < len(aa) <= 10
+    scores = aa["aa_score"].to_numpy()
+    assert (scores[:-1] >= scores[1:]).all()
