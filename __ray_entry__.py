@@ -1069,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_customers": R.ntile_customers_by_balance,
         "first_last_touch": R.first_last_touch,
         "top_event_per_user": R.top_event_per_user,
+        "topn_orders_per_customer": R.topn_orders_per_customer,
+        "profile_orders": R.profile_orders,
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,
@@ -1174,6 +1176,8 @@ def oracle_sql() -> dict[str, str]:
         "ntile_customers": R.NTILE_SQL,
         "first_last_touch": R.FIRST_LAST_TOUCH_SQL,
         "top_event_per_user": R.TOP_EVENT_PER_USER_SQL,
+        "topn_orders_per_customer": R.TOPN_ORDERS_SQL,
+        "profile_orders": R.PROFILE_ORDERS_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

@@ -3021,3 +3021,207 @@ FROM (
 ) t
 WHERE rn = 1
 """
+
+
+def topn_orders_per_customer(sf_dir: str, topn: int = 3):
+    """Top-N rows per group (each customer's N most expensive orders,
+    ranked). The generalized grouped top-N: block-local per-group
+    top-N PARTIALS (a valid partial — the global per-group top-N is
+    contained in the union of block top-Ns) → one keyed exchange on
+    o_custkey → per-group merge + rank. Shuffled rows are bounded by
+    N × groups-per-block, never the raw fact table.
+
+    Ties broken (price_cents DESC, o_orderkey ASC) = ROW_NUMBER parity.
+    """
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    ensure_hash_shuffle(ds)
+    n = npartitions()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "price_cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        df = df.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("o_custkey", sort=False).head(topn)
+        return from_pandas_clean(df, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("o_custkey", sort=False).head(topn)
+        df["rnk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        df["rnk"] = df["rnk"].astype("int64")
+        return from_pandas_clean(df, preserve_index=False)
+
+    return (
+        ds.map_batches(block_partials, batch_format="pyarrow")
+        .repartition(n, keys=["o_custkey"])
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+TOPN_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, price_cents, rnk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3
+"""
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_totalprice_cents", True),
+)
+
+
+def profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Single-pass column profiler over the orders fact table: per
+    column row count, null count, EXACT distinct count, min and max —
+    the data-engine "describe" primitive.
+
+    Two branches, both scale-honest:
+    - scalar stats: per-block partial (n_rows, n_nulls, min, max) per
+      column — ncols rows per block, merged with one tiny keyed
+      aggregate; raw rows never shuffle.
+    - exact distincts: per-block DISTINCT (col_id, value) melt →
+      (col_id, value) keyed dedup → per-col_id count. Shuffle volume
+      is per-block-distinct values (the exact-count lower bound; at
+      100 TB swap in the HLL sketch from stages/sketch.py).
+
+    o_totalprice profiles as integer cents (module float convention).
+    Returns a 3-row pandas DataFrame keyed by col_name.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    ensure_hash_shuffle(ds)
+    n = npartitions()
+
+    def col_values(batch: pa.Table, name: str) -> np.ndarray:
+        """Null-dropped int64 values of a profiled column."""
+        if name == "o_totalprice_cents":
+            raw = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            return _cents(raw[~np.isnan(raw)])
+        arr = batch[name]
+        if arr.null_count:
+            arr = arr.drop_null() if hasattr(arr, "drop_null") else arr.combine_chunks().drop_null()
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    def scalar_partials(batch: pa.Table) -> pa.Table:
+        rows = []
+        for cid, (name, _) in enumerate(_PROFILE_COLS):
+            src = batch["o_totalprice" if name == "o_totalprice_cents" else name]
+            nan_nulls = 0
+            if name == "o_totalprice_cents":
+                raw = src.to_numpy(zero_copy_only=False)
+                nan_nulls = int(np.isnan(raw).sum())
+            v = col_values(batch, name)
+            rows.append(
+                (
+                    cid,
+                    len(src),
+                    max(src.null_count, nan_nulls),
+                    int(v.min()) if len(v) else np.iinfo(np.int64).max,
+                    int(v.max()) if len(v) else np.iinfo(np.int64).min,
+                )
+            )
+        cid, nr, nn, mn, mx = zip(*rows)
+        return pa.table(
+            {
+                "cid": pa.array(cid, pa.int64()),
+                "n_rows": pa.array(nr, pa.int64()),
+                "n_nulls": pa.array(nn, pa.int64()),
+                "min_v": pa.array(mn, pa.int64()),
+                "max_v": pa.array(mx, pa.int64()),
+            }
+        )
+
+    scalars = join_safe(
+        ds.map_batches(scalar_partials, batch_format="pyarrow")
+        .groupby("cid", num_partitions=min(n, 4))
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    ).to_pandas()
+
+    def distinct_melt(batch: pa.Table) -> pa.Table:
+        cids, vals = [], []
+        for cid, (name, _) in enumerate(_PROFILE_COLS):
+            u = np.unique(col_values(batch, name))
+            cids.append(np.full(len(u), cid, np.int64))
+            vals.append(u)
+        return pa.table(
+            {
+                "cid": pa.array(np.concatenate(cids), pa.int64()),
+                "v": pa.array(np.concatenate(vals), pa.int64()),
+            }
+        )
+
+    distincts = (
+        join_safe(
+            ds.map_batches(distinct_melt, batch_format="pyarrow")
+            .groupby(["cid", "v"], num_partitions=n)
+            .aggregate(Count(alias_name="_c"))
+        )
+        .groupby("cid", num_partitions=min(n, 4))
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+
+    out = scalars.merge(distincts, on="cid").sort_values("cid")
+    out["col_name"] = [name for name, _ in _PROFILE_COLS]
+    out = out[["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+PROFILE_ORDERS_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         MIN(o_orderkey) AS min_v, MAX(o_orderkey) AS max_v
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+         COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+         COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+         MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+         MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+  FROM orders
+) p
+ORDER BY col_name
+"""

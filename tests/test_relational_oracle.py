@@ -65,6 +65,8 @@ NEW_QUERIES = [
     "ntile_customers",
     "first_last_touch",
     "top_event_per_user",
+    "topn_orders_per_customer",
+    "profile_orders",
 ]
 
 
