@@ -132,6 +132,21 @@ def _kg_co_mention_pmi(sf_dir: str):
     return co_mention_pmi(triples, min_pairs=2, top_k=50)
 
 
+def _bpe_merges_docs(sf_dir: str):
+    """BPE vocabulary training over the documents corpus: 20 merge
+    rules learned on the distinct-word frequency table (per-round
+    keyed pair-count exchange + tiny driver argmax; Sennrich-2016
+    semantics, deterministic tie-break). Rows-only (iterative)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.bpe import bpe_train
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(ds, num_merges=20)
+
+
 def _kg_k_core(sf_dir: str):
     """Dense-subgraph extraction: the 2-core of the entity co-mention
     graph (iterative distributed peeling — keyed degree count + two
@@ -1127,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_latency": _kg_turn_latency,
         "kg_k_core": _kg_k_core,
         "kg_adamic_adar": _kg_adamic_adar,
+        "bpe_merges_docs": _bpe_merges_docs,
     }
 
 
