@@ -147,6 +147,38 @@ def _bpe_merges_docs(sf_dir: str):
     return bpe_train(ds, num_merges=20)
 
 
+def _bpe_token_counts_docs(sf_dir: str):
+    """Apply learned BPE merges to the corpus: per-doc word and
+    subword-token counts via a stateful actor pool (rank table +
+    word→len cache in __init__, vectorized dictionary-encode batches)."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.bpe import bpe_token_counts, bpe_train
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(ds, num_merges=10)
+    return bpe_token_counts(ds, merges).sort("doc_id")
+
+
+def _minhash_keep_best_docs(sf_dir: str):
+    """Quality-aware near-dup canonical selection: one kept doc per
+    MinHash-LSH cluster, the (distinct-ratio, length, id) argmax."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.neardup import minhash_dedup_keep_best
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_dedup_keep_best(ds, threshold=0.7).sort("doc_id")
+
+
 def _kg_k_core(sf_dir: str):
     """Dense-subgraph extraction: the 2-core of the entity co-mention
     graph (iterative distributed peeling — keyed degree count + two
@@ -1143,6 +1175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_k_core": _kg_k_core,
         "kg_adamic_adar": _kg_adamic_adar,
         "bpe_merges_docs": _bpe_merges_docs,
+        "bpe_token_counts_docs": _bpe_token_counts_docs,
+        "minhash_keep_best_docs": _minhash_keep_best_docs,
     }
 
 

@@ -241,3 +241,75 @@ def bpe_train_reference(texts: list[str], num_merges: int = 20, min_pair_count: 
         for w in segs:
             segs[w] = _merge_word(segs[w], l, r)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+
+
+class BpeEncoder:
+    """Actor-pool BPE encoding stage: apply learned merge rules to the
+    corpus and count subword tokens per document.
+
+    State in __init__ (once per actor): the rank table plus a
+    word → token-count cache — each actor pays each distinct word's
+    merge loop once, every batch after that is a dictionary-code
+    lookup. Per batch everything else is vectorized: Arrow split,
+    one dictionary_encode, gather + segment-sum via cumsum.
+    """
+
+    def __init__(self, merges):
+        self._ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self._cache: dict[str, int] = {"": 0}
+
+    def _encode_len(self, w: str) -> int:
+        hit = self._cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for pair in zip(syms, syms[1:]):
+                r = self._ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, pair
+            if best_pair is None:
+                break
+            syms = _merge_word(syms, best_pair[0], best_pair[1])
+        self._cache[w] = len(syms)
+        return len(syms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], pattern=" ")
+        arr = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offsets = np.asarray(arr.offsets)
+        enc = arr.values.dictionary_encode()
+        codes = np.asarray(enc.indices)
+        words = enc.dictionary.to_pylist()
+        word_tok = np.fromiter(
+            (self._encode_len(w) for w in words), np.int64, count=len(words)
+        )
+        per_tok = word_tok[codes] if len(codes) else np.empty(0, np.int64)
+        is_word = (
+            np.asarray(pc.utf8_length(enc.dictionary)) > 0
+        )[codes].astype(np.int64) if len(codes) else np.empty(0, np.int64)
+        cs_tok = np.concatenate([[0], np.cumsum(per_tok)])
+        cs_w = np.concatenate([[0], np.cumsum(is_word)])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(cs_w[offsets[1:]] - cs_w[offsets[:-1]], pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    cs_tok[offsets[1:]] - cs_tok[offsets[:-1]], pa.int64()
+                ),
+            }
+        )
+
+
+def bpe_token_counts(docs, merges: pd.DataFrame, concurrency: int = 4):
+    """documents(doc_id, text) × learned merges → Dataset
+    (doc_id, n_words, n_bpe_tokens). The merge table is rule-scale —
+    shipped once per actor via constructor args, not per batch."""
+    pairs = [(str(l), str(r)) for l, r in zip(merges["left"], merges["right"])]
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(pairs,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -44,6 +44,7 @@ MAX_BUCKET_MEMBERS = 200  # simhash skew guard (see simhash_pairs)
 MAX_DRIVER_PAIRS = 2_000_000
 
 
+from import_ray.core.arrowutil import from_pandas_clean
 from import_ray.core.context import data_nparts as _data_nparts
 
 # odd multipliers for wraparound polynomial combines (splitmix64 constants)
@@ -785,3 +786,45 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_n: int = 3):
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup_keep_best(docs_ds, threshold: float = 0.7):
+    """Quality-aware canonical selection: one kept doc per near-dup
+    cluster — the highest-quality member, not the min id.
+
+    Shape: minhash_dedup labels (pair-bounded) ⋈ per-doc quality
+    signals (one corpus-keyed hash join on int64 doc_id) → per-cluster
+    argmax by (distinct_ratio_micro DESC, n_chars DESC, doc_id ASC)
+    via block-local argmax partials + one cluster-keyed exchange.
+    Shuffled rows after the partials are one per (cluster × block).
+
+    Returns Dataset (doc_id, cluster_id, distinct_ratio_micro,
+    n_chars) of KEPT docs.
+    """
+    from import_ray.core.context import join_safe, npartitions
+    from import_ray.stages.text import quality_score
+
+    n = npartitions()
+    labels = minhash_dedup(docs_ds, threshold=threshold)
+    quality = docs_ds.map_batches(quality_score, batch_format="pyarrow").select_columns(
+        ["doc_id", "distinct_ratio_micro", "n_chars"]
+    )
+    joined = join_safe(
+        labels.join(quality, join_type="inner", num_partitions=n, on=("doc_id",))
+    )
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["cluster_id", "distinct_ratio_micro", "n_chars", "doc_id"],
+            ascending=[True, False, False, True],
+            kind="mergesort",
+        ).drop_duplicates("cluster_id", keep="first")
+        return from_pandas_clean(df, preserve_index=False)
+
+    return (
+        joined.map_batches(block_argmax, batch_format="pyarrow")
+        .repartition(n, keys=["cluster_id"])
+        .map_batches(block_argmax, batch_format="pyarrow", batch_size=None)
+        .select_columns(["doc_id", "cluster_id", "distinct_ratio_micro", "n_chars"])
+    )

@@ -75,3 +75,41 @@ def test_bpe_on_real_docs(ray_session, sf_small):
     assert got["rank"].tolist() == list(range(1, 9))
     assert (got["pair_count"] >= 2).all()
     assert not got.duplicated(["left", "right"]).any()
+
+
+def test_bpe_encoder_matches_sequential_apply(docs_ds):
+    """Actor-pool encode (iterative lowest-rank merge) must equal the
+    independent reference algorithm (apply rules sequentially in rank
+    order), both per Sennrich 2016."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.bpe import _merge_word, bpe_token_counts, bpe_train
+
+    merges = bpe_train(docs_ds, num_merges=10)
+    rules = list(zip(merges["left"], merges["right"]))
+
+    def ref_encode_len(word: str) -> int:
+        syms = list(word)
+        for l, r in rules:
+            syms = _merge_word(syms, l, r)
+        return len(syms)
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(SENNRICH))), pa.int64()),
+                "text": pa.array(SENNRICH, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = (
+        bpe_token_counts(docs, merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(SENNRICH):
+        words = [w for w in t.split(" ") if w]
+        assert int(got.loc[i, "n_words"]) == len(words)
+        assert int(got.loc[i, "n_bpe_tokens"]) == sum(ref_encode_len(w) for w in words)

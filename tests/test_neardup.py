@@ -133,3 +133,35 @@ def test_minhash_deterministic(docs_with_dups):
     l1 = canon(minhash_dedup(ds, threshold=0.7))
     l2 = canon(minhash_dedup(ds, threshold=0.7))
     assert l1.equals(l2)
+
+
+def test_keep_best_selects_highest_quality(docs_with_dups):
+    """Keep-best canonical selection: exactly one kept doc per cluster,
+    and it is the (distinct_ratio_micro DESC, n_chars DESC, doc_id ASC)
+    argmax among that cluster's members."""
+    from import_ray.stages.neardup import minhash_dedup, minhash_dedup_keep_best
+
+    ds, _, _ = docs_with_dups
+    labels = minhash_dedup(ds, threshold=0.7).to_pandas()
+    docs = ds.to_pandas()
+
+    def q(text):
+        toks = [t for t in text.split(" ") if t]
+        n_tok, n_dis = len(toks), len(set(toks))
+        return (n_dis * 1_000_000) // n_tok, len(text)
+
+    docs["distinct_ratio_micro"], docs["n_chars"] = zip(*docs["text"].map(q))
+    merged = labels.merge(docs[["doc_id", "distinct_ratio_micro", "n_chars"]], on="doc_id")
+    want = (
+        merged.sort_values(
+            ["cluster_id", "distinct_ratio_micro", "n_chars", "doc_id"],
+            ascending=[True, False, False, True],
+            kind="mergesort",
+        )
+        .drop_duplicates("cluster_id", keep="first")["doc_id"]
+        .tolist()
+    )
+    got = minhash_dedup_keep_best(ds, threshold=0.7).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want)
+    assert got["cluster_id"].is_unique
+    assert len(got) == labels["cluster_id"].nunique()
