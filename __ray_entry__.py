@@ -783,9 +783,21 @@ def _cms_top_tokens_docs(sf_dir: str):
     return cms_top_tokens(ds, k=20)
 
 
+def _top_terms_per_doc(sf_dir: str):
+    """Per-doc top-3 characteristic terms (integer tf-idf analog:
+    tf·1e9 // df; tf partials → df join → doc-keyed top-k)."""
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.text import top_terms_per_doc
+
+    configure_data_context()
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms_per_doc(ds, k=3)
+
+
 from import_ray.stages.text import TOP_TOKENS_SQL as TOP_TOKENS_ORACLE
 from import_ray.pipelines.corpus import CORPUS_CLEAN_SQL as CORPUS_CLEAN_ORACLE
 from import_ray.stages.text import DOC_RARITY_SQL as DOC_RARITY_ORACLE
+from import_ray.stages.text import TOP_TERMS_PER_DOC_SQL as TOP_TERMS_PER_DOC_ORACLE
 from import_ray.stages.chunking import CHUNK_DOCS_SQL_TEMPLATE
 from import_ray.stages.text import OOV_STATS_SQL_TEMPLATE
 
@@ -1137,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_percentiles_orders": _sampled_percentiles_orders,
         "top_tokens_docs": _top_tokens_docs,
         "cms_top_tokens_docs": _cms_top_tokens_docs,
+        "top_terms_per_doc": _top_terms_per_doc,
         "corpus_clean_exact": _corpus_clean_exact,
         "corpus_clean": _corpus_clean,
         "hll_distinct_users": _hll_distinct_users,
@@ -1245,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_docs": MIXTURE_SAMPLE_ORACLE,
         "sampled_percentiles_orders": SAMPLED_PERCENTILES_ORACLE,
         "top_tokens_docs": TOP_TOKENS_ORACLE,
+        "top_terms_per_doc": TOP_TERMS_PER_DOC_ORACLE,
         "corpus_clean_exact": CORPUS_CLEAN_ORACLE,
         "dedup_exact_docs": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"

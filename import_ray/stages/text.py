@@ -460,3 +460,113 @@ SELECT doc_id,
 FROM toks
 GROUP BY doc_id
 """
+
+
+def _doc_token_tf(batch: pa.Table) -> pa.Table:
+    """(doc_id, tok, tf) term frequencies — flat dictionary-encode +
+    one packed np.unique(return_counts), no per-doc loops."""
+    text = _text_col(batch)
+    lists = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    parents = (
+        pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key, tf = np.unique((parents << np.int64(32)) | codes, return_counts=True)
+    up, uc = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[up]),
+            "tok": pc.take(d.dictionary, pa.array(uc)),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def top_terms_per_doc(ds, k: int = 3, scale: int = 1_000_000_000):
+    """Each document's k most CHARACTERISTIC terms: integer tf-idf
+    analog score = tf·scale // df (exact integers keep the DuckDB
+    oracle hash-comparable; swapping in round(tf·ln(N/df)) is a
+    per-row map).
+
+    Shape: per-block (doc,tok,tf) partials → token-keyed df count +
+    df⋈tf hash join (vocabulary-scale keys) → doc-keyed exchange of
+    block-local per-doc top-k partials → final top-k + rank. The raw
+    corpus never reshuffles; post-partial rows are k×docs-per-block.
+    """
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle, join_safe
+
+    ensure_hash_shuffle(ds)
+    n = data_nparts(ds)
+    tf = ds.map_batches(_doc_token_tf, batch_format="pyarrow")
+    df = tf.groupby("tok", num_partitions=n).aggregate(Count(alias_name="df"))
+    joined = join_safe(tf.join(df, join_type="inner", num_partitions=n, on=("tok",)))
+
+    def score_and_partial_topk(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf["score"] = (
+            pdf["tf"].to_numpy().astype(np.int64) * np.int64(scale)
+        ) // pdf["df"].to_numpy().astype(np.int64)
+        pdf = pdf.sort_values(
+            ["doc_id", "score", "tok"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf.groupby("doc_id", sort=False).head(k)
+        return from_pandas_clean(
+            pdf[["doc_id", "tok", "score"]], preserve_index=False
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf = pdf.sort_values(
+            ["doc_id", "score", "tok"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf.groupby("doc_id", sort=False).head(k)
+        pdf["rnk"] = pdf.groupby("doc_id", sort=False).cumcount() + 1
+        pdf["rnk"] = pdf["rnk"].astype("int64")
+        pdf["score"] = pdf["score"].astype("int64")
+        return from_pandas_clean(pdf, preserve_index=False)
+
+    return (
+        joined.map_batches(score_and_partial_topk, batch_format="pyarrow")
+        .repartition(n, keys=["doc_id"])
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+TOP_TERMS_PER_DOC_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf * 1000000000 AS BIGINT) // df.df AS score
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok, score, rnk FROM (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok
+         ) AS rnk
+  FROM scored
+) t
+WHERE rnk <= 3
+"""

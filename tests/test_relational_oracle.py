@@ -67,6 +67,7 @@ NEW_QUERIES = [
     "top_event_per_user",
     "topn_orders_per_customer",
     "profile_orders",
+    "top_terms_per_doc",
 ]
 
 
