@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "ntile_customers",
     "first_last_touch",
     "top_event_per_user",
+    "topn_orders_per_customer",
+    "profile_orders",
+    "top_terms_per_doc",
 ]
 
 

@@ -50,7 +50,7 @@ def _word_count_partials(batch: pa.Table) -> pa.Table:
     return pa.table({"word": dictionary, "cnt": pa.array(cnt, pa.int64())})
 
 
-def word_counts(docs):
+def word_counts(docs, nparts: int | None = None):
     """documents(text) -> Dataset(word, cnt): exact corpus word
     frequencies; per-block dictionary-encoded partials, one exchange."""
     from ray.data.aggregate import Sum
@@ -58,7 +58,7 @@ def word_counts(docs):
     from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
 
     ensure_hash_shuffle(docs)
-    n = npartitions()
+    n = nparts or npartitions()
     return join_safe(
         docs.map_batches(_word_count_partials, batch_format="pyarrow")
         .groupby("word", num_partitions=n)
@@ -194,9 +194,13 @@ def bpe_train(docs, num_merges: int = 20, min_pair_count: int = 2) -> pd.DataFra
     """
     from import_ray.core.context import npartitions
 
-    n = npartitions()
+    # the word table is VOCABULARY-scale — a handful of shuffle
+    # partitions keeps per-round aggregator-pool spin-up off the
+    # critical path (20 rounds pay it 20×); corpus-scale work only
+    # happens once, inside word_counts' first map pass
+    n = min(npartitions(), 8)
     words = (
-        word_counts(docs)
+        word_counts(docs, nparts=n)
         .map_batches(_init_syms, batch_format="pyarrow")
         .materialize()
     )
