@@ -203,6 +203,16 @@ def _kg_adamic_adar(sf_dir: str):
     return adamic_adar_topk(co_mention_edges(triples), top_k=50)
 
 
+def _kg_conv_stats(sf_dir: str):
+    """Per-conversation KG yield: triples, entity links, distinct
+    linked entities (conv-keyed partial exchanges over canonical
+    triples; provenance via the conv/<id> subject scheme)."""
+    from import_ray.pipelines.kg import conv_kg_stats
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return conv_kg_stats(ensure_transcripts(sf_dir)).sort("conv_id")
+
+
 def _kg_turn_latency(sf_dir: str):
     """Per-role response-latency stats over raw transcripts (conv-keyed
     exchange + in-block LAG diff; exact integer ms sums)."""
@@ -1185,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "kg_co_mention_pmi": _kg_co_mention_pmi,
         "kg_turn_latency": _kg_turn_latency,
+        "kg_conv_stats": _kg_conv_stats,
         "kg_k_core": _kg_k_core,
         "kg_adamic_adar": _kg_adamic_adar,
         "bpe_merges_docs": _bpe_merges_docs,

@@ -269,3 +269,100 @@ def turn_latency_stats(transcripts_path: str | list[str]):
         .reset_index()
     )
     return out
+
+
+def conv_kg_stats(transcripts_path: str | list[str]):
+    """Per-conversation KG yield metrics: how many triples, entity
+    links, and DISTINCT linked entities each conversation contributed
+    — the graph-materialize metrics surface at conversation grain
+    (triple provenance is recoverable from the ``conv/<id>`` subject
+    scheme, so no extra provenance column rides through the pipeline).
+
+    Two branches over the canonical triples, both conv-keyed:
+    - scalar partials (n_triples, n_entity_links) per conv per block →
+      one keyed exchange of 2-int rows;
+    - distinct (conv, object_id) link pairs per block → one keyed
+      exchange → lexsort first-occurrence count (exact distinct).
+
+    Returns Dataset (conv_id, n_triples, n_entity_links,
+    n_distinct_entities).
+    """
+    import pandas as pd
+
+    from import_ray.core.arrowutil import from_pandas_clean
+    from import_ray.core.context import data_nparts, join_safe
+
+    triples = build_triples(transcripts_path)
+    n = data_nparts(triples)
+
+    def _conv_of(batch: pa.Table) -> "pd.Series":
+        subj = batch["subject_id"].to_pandas().astype(str)
+        return subj.str.extract(r"^conv/([^/]+)", expand=False)
+
+    def scalar_partials(batch: pa.Table) -> pa.Table:
+        conv = _conv_of(batch)
+        obj = batch["object_id"].to_pandas().astype(str)
+        df = pd.DataFrame(
+            {"conv_id": conv, "is_link": (obj != "").astype("int64")}
+        ).dropna(subset=["conv_id"])
+        g = (
+            df.groupby("conv_id", sort=False)["is_link"]
+            .agg(n_triples="size", n_entity_links="sum")
+            .reset_index()
+        )
+        g["n_triples"] = g["n_triples"].astype("int64")
+        g["n_entity_links"] = g["n_entity_links"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    def link_pairs(batch: pa.Table) -> pa.Table:
+        conv = _conv_of(batch)
+        obj = batch["object_id"].to_pandas().astype(str)
+        df = pd.DataFrame({"conv_id": conv, "object_id": obj})
+        df = df[(df["object_id"] != "") & df["conv_id"].notna()]
+        df = df.drop_duplicates()
+        return from_pandas_clean(df, preserve_index=False)
+
+    def merge_scalars(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("conv_id", sort=False)[["n_triples", "n_entity_links"]]
+            .sum()
+            .reset_index()
+        )
+        for c in ("n_triples", "n_entity_links"):
+            g[c] = g[c].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    def count_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = (
+            df.groupby("conv_id", sort=False)
+            .size()
+            .rename("n_distinct_entities")
+            .reset_index()
+        )
+        g["n_distinct_entities"] = g["n_distinct_entities"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    scalars = (
+        triples.map_batches(scalar_partials, batch_format="pyarrow")
+        .repartition(n, keys=["conv_id"])
+        .map_batches(merge_scalars, batch_format="pyarrow", batch_size=None)
+    )
+    distincts = (
+        triples.map_batches(link_pairs, batch_format="pyarrow")
+        .repartition(n, keys=["conv_id"])
+        .map_batches(count_distinct, batch_format="pyarrow", batch_size=None)
+    )
+    out = join_safe(
+        scalars.join(distincts, join_type="left_outer", num_partitions=n, on=("conv_id",))
+    )
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_distinct_entities"] = (
+            df["n_distinct_entities"].fillna(0).astype("int64")
+        )
+        return from_pandas_clean(df, preserve_index=False)
+
+    return out.map_batches(fill_zero, batch_format="pyarrow")

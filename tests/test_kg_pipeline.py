@@ -128,3 +128,47 @@ def test_turn_latency_stats_matches_duckdb(ray_session, transcripts_path):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_conv_kg_stats_matches_pandas(ray_session, transcripts_path):
+    """Per-conversation KG yield must equal a pandas groupby over the
+    same canonical triples (conv recovered from the subject scheme)."""
+    import pandas as pd
+
+    from import_ray.pipelines.kg import build_triples, conv_kg_stats
+
+    got = (
+        conv_kg_stats(transcripts_path)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+    tri = build_triples(transcripts_path).to_pandas()
+    tri["conv_id"] = tri["subject_id"].str.extract(r"^conv/([^/]+)", expand=False)
+    tri = tri[tri["conv_id"].notna()]
+    links = tri[tri["object_id"] != ""]
+    want = (
+        tri.groupby("conv_id")
+        .size()
+        .rename("n_triples")
+        .to_frame()
+        .join(links.groupby("conv_id").size().rename("n_entity_links"))
+        .join(
+            links.drop_duplicates(["conv_id", "object_id"])
+            .groupby("conv_id")
+            .size()
+            .rename("n_distinct_entities")
+        )
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "n_triples", "n_entity_links", "n_distinct_entities"]],
+        want,
+        check_dtype=False,
+    )
+    assert (got["n_entity_links"] >= got["n_distinct_entities"]).all()
