@@ -1140,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": R.top_event_per_user,
         "topn_orders_per_customer": R.topn_orders_per_customer,
         "profile_orders": R.profile_orders,
+        "profile_orders_approx": lambda sf: R.profile_orders(sf, approx=True),
         "bloom_semi_orders": _bloom_semi_orders,
         "decontam_planted": _decontam_planted,
         "decontam_docs": _decontam_docs,

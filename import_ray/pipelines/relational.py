@@ -3098,19 +3098,23 @@ _PROFILE_COLS = (
 )
 
 
-def profile_orders(sf_dir: str) -> pd.DataFrame:
+def profile_orders(sf_dir: str, approx: bool = False) -> pd.DataFrame:
     """Single-pass column profiler over the orders fact table: per
-    column row count, null count, EXACT distinct count, min and max —
+    column row count, null count, distinct count, min and max —
     the data-engine "describe" primitive.
 
     Two branches, both scale-honest:
     - scalar stats: per-block partial (n_rows, n_nulls, min, max) per
       column — ncols rows per block, merged with one tiny keyed
       aggregate; raw rows never shuffle.
-    - exact distincts: per-block DISTINCT (col_id, value) melt →
-      (col_id, value) keyed dedup → per-col_id count. Shuffle volume
-      is per-block-distinct values (the exact-count lower bound; at
-      100 TB swap in the HLL sketch from stages/sketch.py).
+    - distincts, exact (default): per-block DISTINCT (col_id, value)
+      melt → (col_id, value) keyed dedup → per-col_id count. Shuffle
+      volume is per-block-distinct values (the exact-count lower
+      bound).
+    - distincts, ``approx=True`` (the 100 TB path): the same melt feeds
+      the mergeable HLL sketch (stages/sketch.py) — the exchange moves
+      fixed 4 KiB register blocks per column per block, INDEPENDENT of
+      cardinality (±~1.6% at p=12; bound asserted in tests/test_sketch.py).
 
     o_totalprice profiles as integer cents (module float convention).
     Returns a 3-row pandas DataFrame keyed by col_name.
@@ -3211,16 +3215,24 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    distincts = (
-        ds.map_batches(distinct_melt, batch_format="pyarrow")
-        .repartition(n, keys=["v"])
-        .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .groupby("cid")["nd"]
-        .sum()
-        .rename("n_distinct")
-        .reset_index()
-    )
+    if approx:
+        from import_ray.stages.sketch import hll_distinct
+
+        melted = ds.map_batches(distinct_melt, batch_format="pyarrow")
+        distincts = hll_distinct(melted, "cid", "v").to_pandas()
+        distincts["cid"] = distincts["cid"].astype("int64")
+        distincts["n_distinct"] = distincts["n_distinct"].astype("int64")
+    else:
+        distincts = (
+            ds.map_batches(distinct_melt, batch_format="pyarrow")
+            .repartition(n, keys=["v"])
+            .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .groupby("cid")["nd"]
+            .sum()
+            .rename("n_distinct")
+            .reset_index()
+        )
 
     out = scalars.merge(distincts, on="cid").sort_values("cid")
     out["col_name"] = [name for name, _ in _PROFILE_COLS]

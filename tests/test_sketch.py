@@ -59,3 +59,17 @@ def test_cms_top_tokens_matches_exact(ray_session, sf_small):
     merged = exact.merge(approx, on="token")
     assert (merged["est_cnt"] >= merged["cnt"]).all()
     assert ((merged["est_cnt"] - merged["cnt"]) / merged["cnt"] < 0.01).all()
+
+
+def test_profile_orders_approx_within_hll_error(ray_session, sf_small):
+    """HLL-backed profiler distincts within 5% of the exact profiler
+    (p=12 → ~1.6% typical); all other columns identical."""
+    from import_ray.pipelines.relational import profile_orders
+
+    exact = profile_orders(sf_small).set_index("col_name")
+    approx = profile_orders(sf_small, approx=True).set_index("col_name")
+    assert list(exact.index) == list(approx.index)
+    for c in ("n_rows", "n_nulls", "min_v", "max_v"):
+        assert (exact[c] == approx[c]).all()
+    rel = (approx["n_distinct"] - exact["n_distinct"]).abs() / exact["n_distinct"]
+    assert (rel <= 0.05).all(), rel.to_dict()
