@@ -185,14 +185,25 @@ def run_scaling() -> dict:
             a @ a
         return round(time.time() - t0, 2)
 
-    # cool-down between legs keeps leg 2 out of leg 1's throttle window
+    # The sandbox hypervisor throttles the whole VM after sustained
+    # heavy CPU (single-thread probe slows 2-5× while guest load-avg
+    # stays ~0), so a fixed lo-then-hi order lets the hi leg land in
+    # the lo leg's throttle window and the ratio collapses. Run the
+    # legs ALTERNATED (lo,hi,lo,hi) with a cool-down before each and
+    # take the best wall per level — both levels sample both machine
+    # states, and min() picks each level's untrottled window. Probes
+    # are recorded per leg so the artifact shows the conditions.
     cooldown = int(os.environ.get("BENCH_SCALING_COOLDOWN", "240"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
     lo, hi = 8, 32
-    p_lo = probe()
-    r_lo = one(lo)
-    time.sleep(cooldown)
-    p_hi = probe()
-    r_hi = one(hi)
+    legs = []
+    for i in range(rounds):
+        for ncpu in (lo, hi):
+            if legs:
+                time.sleep(cooldown)
+            legs.append({"ncpu": ncpu, "probe": probe(), **one(ncpu)})
+    r_lo = min((l for l in legs if l["ncpu"] == lo), key=lambda l: l["value"])
+    r_hi = min((l for l in legs if l["ncpu"] == hi), key=lambda l: l["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -203,8 +214,10 @@ def run_scaling() -> dict:
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "probe_sec_lo": p_lo,
-        "probe_sec_hi": p_hi,
+        "legs": [
+            {"ncpu": l["ncpu"], "sec": l["value"], "probe_sec": l["probe"]}
+            for l in legs
+        ],
         "sf": SF_DIR,
     }
 
