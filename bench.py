@@ -100,8 +100,13 @@ def run_bench() -> dict:
     scaling_workload = os.environ.get("BENCH_WORKLOAD") == "scaling"
     if scaling_workload:
         # larger input + broadcast dedup (the 100TB-shaped strategy:
-        # only 32-byte keys shuffle, wide rows never move)
-        tx_path = ensure_transcripts(SF_DIR, n_convs=60000)
+        # only 32-byte keys shuffle, wide rows never move). 6× the
+        # sf0.1 conv count: the measured per-execution fixed cost is
+        # ~5.6 s (aggregator-pool spin-up + read planning, identical at
+        # both CPU levels — legs fit t = fixed + W/ncpu with W≈372
+        # cpu·s at 60k convs), so the workload must be large enough
+        # that compute dominates it, exactly as it would at real scale
+        tx_path = ensure_transcripts(SF_DIR, n_convs=120000)
         dedup_strategy = "broadcast"
         n_timed = 3
     else:
