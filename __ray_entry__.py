@@ -1134,6 +1134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q21_sole_return_suppliers": R.q21_sole_return_suppliers,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_profit_by_nation_year": R.q9_profit_by_nation_year,
+        "q11_important_parts": R.q11_important_parts,
+        "q20_dominant_part_suppliers": R.q20_dominant_part_suppliers,
         "events_props_stats": R.events_props_stats,
         "ntile_customers": R.ntile_customers_by_balance,
         "first_last_touch": R.first_last_touch,
@@ -1247,6 +1251,10 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": R.Q15_SQL,
         "q19_disjunctive_revenue": R.Q19_SQL,
         "q21_sole_return_suppliers": R.Q21_SQL,
+        "q2_min_cost_supplier": R.Q2_SQL,
+        "q9_profit_by_nation_year": R.Q9_SQL,
+        "q11_important_parts": R.Q11_SQL,
+        "q20_dominant_part_suppliers": R.Q20_SQL,
         "events_props_stats": R.EVENTS_PROPS_SQL,
         "ntile_customers": R.NTILE_SQL,
         "first_last_touch": R.FIRST_LAST_TOUCH_SQL,

@@ -3262,3 +3262,530 @@ SELECT * FROM (
 ) p
 ORDER BY col_name
 """
+
+# --- q2 shape: per-group argmin with fused join-back (TPC-H Q2) --------------
+
+
+def _nation_region_arrays(sf_dir: str):
+    """Dense nationkey→(n_name, r_name) lookup arrays. nation/region are
+    fixed 25/5-row dimensions — broadcast into kernels, never shuffled."""
+    nation = _read_pandas(sf_dir, "nation")
+    region = _read_pandas(sf_dir, "region")
+    r_names = dict(zip(region["r_regionkey"], region["r_name"]))
+    size = int(nation["n_nationkey"].max()) + 1
+    nk_name = np.full(size, "", dtype=object)
+    nk_region = np.full(size, "", dtype=object)
+    nk_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nk_region[nation["n_nationkey"].to_numpy()] = (
+        nation["n_regionkey"].map(r_names).to_numpy()
+    )
+    return nk_name, nk_region
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15, region: str = "EUROPE"):
+    """TPC-H Q2 shape (the schema has no partsupp; the lineitem
+    (partkey, suppkey) association with unit cost
+    round(extendedprice/quantity*100) stands in for supplycost): for
+    each size-`size` part, the `region` supplier(s) achieving the
+    per-part minimum unit cost.
+
+    Plan: in-batch (part,supplier) min combiner → ONE pair-key exchange
+    for the global per-pair min → supplier join (supplier scales with
+    SF) with broadcast nation/region filter → part-size join → per-part
+    argmin + join-back fused into one block-local scan after a keyed
+    repartition on partkey (the Q2 correlated subquery, one exchange)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def unit_cost(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "cost_cents": _cents(ep / qty),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_cents"]
+            .min()
+            .reset_index()
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import join_safe
+
+    n = _np_for(li)
+    cost = join_safe(
+        li.map_batches(unit_cost, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"], num_partitions=n)
+        .aggregate(Min("cost_cents", alias_name="cost_cents"))
+    )
+
+    nk_name, nk_region = _nation_region_arrays(sf_dir)
+
+    def supp_region(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nk_region[nk] == region
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "s_suppkey": pc.filter(batch["s_suppkey"], mask),
+                "s_name": pc.filter(batch["s_name"], mask),
+                "n_name": pa.array(nk_name[nk][keep], pa.string()),
+                "acctbal_cents": pa.array(
+                    _cents(batch["s_acctbal"].to_numpy(zero_copy_only=False))[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    supp = join_safe(
+        _read(
+            sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+        ).map_batches(supp_region, batch_format="pyarrow")
+    )
+    cost = cost.join(
+        supp,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def size_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["p_size"], pa.scalar(size))).select(
+            ["p_partkey"]
+        )
+
+    part = join_safe(
+        _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+            size_parts, batch_format="pyarrow"
+        )
+    )
+    j = cost.join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def part_argmin(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["l_partkey", "s_name", "n_name", "acctbal_cents", "cost_cents"]
+        ).to_pandas()
+        df = df[df["cost_cents"] == df.groupby("l_partkey")["cost_cents"].transform("min")]
+        df = df.rename(columns={"l_partkey": "p_partkey"})
+        return from_pandas_clean(df, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(j)
+    return j.repartition(n, keys=["l_partkey"]).map_batches(
+        part_argmin, batch_format="pyarrow", batch_size=None
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT l_partkey, s_name, n_name,
+         CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_cents, cost_cents
+  FROM cost
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT eu.l_partkey AS p_partkey, s_name, n_name, acctbal_cents, cost_cents
+FROM eu JOIN part ON eu.l_partkey = p_partkey
+WHERE p_size = 15
+  AND cost_cents = (SELECT MIN(e2.cost_cents) FROM eu e2
+                    WHERE e2.l_partkey = eu.l_partkey)
+"""
+
+# --- q9 shape: multi-join profit by nation/year (TPC-H Q9) -------------------
+
+
+def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    parts whose name contains `token`. supplycost has no table here, so
+    profit = extendedprice*(1-discount) - 0.1*retailprice*quantity,
+    rounded to integer cents per row (identically in the SQL oracle).
+
+    Plan: part filtered at the read and joined distributed (part scales
+    with SF), orders joined for the year, supplier joined for the
+    nation key, nation broadcast for the name; in-batch partial sums
+    before ONE final (nation, year) exchange of ≤25×#years rows."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def keep_parts(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch["p_name"], token)
+        return pa.table(
+            {
+                "p_partkey": pc.filter(batch["p_partkey"], mask),
+                "p_retailprice": pc.filter(batch["p_retailprice"], mask),
+            }
+        )
+
+    from import_ray.core.context import join_safe
+
+    part = join_safe(part.map_batches(keep_parts, batch_format="pyarrow"))
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+    n = _np_for(li)
+    j = li.join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def amount(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rp = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "amount_cents": pa.array(
+                    _cents(ep * (1.0 - disc) - 0.1 * rp * qty), pa.int64()
+                ),
+            }
+        )
+
+    j = j.map_batches(amount, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(order_year, batch_format="pyarrow")
+    j = j.join(
+        orders,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    supp = join_safe(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    j = j.join(
+        supp,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    nk_name, _ = _nation_region_arrays(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "n_name": nk_name[nk],
+                "o_year": batch["o_year"].to_numpy(zero_copy_only=False),
+                "profit_cents": batch["amount_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["n_name", "o_year"], sort=False)["profit_cents"]
+            .sum()
+            .reset_index()
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"], num_partitions=max(2, n // 4))
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)
+                            - 0.1*p_retailprice*l_quantity)*100) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+# --- q11 shape: global-share threshold over grouped value (TPC-H Q11) --------
+
+
+def q11_important_parts(sf_dir: str, region: str = "ASIA", mult: float = 2.0):
+    """TPC-H Q11 shape: per-part shipped value for suppliers in `region`,
+    keeping parts whose value exceeds `mult`× the mean per-part value
+    (the global-share threshold; TPC-H's FRACTION is SF-dependent, the
+    mean-multiple is scale-free).
+
+    Plan: supplier scales with SF → region filter via broadcast
+    nation/region arrays, then a distributed semi-join on suppkey
+    (only 8-byte keys shuffle) → in-batch per-part partial sums → ONE
+    partkey exchange → the grand total + part count reduce to two
+    driver scalars (the Q11 HAVING subquery) → broadcast threshold
+    filter. The wide rows never move; only (partkey, cents) pairs
+    shuffle."""
+    _, nk_region = _nation_region_arrays(sf_dir)
+
+    def region_supp(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"s_suppkey": pc.filter(batch["s_suppkey"], pa.array(nk_region[nk] == region))}
+        )
+
+    from import_ray.core.context import join_safe
+
+    supp = join_safe(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            region_supp, batch_format="pyarrow"
+        )
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "value_cents": pa.array(
+                    _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n = _np_for(li)
+    j = li.map_batches(to_cents, batch_format="pyarrow").join(
+        supp,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "value_cents": batch["value_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("p_partkey", sort=False)["value_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    value = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey", num_partitions=n)
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        v = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "c": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    # the per-part sums materialize once (they are ≤ #parts rows) and
+    # feed both the scalar reduce and the threshold filter
+    value = value.materialize()
+    t = value.map_batches(totals, batch_format="pyarrow").to_pandas()
+    thr = mult * float(t["s"].sum()) / float(t["c"].sum())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v > thr))
+
+    return value.map_batches(keep, batch_format="pyarrow")
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, value_cents FROM v
+WHERE value_cents > (SELECT 2.0 * AVG(value_cents) FROM v)
+"""
+
+
+# --- q20 shape: majority-share semi-join chain (TPC-H Q20) -------------------
+
+
+def q20_dominant_part_suppliers(sf_dir: str, region: str = "EUROPE"):
+    """TPC-H Q20 shape: `region` suppliers who shipped a strict majority
+    (2×qty > part total) of some 'red%' part's 1997 volume (availqty
+    has no table here; the majority-share test stands in).
+
+    Plan: part prefix-filter + date filter at the read → distributed
+    partkey join → in-batch (part,supplier) qty combiner → pair-key
+    exchange → per-part majority scan fused into one block-local pass
+    after a keyed repartition on partkey → winner-suppkey distinct
+    (keyed exchange of 8-byte keys) → distributed join onto the
+    region-filtered supplier table (supplier scales with SF; the
+    nation/region attach itself is a broadcast dense-array lookup)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def red_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.starts_with(batch["p_name"], "red")
+        ).select(["p_partkey"])
+
+    from import_ray.core.context import join_safe
+
+    part = join_safe(part.map_batches(red_parts, batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def y1997(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False)[
+                    mask.to_numpy(zero_copy_only=False)
+                ],
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False)[
+                    mask.to_numpy(zero_copy_only=False)
+                ],
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    n = _np_for(li)
+    shipped = li.map_batches(y1997, batch_format="pyarrow").join(
+        part,
+        join_type="inner",
+        num_partitions=n,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    shipped = shipped.groupby(["l_partkey", "l_suppkey"], num_partitions=n).aggregate(
+        Sum("qty", alias_name="qty")
+    )
+
+    def majority(batch: pa.Table) -> pa.Table:
+        df = batch.select(["l_partkey", "l_suppkey", "qty"]).to_pandas()
+        total = df.groupby("l_partkey")["qty"].transform("sum")
+        df = df[2 * df["qty"] > total]
+        return from_pandas_clean(df[["l_suppkey"]].drop_duplicates(), preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(shipped)
+    winners = (
+        shipped.repartition(n, keys=["l_partkey"])
+        .map_batches(majority, batch_format="pyarrow", batch_size=None)
+        # the same supplier can dominate parts in different partkey
+        # blocks: one keyed exchange of 8-byte keys makes them distinct
+        .repartition(n, keys=["l_suppkey"])
+        .map_batches(
+            lambda b: b.group_by("l_suppkey").aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    nk_name, nk_region = _nation_region_arrays(sf_dir)
+
+    def region_supp(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nk_region[nk] == region
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "s_suppkey": pc.filter(batch["s_suppkey"], mask),
+                "s_name": pc.filter(batch["s_name"], mask),
+                "n_name": pa.array(nk_name[nk][keep], pa.string()),
+            }
+        )
+
+    supp = join_safe(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+            region_supp, batch_format="pyarrow"
+        )
+    )
+    out = supp.join(
+        join_safe(winners),
+        join_type="inner",
+        num_partitions=n,
+        on=("s_suppkey",),
+        right_on=("l_suppkey",),
+    )
+    return out.select_columns(["s_name", "n_name"])
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped s1
+    WHERE 2*qty > (SELECT SUM(qty) FROM shipped s2
+                   WHERE s2.l_partkey = s1.l_partkey))
+ORDER BY s_name, n_name
+"""

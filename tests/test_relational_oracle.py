@@ -59,6 +59,10 @@ NEW_QUERIES = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q21_sole_return_suppliers",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q20_dominant_part_suppliers",
     "segment_dedup_docs",
     "badword_filter_docs",
     "events_props_stats",
