@@ -191,6 +191,41 @@ def _kg_k_core(sf_dir: str):
     return k_core(co_mention_edges(triples), k=2).sort("node")
 
 
+def _kg_k_hop_reach(sf_dir: str):
+    """Multi-source k-hop reachability over the entity co-mention graph
+    (distributed BFS frontier expansion: per-hop hash join + keyed
+    min-hop fold; no driver-side adjacency)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import co_mention_edges, k_hop_reach
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    return k_hop_reach(co_mention_edges(triples), n_seeds=8, max_hops=3)
+
+
+def _kg_snapshot_asof(sf_dir: str):
+    """Time-travel KG snapshot: triples as of a cutoff timestamp
+    (streaming Arrow ts-predicate at the read; conversation aggregates
+    recomputed over the truncated turn set)."""
+    from import_ray.pipelines.kg import kg_snapshot_asof
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return kg_snapshot_asof(ensure_transcripts(sf_dir))
+
+
+def _kg_communities(sf_dir: str):
+    """Community detection over the entity co-mention graph: synchronous
+    distributed label propagation (per-round labels⋈edges hash join +
+    (node,label) keyed count + block-local argmax; deterministic
+    min-label tie-break)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import co_mention_edges, label_propagation
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    return label_propagation(co_mention_edges(triples), max_rounds=6).sort("node")
+
+
 def _kg_adamic_adar(sf_dir: str):
     """Link prediction: top non-adjacent entity pairs by Adamic-Adar
     score over the co-mention graph (keyed wedge emission + grouped
@@ -294,6 +329,27 @@ def _token_stats(sf_dir: str):
 
     ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(token_stats, batch_format="pyarrow")
+
+
+def _inverted_index_docs(sf_dir: str):
+    """Inverted index over the corpus: per token exact document
+    frequency + capped ascending posting prefix (one bounded token-keyed
+    exchange of per-block partials; stopword rows never ship full
+    posting lists)."""
+    from import_ray.stages.text import inverted_index
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, max_postings=20)
+
+
+def _token_pairs_docs(sf_dir: str):
+    """Top-50 token pairs by document co-occurrence (distinct-set pair
+    emission with in-batch partial counts, one pair-keyed exchange,
+    block-local exact top-k partials)."""
+    from import_ray.stages.text import token_pair_doc_counts
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return token_pair_doc_counts(ds, top_k=50)
 
 
 def _quality(sf_dir: str):
@@ -1172,6 +1228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": _segment_dedup_docs,
         "badword_filter_docs": _badword_filter_docs,
         "token_stats_docs": _token_stats,
+        "inverted_index_docs": _inverted_index_docs,
+        "token_pairs_docs": _token_pairs_docs,
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
         "knn_cosine": _knn,
@@ -1203,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_stats": _kg_conv_stats,
         "kg_k_core": _kg_k_core,
         "kg_adamic_adar": _kg_adamic_adar,
+        "kg_k_hop_reach": _kg_k_hop_reach,
+        "kg_snapshot_asof": _kg_snapshot_asof,
+        "kg_communities": _kg_communities,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
@@ -1212,7 +1273,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from import_ray.pipelines import relational as R
     from import_ray.stages.similarity import KNN_SQL_TEMPLATE
-    from import_ray.stages.text import QUALITY_SQL, TOKEN_STATS_SQL
+    from import_ray.stages.text import (
+        INVERTED_INDEX_SQL,
+        QUALITY_SQL,
+        TOKEN_PAIR_SQL,
+        TOKEN_STATS_SQL,
+    )
 
     return {
         "q1_pricing_summary": R.Q1_SQL,
@@ -1284,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),
         "token_stats_docs": TOKEN_STATS_SQL,
+        "inverted_index_docs": INVERTED_INDEX_SQL,
+        "token_pairs_docs": TOKEN_PAIR_SQL,
         "quality_docs": QUALITY_SQL,
         "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
         "melt_part": R.MELT_PART_SQL,

@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "topn_orders_per_customer",
     "profile_orders",
     "top_terms_per_doc",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q20_dominant_part_suppliers",
+    "inverted_index_docs",
+    "token_pairs_docs",
 ]
 
 
@@ -100,15 +106,16 @@ def run_bench() -> dict:
     scaling_workload = os.environ.get("BENCH_WORKLOAD") == "scaling"
     if scaling_workload:
         # larger input + broadcast dedup (the 100TB-shaped strategy:
-        # only 32-byte keys shuffle, wide rows never move). 6× the
+        # only 32-byte keys shuffle, wide rows never move). 12× the
         # sf0.1 conv count: the measured per-execution fixed cost is
-        # ~5.6 s (aggregator-pool spin-up + read planning, identical at
-        # both CPU levels — legs fit t = fixed + W/ncpu with W≈372
-        # cpu·s at 60k convs), so the workload must be large enough
-        # that compute dominates it, exactly as it would at real scale
-        tx_path = ensure_transcripts(SF_DIR, n_convs=120000)
+        # ~8 s (aggregator-pool spin-up + read planning, identical at
+        # both CPU levels — the 120k-conv legs fit t = fixed + W/ncpu
+        # with W≈428 cpu·s, fixed≈8 s), so the workload must be large
+        # enough that compute dominates it, exactly as a real 100 TB
+        # job (hours of compute against seconds of setup) would be
+        tx_path = ensure_transcripts(SF_DIR, n_convs=240000)
         dedup_strategy = "broadcast"
-        n_timed = 3
+        n_timed = 2
     else:
         tx_path = ensure_transcripts(SF_DIR)
         dedup_strategy = "shuffle"
@@ -124,9 +131,14 @@ def run_bench() -> dict:
     n_triples = 0
     for _ in range(n_timed):
         t0 = time.time()
-        n_triples = build_triples(tx_path, dedup_strategy=dedup_strategy).count()
+        ds = build_triples(tx_path, dedup_strategy=dedup_strategy)
+        n_triples = ds.count()
         times.append(time.time() - t0)
     headline = min(times)
+    if os.environ.get("BENCH_STATS"):
+        # per-stage wall breakdown of the last headline run (stderr so
+        # the stdout JSON contract stays one line)
+        print(ds.stats(), file=sys.stderr)
 
     # ---- representative operator pipelines -------------------------------
     qtimes = {}

@@ -366,3 +366,24 @@ def conv_kg_stats(transcripts_path: str | list[str]):
         return from_pandas_clean(df, preserve_index=False)
 
     return out.map_batches(fill_zero, batch_format="pyarrow")
+
+
+def kg_snapshot_asof(
+    transcripts_path: str | list[str], cutoff: str = "2025-01-01T12:00:00"
+):
+    """Temporal KG snapshot (time travel): canonical triples built only
+    from turns with ``ts <= cutoff``. The timestamp filter is a per-batch
+    Arrow predicate applied at the read, so the as-of rebuild streams
+    exactly like a current build — no snapshot copies; pair with
+    ``kg_triple_diff``'s keyed diff for an as-of delta. Conversation
+    aggregates are recomputed over the truncated turn set, matching
+    what an ingest running at `cutoff` would have emitted."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    def upto(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["ts"], cut))
+
+    return build_triples(transcripts_path, conv_filter=upto)

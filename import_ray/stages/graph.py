@@ -1012,3 +1012,206 @@ def adamic_adar_topk(edges_ds, top_k: int = 50, max_wedges_per_node: int = 10_00
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+def k_hop_reach(edges_ds, n_seeds: int = 16, max_hops: int = 3, seeds=None):
+    """Multi-source k-hop reachability (distributed BFS frontier
+    expansion) over an undirected edge set with ``doc_lo``/``doc_hi``
+    int64 endpoints: cumulative reachable-node counts per (seed, hop).
+
+    Per hop: frontier ⋈ directed-edge table on the frontier node (hash
+    join on 8-byte keys) emits candidate (seed, neighbor) pairs; ONE
+    (seed, node) keyed min-hop aggregate folds them into the visited
+    set; the next frontier is the rows first reached this hop. Frontier
+    and visited stay Datasets throughout — no driver-side adjacency.
+    The per-(seed,hop) count table is ≤ n_seeds×(max_hops+1) rows, so
+    the final cumulative sum is a driver-side scan of a tiny frame.
+
+    Seeds default to the ``n_seeds`` smallest node ids (deterministic:
+    per-block partial mins + driver merge of ≤ n_seeds×#blocks rows).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def directed(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "v": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(directed, batch_format="pyarrow").materialize()
+
+    if seeds is None:
+        def block_min(b: pa.Table) -> pa.Table:
+            u = np.unique(b["u"].to_numpy(zero_copy_only=False))
+            return pa.table({"u": pa.array(u[: int(n_seeds)], pa.int64())})
+
+        partials = edges.map_batches(block_min, batch_format="pyarrow").to_pandas()
+        seeds = np.sort(partials["u"].unique())[: int(n_seeds)]
+    seeds = np.asarray(sorted(int(s) for s in seeds), dtype=np.int64)
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(seeds, pa.int64()),
+                "node": pa.array(seeds, pa.int64()),
+                "hop": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+            }
+        )
+    )
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = join_safe(
+            frontier.select_columns(["seed", "node"]).join(
+                edges,
+                join_type="inner",
+                num_partitions=n,
+                on=("node",),
+                right_on=("u",),
+            )
+        )
+
+        def as_candidate(b: pa.Table, _h=hop) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": b["seed"],
+                    "node": b["v"],
+                    "hop": pa.array(
+                        np.full(b.num_rows, _h, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        candidates = nxt.map_batches(as_candidate, batch_format="pyarrow")
+        visited = join_safe(
+            visited.union(candidates)
+            .groupby(["seed", "node"], num_partitions=n)
+            .aggregate(Min("hop", alias_name="hop"))
+        ).materialize()
+        frontier = join_safe(visited.filter(expr=f"hop == {hop}"))
+        if frontier.count() == 0:
+            break
+
+    per_hop = (
+        visited.groupby(["seed", "hop"], num_partitions=max(2, n // 4))
+        .aggregate(Count(alias_name="n_new"))
+        .to_pandas()
+    )
+    out = []
+    for seed, g in per_hop.groupby("seed", sort=True):
+        g = g.sort_values("hop")
+        full = pd.DataFrame({"hop": range(int(max_hops) + 1)})
+        full = full.merge(g[["hop", "n_new"]], on="hop", how="left").fillna(0)
+        full["seed"] = seed
+        full["n_reached"] = full["n_new"].cumsum().astype(np.int64)
+        out.append(full[["seed", "hop", "n_reached"]])
+    res = pd.concat(out, ignore_index=True)
+    res["seed"] = res["seed"].astype(np.int64)
+    res["hop"] = res["hop"].astype(np.int64)
+    return res
+
+
+def label_propagation(edges_ds, max_rounds: int = 10):
+    """Community detection by synchronous label propagation over an
+    undirected edge set (``doc_lo``/``doc_hi`` int64 endpoints): each
+    round every node adopts its neighbors' most frequent label
+    (ties → smallest label), computed distributed:
+
+    one labels ⋈ edges hash join ships (node, neighbor_label) pairs →
+    ONE (node, label) keyed count → a node-keyed repartition with a
+    block-local argmax scan. Labels start as the node ids, updates are
+    fully synchronous, so the result is deterministic for a fixed round
+    count. Stops early when no label changes (count compare per round).
+
+    Returns a Dataset (node:int64, label:int64).
+    """
+    from ray.data.aggregate import Count
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def directed(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "v": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        u = np.unique(b["u"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "label": pa.array(u, pa.int64())}
+        )
+
+    from ray.data.aggregate import Min as _Min
+
+    labels = join_safe(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node", num_partitions=n)
+        .aggregate(_Min("label", alias_name="label"))
+    ).materialize()
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        df = batch.select(["v", "label", "cnt"]).to_pandas()
+        df = df.sort_values(
+            ["v", "cnt", "label"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("v", keep="first")
+        return from_pandas_clean(
+            df.rename(columns={"v": "node"})[["node", "label"]]
+        )
+
+    for _ in range(int(max_rounds)):
+        neigh = join_safe(
+            labels.join(
+                edges,
+                join_type="inner",
+                num_partitions=n,
+                on=("node",),
+                right_on=("u",),
+            )
+        )
+        counted = join_safe(
+            neigh.groupby(["v", "label"], num_partitions=n).aggregate(
+                Count(alias_name="cnt")
+            )
+        )
+        new_labels = (
+            counted.repartition(n, keys=["v"])
+            .map_batches(block_argmax, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        # convergence: count of (node,label) pairs present in BOTH maps
+        same = join_safe(
+            new_labels.join(
+                labels,
+                join_type="left_semi",
+                num_partitions=n,
+                on=("node", "label"),
+                right_on=("node", "label"),
+            )
+        )
+        changed = new_labels.count() - same.count()
+        labels = join_safe(new_labels)
+        if changed == 0:
+            break
+    return labels

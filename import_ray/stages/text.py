@@ -570,3 +570,204 @@ SELECT doc_id, tok, score, rnk FROM (
 ) t
 WHERE rnk <= 3
 """
+
+
+def _token_doc_pairs(batch: pa.Table):
+    """Distinct (token code, doc_id) pairs for a batch, fully
+    vectorized: Arrow split/flatten/dictionary-encode + one flat
+    ``np.unique`` over packed (parent, code) keys. Returns
+    (tokens: np.ndarray[object], doc_ids: np.ndarray[int64])."""
+    text = _text_col(batch)
+    lists = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    parents = (
+        pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (parents << np.int64(32)) | codes
+    uniq = np.unique(key)
+    u_parents = (uniq >> np.int64(32)).astype(np.int64)
+    u_codes = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    vocab = d.dictionary.to_numpy(zero_copy_only=False).astype(object)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return vocab[u_codes], doc_ids[u_parents]
+
+
+def inverted_index(docs_ds, max_postings: int = 20):
+    """Distributed inverted index: per token its exact document
+    frequency and the first ``max_postings`` doc ids (ascending, CSV
+    string).
+
+    Scale shape: per-batch DISTINCT (token, doc_id) pairs fold into ONE
+    partial row per (token, block) — partial df count + a capped sorted
+    posting prefix — so the token-keyed exchange carries at most
+    #tokens × #blocks bounded rows (a stopword never ships its full
+    posting list; df stays exact via the summed counts). The final
+    merge re-sorts ≤ max_postings × #blocks ids per token block-locally.
+    """
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+    cap = int(max_postings)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, docs = _token_doc_pairs(batch)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df_part": pa.array([], pa.int64()),
+                    "postings_part": pa.array([], pa.string()),
+                }
+            )
+        order = np.lexsort((docs, toks))
+        toks, docs = toks[order], docs[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], toks[1:] != toks[:-1]])
+        )
+        ends = np.concatenate([bounds[1:], [len(toks)]])
+        out_t, out_n, out_p = [], [], []
+        for b, e in zip(bounds, ends):
+            out_t.append(toks[b])
+            out_n.append(int(e - b))
+            out_p.append(",".join(str(int(x)) for x in docs[b : min(e, b + cap)]))
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "df_part": pa.array(out_n, pa.int64()),
+                "postings_part": pa.array(out_p, pa.string()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for token, g in df.groupby("token", sort=True):
+            ids: list[int] = []
+            for p in g["postings_part"]:
+                if p:
+                    ids.extend(int(x) for x in p.split(","))
+            ids = sorted(set(ids))[:cap]
+            rows.append(
+                (token, int(g["df_part"].sum()), ",".join(str(x) for x in ids))
+            )
+        out = pd.DataFrame(rows, columns=["token", "df", "postings"])
+        out["df"] = out["df"].astype(np.int64)
+        return from_pandas_clean(out, preserve_index=False)
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(n, keys=["token"])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), td AS (
+  SELECT DISTINCT doc_id, token FROM tok
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings
+FROM td GROUP BY token
+"""
+
+
+def token_pair_doc_counts(docs_ds, top_k: int = 50, max_tokens_per_doc: int = 64):
+    """Top-k token pairs by document co-occurrence (exact integer
+    counts, (count DESC, tok_a, tok_b) deterministic order).
+
+    Scale shape: per-batch distinct-token pair emission (per-doc token
+    sets capped at ``max_tokens_per_doc`` — the skew guard for
+    pathological vocabulary-dense docs; the SQL oracle assumes the cap
+    is not hit, which holds for this corpus and is asserted per batch) →
+    in-batch partial pair counts → ONE pair-keyed exchange → block-local
+    exact top-k partials → driver merge of ≤ top_k × #blocks rows."""
+    from ray.data.aggregate import Sum
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+    cap = int(max_tokens_per_doc)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        toks, docs = _token_doc_pairs(batch)
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        if len(toks) == 0:
+            return empty
+        order = np.lexsort((toks, docs))
+        toks, docs = toks[order], docs[order]
+        bounds = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+        ends = np.concatenate([bounds[1:], [len(docs)]])
+        a_parts, b_parts = [], []
+        for b, e in zip(bounds, ends):
+            ts = toks[b : min(e, b + cap)]
+            if e - b > cap:  # skew guard; oracle parity requires no hit
+                raise ValueError(
+                    f"doc exceeds max_tokens_per_doc={cap} distinct tokens"
+                )
+            if len(ts) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ts), k=1)
+            a_parts.append(ts[ia])
+            b_parts.append(ts[ib])
+        if not a_parts:
+            return empty
+        df = pd.DataFrame(
+            {"tok_a": np.concatenate(a_parts), "tok_b": np.concatenate(b_parts)}
+        )
+        g = df.groupby(["tok_a", "tok_b"], sort=False).size().reset_index(name="n_docs")
+        return from_pandas_clean(g, preserve_index=False)
+
+    counts = (
+        docs_ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"], num_partitions=n)
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    k = int(top_k)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.select(["tok_a", "tok_b", "n_docs"]).to_pandas()
+        df = df.sort_values(
+            ["n_docs", "tok_a", "tok_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return from_pandas_clean(df, preserve_index=False)
+
+    partials = counts.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(
+            ["n_docs", "tok_a", "tok_b"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+TOKEN_PAIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+)
+SELECT a.token AS tok_a, b.token AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+ORDER BY n_docs DESC, tok_a, tok_b
+LIMIT 50
+"""

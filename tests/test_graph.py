@@ -399,3 +399,138 @@ def test_k_core_and_aa_on_co_mention_graph(kg_triples):
     assert 0 < len(aa) <= 10
     scores = aa["aa_score"].to_numpy()
     assert (scores[:-1] >= scores[1:]).all()
+
+
+def test_k_hop_reach_matches_bfs(ray_session):
+    """Multi-source BFS parity: distributed frontier expansion must
+    match a driver-side BFS exactly on a planted graph (two components,
+    a hub, a chain long enough to exhaust max_hops)."""
+    import ray.data
+
+    from import_ray.stages.graph import k_hop_reach
+
+    rng = np.random.RandomState(7)
+    n_nodes = 40
+    lo = rng.randint(0, n_nodes, 120).astype(np.int64)
+    hi = rng.randint(0, n_nodes, 120).astype(np.int64)
+    # planted second component far from the random block
+    lo = np.concatenate([lo, np.array([100, 101, 102, 103], np.int64)])
+    hi = np.concatenate([hi, np.array([101, 102, 103, 104], np.int64)])
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    )
+    seeds = [0, 1, 100]
+    max_hops = 3
+    got = k_hop_reach(ds, seeds=seeds, max_hops=max_hops)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for seed in seeds:
+        dist = {seed: 0}
+        frontier = [seed]
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):  # noqa: B909
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        for hop in range(max_hops + 1):
+            want = sum(1 for d in dist.values() if d <= hop)
+            row = got[(got["seed"] == seed) & (got["hop"] == hop)]
+            assert len(row) == 1
+            assert int(row["n_reached"].iloc[0]) == want, (seed, hop)
+
+
+def test_k_hop_reach_default_seeds(ray_session):
+    """Default seed pick = smallest node ids; cumulative counts are
+    monotone and start at 1 (the seed itself at hop 0)."""
+    import ray.data
+
+    from import_ray.stages.graph import k_hop_reach
+
+    edges = pa.table(
+        {
+            "doc_lo": pa.array([1, 2, 3, 10, 11], pa.int64()),
+            "doc_hi": pa.array([2, 3, 4, 11, 12], pa.int64()),
+        }
+    )
+    got = k_hop_reach(ray.data.from_arrow(edges), n_seeds=2, max_hops=2)
+    assert sorted(got["seed"].unique().tolist()) == [1, 2]
+    for _, g in got.groupby("seed"):
+        g = g.sort_values("hop")
+        assert g["n_reached"].iloc[0] == 1
+        assert g["n_reached"].is_monotonic_increasing
+
+
+def _lpa_reference(lo, hi, max_rounds=10):
+    """Driver-side synchronous LPA with the same rule: most frequent
+    neighbor label, ties to smallest; stop when stable."""
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(lo, hi):
+        if a == b:
+            continue
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    labels = {u: u for u in adj}
+    for _ in range(max_rounds):
+        new = {}
+        for u, neigh in adj.items():
+            counts: dict[int, int] = {}
+            for v in neigh:
+                counts[labels[v]] = counts.get(labels[v], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[u] = best
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(ray_session):
+    """Distributed synchronous LPA must equal the driver-side rule
+    exactly (same per-round updates + same early stop) on a planted
+    two-clique graph with a bridge."""
+    import ray.data
+
+    from import_ray.stages.graph import label_propagation
+
+    # two 4-cliques 0-3 and 10-13, bridged 3-10
+    def clique(nodes):
+        return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+    e = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    lo = np.array([a for a, _ in e], np.int64)
+    hi = np.array([b for _, b in e], np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(ds, max_rounds=10).take_all()}
+    want = _lpa_reference(lo, hi, max_rounds=10)
+    assert got == want
+    # the two cliques end in different communities
+    assert len({got[n] for n in (0, 1, 2)} | set()) == 1
+    assert len({got[n] for n in (11, 12, 13)}) == 1
+    assert got[0] != got[11]
+
+
+def test_label_propagation_random_parity(ray_session):
+    """Exact parity with the reference rule on a random sparse graph."""
+    import ray.data
+
+    from import_ray.stages.graph import label_propagation
+
+    rng = np.random.RandomState(3)
+    lo = rng.randint(0, 30, 80).astype(np.int64)
+    hi = rng.randint(0, 30, 80).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(ds, max_rounds=6).take_all()}
+    want = _lpa_reference(lo, hi, max_rounds=6)
+    assert got == want

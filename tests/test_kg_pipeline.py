@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
@@ -172,3 +173,34 @@ def test_conv_kg_stats_matches_pandas(ray_session, transcripts_path):
         check_dtype=False,
     )
     assert (got["n_entity_links"] >= got["n_distinct_entities"]).all()
+
+
+def test_kg_snapshot_asof_matches_prefiltered_build(ray_session, transcripts_path, tmp_path):
+    """Time-travel snapshot parity: triples as-of a cutoff must equal a
+    full build over a physically truncated input (same canonical
+    4-tuples, including recomputed conversation aggregates)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from import_ray.pipelines.kg import build_triples, kg_snapshot_asof
+
+    src = pq.read_table(transcripts_path)
+    # cutoff at the median turn timestamp → a proper subset with some
+    # conversations truncated mid-way (aggregates must change)
+    ts = src["ts"].to_pandas()
+    cutoff = ts.quantile(0.5)
+    trunc = src.filter(pc.less_equal(src["ts"], pa.scalar(np.datetime64(cutoff, "us"))))
+    assert 0 < trunc.num_rows < src.num_rows
+    trunc_path = str(tmp_path / "trunc.parquet")
+    pq.write_table(trunc, trunc_path)
+
+    cols = ["subject_id", "predicate", "object_id", "object_value"]
+
+    def canon(ds):
+        df = ds.to_pandas()[cols].astype(str)
+        return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    got = canon(kg_snapshot_asof(transcripts_path, cutoff=str(cutoff.isoformat())))
+    want = canon(build_triples(trunc_path))
+    pd.testing.assert_frame_equal(got, want)

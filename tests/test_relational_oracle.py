@@ -63,6 +63,8 @@ NEW_QUERIES = [
     "q9_profit_by_nation_year",
     "q11_important_parts",
     "q20_dominant_part_suppliers",
+    "inverted_index_docs",
+    "token_pairs_docs",
     "segment_dedup_docs",
     "badword_filter_docs",
     "events_props_stats",
