@@ -873,6 +873,7 @@ from import_ray.stages.scrub import (
     HASH_SAMPLE_SQL as HASH_SAMPLE_ORACLE,
     PII_REDACT_SQL as PII_REDACT_ORACLE,
 )
+from import_ray.stages.sampling import WEIGHTED_SAMPLE_ORDERS_SQL
 from import_ray.stages.repetition import (
     BIGRAM_REPETITION_SQL as BIGRAM_REPETITION_ORACLE,
     CROSS_DUP_SQL as CROSS_DUP_ORACLE,
@@ -1090,6 +1091,29 @@ def _hash_sample_docs(sf_dir: str):
     return ds.map_batches(hash_sample, batch_format="pyarrow")
 
 
+def _weighted_sample_orders(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res keys over the auditable multiplicative hash): 100 orders
+    weighted by total price; per-batch bottom-k partials only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from import_ray.stages.sampling import weighted_sample
+
+    ds = _read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        y = tp * 100.0
+        w = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "weight_cents": pa.array(w, pa.int64())}
+        )
+
+    keyed = ds.map_batches(cents, batch_format="pyarrow")
+    return weighted_sample(keyed, id_col="o_orderkey", weight_cents_col="weight_cents", k=100)
+
+
 def _bigram_repetition_docs(sf_dir: str):
     """Within-doc bigram repetition signals (Gopher-style quality)."""
     from import_ray.stages.repetition import bigram_repetition_stats
@@ -1212,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_planted_purity": _kmeans_planted,
         "pii_redact_planted": _pii_redact_planted,
         "hash_sample_docs": _hash_sample_docs,
+        "weighted_sample_orders": _weighted_sample_orders,
         "bigram_repetition_docs": _bigram_repetition_docs,
         "cross_dup_docs": _cross_dup_docs,
         "dup_span_docs": _dup_span_docs,
@@ -1337,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_planted": DECONTAM_PLANTED_ORACLE,
         "pii_redact_planted": PII_REDACT_ORACLE,
         "hash_sample_docs": HASH_SAMPLE_ORACLE,
+        "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
         "dup_span_docs": DUP_SPAN_ORACLE,

@@ -180,8 +180,19 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_WORKLOAD="scaling")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # ray.init(num_cpus=N) caps Ray TASK slots only; the raylet,
+        # object store, parquet IO threads and the driver all still use
+        # every physical core, so an un-pinned "8-CPU" leg is really an
+        # 8-slot-32-core run and the measured ratio understates true
+        # scaling. Hard CPU affinity confines the whole process tree
+        # (workers inherit it) — the faithful N-vs-4N cluster emulation.
+        import shutil
+
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{int(ncpu) - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -195,3 +195,70 @@ SELECT
   CAST(count(*) AS BIGINT) AS sample_n
 FROM sample
 """
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis A-Res) -------
+
+
+def weighted_sample(
+    ds,
+    id_col: str,
+    weight_cents_col: str,
+    k: int = 100,
+):
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` rows with the smallest A-Res key ``-ln(u)/w`` (Efraimidis &
+    Spirakis 2006), where ``u = (hash(id)+0.5)/2^32`` uses the same
+    auditable multiplicative hash as the other samplers — so the sample
+    is reproducible across runs/cluster sizes and SQL-expressible.
+
+    Scale shape: per-batch bottom-k partials (≤ k rows leave each
+    batch) → one tiny global merge of k × #blocks rows. Weights are
+    integer cents; the ordering key is a double, with the id as an
+    exact tie-break (a boundary flip would need two keys within 1 ulp).
+    """
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+
+    def ares_key(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        h = _hash_key(ids).astype(np.float64)
+        u = (h + 0.5) / 4294967296.0
+        return -np.log(u) / w.astype(np.float64)
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_cents_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                id_col: ids,
+                "weight_cents": w.astype(np.int64),
+                "ares_key": ares_key(ids, w),
+            }
+        )
+        df = df.sort_values(["ares_key", id_col], kind="mergesort").head(k)
+        return from_pandas_clean(df, preserve_index=False)
+
+    partials = ds.map_batches(local_bottomk, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(["ares_key", id_col], kind="mergesort")
+        .head(k)
+        .drop(columns=["ares_key"])
+        .reset_index(drop=True)
+    )
+    out["weight_cents"] = out["weight_cents"].astype(np.int64)
+    return out
+
+
+WEIGHTED_SAMPLE_ORDERS_SQL = """
+WITH keyed AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS weight_cents,
+         CAST((o_orderkey * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM orders
+)
+SELECT o_orderkey, weight_cents
+FROM keyed
+ORDER BY -ln((h + 0.5) / 4294967296.0) / weight_cents, o_orderkey
+LIMIT 100
+"""

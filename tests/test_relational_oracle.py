@@ -65,6 +65,7 @@ NEW_QUERIES = [
     "q20_dominant_part_suppliers",
     "inverted_index_docs",
     "token_pairs_docs",
+    "weighted_sample_orders",
     "segment_dedup_docs",
     "badword_filter_docs",
     "events_props_stats",
