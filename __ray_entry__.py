@@ -1114,6 +1114,16 @@ def _weighted_sample_orders(sf_dir: str):
     return weighted_sample(keyed, id_col="o_orderkey", weight_cents_col="weight_cents", k=100)
 
 
+def _gopher_quality_docs(sf_dir: str):
+    """Gopher-style composite quality rules (token-count bounds, mean
+    token length, alpha fraction, stopword presence; all-integer
+    signals, regexes evaluated once per vocabulary value)."""
+    from import_ray.stages.text import gopher_quality_flags
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_quality_flags, batch_format="pyarrow")
+
+
 def _bigram_repetition_docs(sf_dir: str):
     """Within-doc bigram repetition signals (Gopher-style quality)."""
     from import_ray.stages.repetition import bigram_repetition_stats
@@ -1255,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_docs": _token_stats,
         "inverted_index_docs": _inverted_index_docs,
         "token_pairs_docs": _token_pairs_docs,
+        "gopher_quality_docs": _gopher_quality_docs,
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
         "knn_cosine": _knn,
@@ -1299,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
     from import_ray.pipelines import relational as R
     from import_ray.stages.similarity import KNN_SQL_TEMPLATE
     from import_ray.stages.text import (
+        GOPHER_QUALITY_SQL,
         INVERTED_INDEX_SQL,
         QUALITY_SQL,
         TOKEN_PAIR_SQL,
@@ -1378,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_docs": TOKEN_STATS_SQL,
         "inverted_index_docs": INVERTED_INDEX_SQL,
         "token_pairs_docs": TOKEN_PAIR_SQL,
+        "gopher_quality_docs": GOPHER_QUALITY_SQL,
         "quality_docs": QUALITY_SQL,
         "knn_cosine": KNN_SQL_TEMPLATE.format(n_queries=_KNN_QUERIES, k=_KNN_K),
         "melt_part": R.MELT_PART_SQL,

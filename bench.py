@@ -113,7 +113,7 @@ def run_bench() -> dict:
         # with W≈428 cpu·s, fixed≈8 s), so the workload must be large
         # enough that compute dominates it, exactly as a real 100 TB
         # job (hours of compute against seconds of setup) would be
-        tx_path = ensure_transcripts(SF_DIR, n_convs=240000)
+        tx_path = ensure_transcripts(SF_DIR, n_convs=480000)
         dedup_strategy = "broadcast"
         n_timed = 2
     else:

@@ -771,3 +771,97 @@ GROUP BY 1, 2
 ORDER BY n_docs DESC, tok_a, tok_b
 LIMIT 50
 """
+
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+
+def gopher_quality_flags(batch: pa.Table) -> pa.Table:
+    """Gopher-style composite quality rules (Rae et al. 2021, adapted
+    to flat-token docs; all-integer signals so the SQL oracle matches
+    exactly): token-count bounds, mean-token-length bounds, alphabetic
+    token fraction, stopword presence, and the AND of all four.
+
+    Pure map_batches — regexes run once per DICTIONARY value (the
+    vocabulary), not per token; per-token work is one dictionary
+    gather + bincount."""
+    text = _text_col(batch)
+    n_tok, _ = _token_counts(text)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    mean_tok_len_micro = np.where(
+        n_tok > 0, (n_chars - (n_tok - 1)) * 1_000_000 // np.maximum(n_tok, 1), 0
+    )
+
+    lists = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(lists)
+    n = len(n_tok)
+    if len(flat) == 0:
+        alpha = np.zeros(n, np.int64)
+        stops = np.zeros(n, np.int64)
+    else:
+        parents = (
+            pc.list_parent_indices(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary
+        is_alpha = pc.match_substring_regex(vocab, "^[a-z]+$").to_numpy(
+            zero_copy_only=False
+        )
+        is_stop = pc.is_in(
+            vocab, value_set=pa.array(_GOPHER_STOPWORDS, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        alpha = np.bincount(
+            parents, weights=is_alpha[codes].astype(np.float64), minlength=n
+        ).astype(np.int64)
+        stops = np.bincount(
+            parents, weights=is_stop[codes].astype(np.float64), minlength=n
+        ).astype(np.int64)
+
+    ok_len = (n_tok >= 5) & (n_tok <= 100_000)
+    ok_tok_len = (mean_tok_len_micro >= 2_000_000) & (mean_tok_len_micro <= 12_000_000)
+    # alpha fraction ≥ 0.8 as an exact integer cross-multiply
+    ok_alpha = alpha * 10 >= n_tok * 8
+    ok_stop = stops >= 1
+    keep = ok_len & ok_tok_len & ok_alpha & ok_stop
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_alpha_tokens": pa.array(alpha),
+            "n_stopwords": pa.array(stops),
+            "ok_len": pa.array(ok_len),
+            "ok_tok_len": pa.array(ok_tok_len),
+            "ok_alpha": pa.array(ok_alpha),
+            "ok_stop": pa.array(ok_stop),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+GOPHER_QUALITY_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         len(string_split(text,' ')) AS n_tokens,
+         len(list_filter(string_split(text,' '),
+             x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha_tokens,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','and','of','to','in','is','for')))
+           AS n_stopwords,
+         (length(text) - (len(string_split(text,' ')) - 1)) * 1000000
+           // len(string_split(text,' ')) AS mtl_micro
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_alpha_tokens, n_stopwords,
+       (n_tokens BETWEEN 5 AND 100000) AS ok_len,
+       (mtl_micro BETWEEN 2000000 AND 12000000) AS ok_tok_len,
+       (n_alpha_tokens * 10 >= n_tokens * 8) AS ok_alpha,
+       (n_stopwords >= 1) AS ok_stop,
+       ((n_tokens BETWEEN 5 AND 100000)
+        AND (mtl_micro BETWEEN 2000000 AND 12000000)
+        AND (n_alpha_tokens * 10 >= n_tokens * 8)
+        AND (n_stopwords >= 1)) AS keep
+FROM sig
+"""

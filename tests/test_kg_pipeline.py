@@ -204,3 +204,23 @@ def test_kg_snapshot_asof_matches_prefiltered_build(ray_session, transcripts_pat
     got = canon(kg_snapshot_asof(transcripts_path, cutoff=str(cutoff.isoformat())))
     want = canon(build_triples(trunc_path))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_strategies_identical(ray_session, transcripts_path):
+    """Shuffle dedup (rows move once) and broadcast dedup (only 32-byte
+    keys move; actor-pool winner filter) must produce identical triple
+    sets — the broadcast path is the 100 TB strategy, the shuffle path
+    the local-optimal one."""
+    import pandas as pd
+
+    from import_ray.pipelines.kg import build_triples
+
+    cols = ["subject_id", "predicate", "object_id", "object_value", "provenance"]
+
+    def canon(strategy):
+        df = build_triples(transcripts_path, dedup_strategy=strategy).to_pandas()
+        return (
+            df[cols].astype(str).sort_values(cols, kind="mergesort").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(canon("shuffle"), canon("broadcast"))

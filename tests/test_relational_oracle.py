@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "inverted_index_docs",
     "token_pairs_docs",
     "weighted_sample_orders",
+    "gopher_quality_docs",
     "segment_dedup_docs",
     "badword_filter_docs",
     "events_props_stats",
