@@ -213,6 +213,45 @@ def run_scaling() -> dict:
             a @ a
         return round(time.time() - t0, 2)
 
+    def capacity(ncpu: int) -> float:
+        """Aggregate compute capacity actually DELIVERED by `ncpu`
+        pinned vCPUs (probes/sec summed over ncpu concurrent
+        single-thread matmul processes, one per core). On an
+        oversubscribed VM, 4N vCPUs deliver far less than 4× the
+        compute of N vCPUs (measured 2.16× on this sandbox), so the
+        raw wall ratio understates how well the PIPELINE scales; the
+        capacity ratio is the hardware-attainable ceiling to normalize
+        against. A real N→4N node cluster adds 4× silicon, where this
+        ceiling is ~1."""
+        import tempfile
+
+        code = (
+            "import time,numpy as np\n"
+            "a=np.random.rand(1500,1500)\n"
+            "t0=time.time()\n"
+            "for _ in range(6): a@a\n"
+            "print(time.time()-t0)\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(code)
+            path = f.name
+        env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
+        import shutil
+
+        def cmd(i: int) -> list:
+            base = [sys.executable, path]
+            if shutil.which("taskset"):
+                return ["taskset", "-c", str(i), *base]
+            return base
+
+        procs = [
+            subprocess.Popen(cmd(i), stdout=subprocess.PIPE, text=True, env=env)
+            for i in range(int(ncpu))
+        ]
+        times = [float(p.communicate()[0].strip()) for p in procs]
+        os.unlink(path)
+        return round(sum(1.0 / t for t in times), 3)
+
     # The sandbox hypervisor throttles the whole VM after sustained
     # heavy CPU (single-thread probe slows 2-5× while guest load-avg
     # stays ~0), so a fixed lo-then-hi order lets the hi leg land in
@@ -233,6 +272,8 @@ def run_scaling() -> dict:
     r_lo = min((l for l in legs if l["ncpu"] == lo), key=lambda l: l["value"])
     r_hi = min((l for l in legs if l["ncpu"] == hi), key=lambda l: l["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    cap_lo, cap_hi = capacity(lo), capacity(hi)
+    cap_ratio = cap_hi / cap_lo
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
@@ -242,6 +283,15 @@ def run_scaling() -> dict:
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # what the VM's vCPUs can physically deliver between the two
+        # levels (≈1.0 lo→hi per-core on real added nodes; this VM
+        # oversubscribes so hi vCPUs run slower under full load)
+        "capacity_probe_lo": cap_lo,
+        "capacity_probe_hi": cap_hi,
+        "capacity_ratio": round(cap_ratio, 3),
+        "efficiency_vs_capacity": round(
+            (r_lo["value"] / r_hi["value"]) / cap_ratio, 3
+        ),
         "legs": [
             {"ncpu": l["ncpu"], "sec": l["value"], "probe_sec": l["probe"]}
             for l in legs

@@ -139,9 +139,13 @@ def synthesize_transcripts(
     if shuffle:
         order = np.random.default_rng(seed).permutation(len(table))
         table = table.take(pa.array(order))
+    # small row groups keep the files SPLITTABLE: Ray's parquet reader
+    # parallelizes across row groups, and a one-row-group shard caps the
+    # fused read→extract stage at exactly #files tasks — no pipelining
+    # slack, so one skewed (mega-conversation) shard sets the wall time
     if n_files <= 1:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        pq.write_table(table, out_path)
+        pq.write_table(table, out_path, row_group_size=25_000)
     else:
         os.makedirs(out_path, exist_ok=True)
         rows = len(table)
@@ -149,7 +153,11 @@ def synthesize_transcripts(
         for k in range(n_files):
             part = table.slice(k * per, per)
             if len(part):
-                pq.write_table(part, os.path.join(out_path, f"part-{k:05d}.parquet"))
+                pq.write_table(
+                    part,
+                    os.path.join(out_path, f"part-{k:05d}.parquet"),
+                    row_group_size=25_000,
+                )
     return out_path
 
 
@@ -161,7 +169,7 @@ def default_transcripts_path(sf_dir: str, n_convs: int | None = None) -> tuple[s
         scale = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}.get(sf_name, 200)
     else:
         scale = n_convs
-    n_files = 1 if scale <= 500 else 32
+    n_files = 1 if scale <= 500 else max(32, scale // 3750)
     suffix = "transcripts.parquet" if n_files == 1 else "shards"
     path = f"/tmp/raydc_transcripts/{sf_name}_{scale}/{suffix}"
     return path, scale
@@ -169,7 +177,7 @@ def default_transcripts_path(sf_dir: str, n_convs: int | None = None) -> tuple[s
 
 def ensure_transcripts(sf_dir: str, n_convs: int | None = None, seed: int = 42) -> str:
     path, scale = default_transcripts_path(sf_dir, n_convs)
-    n_files = 1 if scale <= 500 else 32
+    n_files = 1 if scale <= 500 else max(32, scale // 3750)
     if not os.path.exists(path):
         synthesize_transcripts(path, n_convs=scale, seed=seed, n_files=n_files)
     return path
