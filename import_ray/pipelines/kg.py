@@ -1,18 +1,20 @@
 """Flagship pipeline: Parquet transcripts → canonical (s, p, o) triples.
 
-Dataflow (SURVEY.md §7.1, north-star shape):
+Dataflow (SURVEY.md §7.1, north-star shape) — fused single scan:
 
-    read_parquet(transcripts)                       # column-pruned
-      ├─ map_batches(TranscriptTripleExtractor)     # per-turn + mention triples,
-      │                                             # SVObs content-hash dcids
-      ├─ map_batches(ConversationPartials)          # tiny partial rows (skew guard)
-      │    └─ groupby(conv_id).map_groups(merge)    # conversation triples
-      └─ union → exact_dedup_triples                # canonicalization groupby-dedup
-           └─ write_parquet(partition_cols=[part_key]) + lineage manifest
+    read_parquet(transcripts)                       # column-pruned, ONE scan
+      └─ map_batches(FusedTranscriptExtractor)      # per-turn + mention triples,
+         │                                          # SVObs content-hash dcids,
+         │                                          # + conv-partial pseudo-rows
+         │                                          # (skew guard for mega-convs)
+         └─ hash + in-batch distinct → ONE keyed exchange on h1
+            └─ per-block: distinct triples + merge conv partials
+               └─ write_parquet(partition_cols=[part_key]) + lineage manifest
 
-No stage materializes the full dataset; the only all-to-all exchanges
-are the partial-row conv groupby (rows ≈ #convs × #batches, tiny) and
-the final distinct.
+No stage materializes the full dataset (the broadcast dedup strategy
+pins hashed blocks in the object store by design — only 32-byte keys
+shuffle); the only all-to-all exchange is the fused distinct/conv
+exchange.
 """
 
 from __future__ import annotations
@@ -67,6 +69,66 @@ def build_triples(
         # triple diff) — a per-batch Arrow filter, applied at the read
         ds = ds.map_batches(conv_filter, batch_format="pyarrow")
 
+    if conv_aggregates and dedup:
+        # fused single-scan path (the default): one pass over the input
+        # emits turn/mention triples AND conversation-partial pseudo-rows,
+        # and ONE keyed exchange serves both the dedup distinct and the
+        # conv-partial co-location — vs the two-branch plan's two input
+        # scans and two shuffles (a lazy Dataset re-executes its read per
+        # consumer; at 100 TB the extra scan is the dominant cost).
+        from import_ray.stages.dedup import (
+            _drop_fused_partials,
+            _hash_tag_fused,
+            _keep_fused_partials,
+            broadcast_dedup_hashed,
+            hash_fused_rows,
+            merge_fused_block,
+        )
+        from import_ray.stages.extract import (
+            FusedTranscriptExtractor,
+            partials_from_pseudo_rows,
+        )
+
+        fused = ds.map_batches(
+            FusedTranscriptExtractor(provenance=provenance),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        if dedup_strategy == "shuffle":
+            hashed = fused.map_batches(hash_fused_rows, batch_format="pyarrow")
+            return hashed.repartition(n_parts, keys=["h1"]).map_batches(
+                merge_fused_block, batch_format="pyarrow", batch_size=None
+            )
+        if dedup_strategy == "broadcast":
+            # the broadcast strategy materializes the hashed rows anyway
+            # (blocks stay put; only 32-byte keys shuffle), so both the
+            # triple branch and the conv branch re-consume object-store
+            # blocks — still a single input scan
+            hashed = fused.map_batches(
+                _hash_tag_fused, batch_format="pyarrow"
+            ).materialize()
+            conv = (
+                hashed.map_batches(_keep_fused_partials, batch_format="pyarrow")
+                .repartition(n_parts, keys=["h1"])
+                .map_batches(
+                    lambda b: merge_conversation_partials_block(
+                        partials_from_pseudo_rows(b)
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+            )
+            tri_hashed = hashed.map_batches(
+                _drop_fused_partials, batch_format="pyarrow"
+            )
+            return broadcast_dedup_hashed(tri_hashed, n_parts).union(conv)
+        raise ValueError(
+            f"unknown dedup strategy: {dedup_strategy!r} (use 'shuffle' or 'broadcast')"
+        )
+
+    # legacy two-branch plan — test/debug shapes only (dedup=False keeps
+    # raw extraction output inspectable; conv_aggregates=False is a pure
+    # map pipeline and already a single scan)
     turn_triples = ds.map_batches(
         TranscriptTripleExtractor(provenance=provenance),
         batch_format="pyarrow",
@@ -78,7 +140,7 @@ def build_triples(
             ConversationPartials(), batch_format="pyarrow", batch_size=batch_size
         )
         conv_triples = partials.repartition(n_parts, keys=["conv_id"]).map_batches(
-            merge_conversation_partials_block, batch_format="pyarrow"
+            merge_conversation_partials_block, batch_format="pyarrow", batch_size=None
         )
         all_triples = turn_triples.union(conv_triples)
     else:
@@ -278,11 +340,13 @@ def conv_kg_stats(transcripts_path: str | list[str]):
     (triple provenance is recoverable from the ``conv/<id>`` subject
     scheme, so no extra provenance column rides through the pipeline).
 
-    Two branches over the canonical triples, both conv-keyed:
-    - scalar partials (n_triples, n_entity_links) per conv per block →
-      one keyed exchange of 2-int rows;
-    - distinct (conv, object_id) link pairs per block → one keyed
-      exchange → lexsort first-occurrence count (exact distinct).
+    FUSED single consumption of the triples pipeline: one map emits two
+    partial-row kinds per batch — per-conv scalar partials
+    (object_id = null; n_triples, n_entity_links) and in-batch-distinct
+    (conv, object_id) link pairs (counts 0) — sharing one schema, so a
+    single conv-keyed exchange co-locates everything and the per-block
+    merge computes all three metrics. The previous two-branch + join
+    plan executed the whole extraction/dedup pipeline twice.
 
     Returns Dataset (conv_id, n_triples, n_entity_links,
     n_distinct_entities).
@@ -290,82 +354,62 @@ def conv_kg_stats(transcripts_path: str | list[str]):
     import pandas as pd
 
     from import_ray.core.arrowutil import from_pandas_clean
-    from import_ray.core.context import data_nparts, join_safe
+    from import_ray.core.context import data_nparts
 
     triples = build_triples(transcripts_path)
     n = data_nparts(triples)
 
-    def _conv_of(batch: pa.Table) -> "pd.Series":
+    def partials(batch: pa.Table) -> pa.Table:
         subj = batch["subject_id"].to_pandas().astype(str)
-        return subj.str.extract(r"^conv/([^/]+)", expand=False)
-
-    def scalar_partials(batch: pa.Table) -> pa.Table:
-        conv = _conv_of(batch)
+        conv = subj.str.extract(r"^conv/([^/]+)", expand=False)
         obj = batch["object_id"].to_pandas().astype(str)
-        df = pd.DataFrame(
-            {"conv_id": conv, "is_link": (obj != "").astype("int64")}
-        ).dropna(subset=["conv_id"])
-        g = (
-            df.groupby("conv_id", sort=False)["is_link"]
+        df = pd.DataFrame({"conv_id": conv, "object_id": obj}).dropna(
+            subset=["conv_id"]
+        )
+        scal = (
+            df.assign(is_link=(df["object_id"] != "").astype("int64"))
+            .groupby("conv_id", sort=False)["is_link"]
             .agg(n_triples="size", n_entity_links="sum")
             .reset_index()
         )
-        g["n_triples"] = g["n_triples"].astype("int64")
-        g["n_entity_links"] = g["n_entity_links"].astype("int64")
-        return from_pandas_clean(g, preserve_index=False)
-
-    def link_pairs(batch: pa.Table) -> pa.Table:
-        conv = _conv_of(batch)
-        obj = batch["object_id"].to_pandas().astype(str)
-        df = pd.DataFrame({"conv_id": conv, "object_id": obj})
-        df = df[(df["object_id"] != "") & df["conv_id"].notna()]
-        df = df.drop_duplicates()
-        return from_pandas_clean(df, preserve_index=False)
-
-    def merge_scalars(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (
-            df.groupby("conv_id", sort=False)[["n_triples", "n_entity_links"]]
-            .sum()
-            .reset_index()
-        )
+        scal["object_id"] = None
+        pairs = df[df["object_id"] != ""].drop_duplicates()
+        pairs = pairs.assign(n_triples=0, n_entity_links=0)
+        out = pd.concat([scal, pairs], ignore_index=True)[
+            ["conv_id", "object_id", "n_triples", "n_entity_links"]
+        ]
         for c in ("n_triples", "n_entity_links"):
-            g[c] = g[c].astype("int64")
-        return from_pandas_clean(g, preserve_index=False)
+            out[c] = out[c].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
 
-    def count_distinct(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
+    def merge_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_pair = df["object_id"].notna()
         g = (
-            df.groupby("conv_id", sort=False)
+            df[~is_pair]
+            .groupby("conv_id", sort=False)[["n_triples", "n_entity_links"]]
+            .sum()
+        )
+        nd = (
+            df[is_pair][["conv_id", "object_id"]]
+            .drop_duplicates()
+            .groupby("conv_id", sort=False)
             .size()
             .rename("n_distinct_entities")
-            .reset_index()
         )
-        g["n_distinct_entities"] = g["n_distinct_entities"].astype("int64")
-        return from_pandas_clean(g, preserve_index=False)
-
-    scalars = (
-        triples.map_batches(scalar_partials, batch_format="pyarrow")
-        .repartition(n, keys=["conv_id"])
-        .map_batches(merge_scalars, batch_format="pyarrow", batch_size=None)
-    )
-    distincts = (
-        triples.map_batches(link_pairs, batch_format="pyarrow")
-        .repartition(n, keys=["conv_id"])
-        .map_batches(count_distinct, batch_format="pyarrow", batch_size=None)
-    )
-    out = join_safe(
-        scalars.join(distincts, join_type="left_outer", num_partitions=n, on=("conv_id",))
-    )
-
-    def fill_zero(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_distinct_entities"] = (
-            df["n_distinct_entities"].fillna(0).astype("int64")
+        out = g.join(nd, how="left").reset_index()
+        out["n_distinct_entities"] = (
+            out["n_distinct_entities"].fillna(0).astype("int64")
         )
-        return from_pandas_clean(df, preserve_index=False)
+        for c in ("n_triples", "n_entity_links"):
+            out[c] = out[c].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
 
-    return out.map_batches(fill_zero, batch_format="pyarrow")
+    return (
+        triples.map_batches(partials, batch_format="pyarrow")
+        .repartition(n, keys=["conv_id"])
+        .map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def kg_snapshot_asof(

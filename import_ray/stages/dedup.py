@@ -126,44 +126,7 @@ def exact_dedup_triples(ds, num_partitions: int | None = None, strategy: str = "
         out = out.map_batches(_local_distinct, batch_format="pyarrow")
         return out.drop_columns(["h1", "h2"])
     hashed = ds.map_batches(_hash_tag_local_distinct, batch_format="pyarrow").materialize()
-
-    keys = hashed.map_batches(
-        lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
-    )
-    # keys are 32 bytes/row — bound partitions low, but let bigger
-    # clusters use more (aggregator churn vs parallelism tradeoff)
-    from import_ray.core.context import cluster_cpus
-
-    # full-width keys exchange: a //2 cap here left half the cores idle
-    # during the winner-finding phase at the 4N cluster size and showed
-    # up directly as lost scaling efficiency
-    keys = keys.repartition(min(n, max(8, cluster_cpus())), keys=["h1"])
-    # winners stay IN THE OBJECT STORE as blocks: the driver only
-    # collects block refs (metadata). The filter stage is an actor pool
-    # whose __init__ fetches the blocks node-locally and lexsorts ONCE
-    # per actor — at corpus scale the duplicated-key table grows with
-    # data, and a driver-side take_all + sort + re-broadcast is a serial
-    # Amdahl term that caps scaling efficiency (measured: ~7 s of the
-    # per-run fixed cost at 32 M triples came from exactly this).
-    winners = keys.map_batches(_find_dup_winners, batch_format="pyarrow").materialize()
-    refs = []
-    for bundle in winners.iter_internal_ref_bundles():
-        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
-            if meta.num_rows:
-                refs.append(block_ref)
-
-    if not refs:
-        return hashed.map_batches(
-            lambda b: b.drop_columns(["h1", "h2", "ph", "tag"]),
-            batch_format="pyarrow",
-        )
-
-    return hashed.map_batches(
-        _DupWinnerFilter,
-        fn_constructor_args=(refs,),
-        batch_format="pyarrow",
-        concurrency=(1, max(2, cluster_cpus())),
-    )
+    return broadcast_dedup_hashed(hashed, n)
 
 
 class _DupWinnerFilter:
@@ -226,9 +189,10 @@ def _hash_tag_local_distinct(batch: pa.Table) -> pa.Table:
     ph = pd.util.hash_array(
         t["provenance"].to_pandas().fillna("").to_numpy(dtype=object)
     )
-    block_h = np.uint64(np.bitwise_xor.reduce(h1) * np.uint64(0x9E3779B97F4A7C15)) if n else np.uint64(0)
-    pos = np.arange(n, dtype=np.uint64)
-    tag = (block_h + pos * np.uint64(0xC2B2AE3D27D4EB4F) + h1) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wrap
+        block_h = np.uint64(np.bitwise_xor.reduce(h1) * np.uint64(0x9E3779B97F4A7C15)) if n else np.uint64(0)
+        pos = np.arange(n, dtype=np.uint64)
+        tag = (block_h + pos * np.uint64(0xC2B2AE3D27D4EB4F) + h1) & np.uint64(0xFFFFFFFFFFFFFFFF)
     t = t.append_column("ph", pa.array(ph.view(np.int64)))
     return t.append_column("tag", pa.array(tag.view(np.int64)))
 
@@ -274,6 +238,153 @@ def _find_dup_winners(batch: pa.Table) -> pa.Table:
             "h2": pa.array(h2[first_idx]),
             "winner_tag": pa.array(tag[first_idx].view(np.int64)),
         }
+    )
+
+
+# --- fused single-scan KG pipeline kernels -----------------------------------
+#
+# These carry conversation-partial pseudo-rows (stages/extract.py
+# PARTIAL_PREDICATE) through the SAME keyed exchange as the triple
+# dedup, so the whole transcripts→triples pipeline is one input scan
+# and one shuffle.
+
+
+# module-level (not lazy-in-kernel) imports: worker-side kernels are
+# cloudpickled by value with their global refs; a lazy `import
+# import_ray...` inside the kernel breaks when the driver cwd is not
+# the repo (tests/test_offrepo_cwd.py)
+from import_ray.stages.extract import (  # noqa: E402
+    PARTIAL_PREDICATE,
+    merge_conversation_partials_block,
+    partials_from_pseudo_rows,
+)
+
+
+def _fused_partial_mask(batch: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.equal(batch["predicate"], PARTIAL_PREDICATE).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _hash_partial_rows(par: pa.Table) -> pa.Table:
+    """h1 = hash(conv_id) (co-locates all partials of a conversation in
+    the keyed exchange); h2 = payload+block content nonce so no two
+    partial rows ever share (h1, h2) — partials must never be merged by
+    a distinct pass (same 64-bit hash-collision stance as the triple
+    dedup's 128-bit keys)."""
+    h1 = pd.util.hash_array(par["subject_id"].to_pandas().to_numpy(dtype=object))
+    pay = pd.util.hash_array(par["object_value"].to_pandas().to_numpy(dtype=object))
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wrap
+        block_h = (
+            np.uint64(np.bitwise_xor.reduce(pay) * np.uint64(0x9E3779B97F4A7C15))
+            if len(pay)
+            else np.uint64(0)
+        )
+        pos = np.arange(len(par), dtype=np.uint64)
+        h2 = pay * np.uint64(0xC2B2AE3D27D4EB4F) + block_h + pos
+    return par.append_column("h1", pa.array(h1.view(np.int64))).append_column(
+        "h2", pa.array(h2.view(np.int64))
+    )
+
+
+def hash_fused_rows(batch: pa.Table) -> pa.Table:
+    """Per-batch hash + local distinct for fused extraction output:
+    triple rows get 128-bit content hashes and the in-batch distinct;
+    conv-partial pseudo-rows bypass the distinct and get conv-keyed h1."""
+    mask = _fused_partial_mask(batch)
+    if not mask.any():
+        return _hash_and_local_distinct(batch)
+    arrow_mask = pa.array(mask)
+    tri = _hash_and_local_distinct(batch.filter(pa.compute.invert(arrow_mask)))
+    par = _hash_partial_rows(batch.filter(arrow_mask))
+    return pa.concat_tables([tri, par])
+
+
+def merge_fused_block(batch: pa.Table) -> pa.Table:
+    """Per shuffle-partition kernel: split partial pseudo-rows out, merge
+    them into conversation triples (all partials of a conv share h1, so
+    they are complete within this block), and run the distinct over the
+    triple rows. Must run whole-block (``batch_size=None``)."""
+    mask = _fused_partial_mask(batch)
+    drop = ["h1", "h2"]
+    if not mask.any():
+        return _local_distinct(batch).drop_columns(drop)
+    arrow_mask = pa.array(mask)
+    tri = _local_distinct(batch.filter(pa.compute.invert(arrow_mask))).drop_columns(drop)
+    par = batch.filter(arrow_mask).drop_columns(drop)
+    conv = merge_conversation_partials_block(partials_from_pseudo_rows(par))
+    return pa.concat_tables([tri, conv])
+
+
+def _hash_tag_fused(batch: pa.Table) -> pa.Table:
+    """Broadcast-strategy variant: triples get (h1,h2,ph,tag) + local
+    distinct; partials get conv-keyed h1, nonce h2/tag (unique, so the
+    dup-winner election never elects or filters them), ph = 0."""
+    mask = _fused_partial_mask(batch)
+    if not mask.any():
+        return _hash_tag_local_distinct(batch)
+    arrow_mask = pa.array(mask)
+    tri = _hash_tag_local_distinct(batch.filter(pa.compute.invert(arrow_mask)))
+    par = _hash_partial_rows(batch.filter(arrow_mask))
+    n = len(par)
+    par = par.append_column("ph", pa.array(np.zeros(n, np.int64)))
+    par = par.append_column("tag", par["h2"])
+    return pa.concat_tables([tri, par])
+
+
+def _drop_fused_partials(batch: pa.Table) -> pa.Table:
+    mask = _fused_partial_mask(batch)
+    if not mask.any():
+        return batch
+    return batch.filter(pa.compute.invert(pa.array(mask)))
+
+
+def _keep_fused_partials(batch: pa.Table) -> pa.Table:
+    return batch.filter(pa.array(_fused_partial_mask(batch)))
+
+
+def broadcast_dedup_hashed(hashed, num_partitions: int):
+    """The broadcast-strategy dedup core over an already-materialized
+    dataset carrying (h1, h2, ph, tag): shuffle only the 32-byte key
+    rows, elect per-duplicated-key winners, filter blocks in place via
+    an object-store-block actor pool. See ``exact_dedup_triples``."""
+    from import_ray.core.context import cluster_cpus
+
+    n = num_partitions
+    keys = hashed.map_batches(
+        lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
+    )
+    # full-width keys exchange: a //2 cap here left half the cores idle
+    # during the winner-finding phase at the 4N cluster size and showed
+    # up directly as lost scaling efficiency
+    keys = keys.repartition(min(n, max(8, cluster_cpus())), keys=["h1"])
+    # winners stay IN THE OBJECT STORE as blocks: the driver only
+    # collects block refs (metadata). The filter stage is an actor pool
+    # whose __init__ fetches the blocks node-locally and lexsorts ONCE
+    # per actor — at corpus scale the duplicated-key table grows with
+    # data, and a driver-side take_all + sort + re-broadcast is a serial
+    # Amdahl term that caps scaling efficiency (measured: ~7 s of the
+    # per-run fixed cost at 32 M triples came from exactly this).
+    winners = keys.map_batches(_find_dup_winners, batch_format="pyarrow").materialize()
+    refs = []
+    for bundle in winners.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(block_ref)
+
+    if not refs:
+        return hashed.map_batches(
+            lambda b: b.drop_columns(["h1", "h2", "ph", "tag"]),
+            batch_format="pyarrow",
+        )
+
+    return hashed.map_batches(
+        _DupWinnerFilter,
+        fn_constructor_args=(refs,),
+        batch_format="pyarrow",
+        concurrency=(1, max(2, cluster_cpus())),
     )
 
 

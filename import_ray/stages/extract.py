@@ -256,6 +256,92 @@ class ConversationPartials:
         )
 
 
+# sentinel predicate for conversation-partial pseudo-rows riding the
+# triple schema through the fused single-scan pipeline; NUL prefix makes
+# it impossible to collide with a real extracted predicate
+PARTIAL_PREDICATE = "\x00convPartial"
+
+
+class FusedTranscriptExtractor:
+    """Single-scan extraction: per-turn/mention triples AND conversation
+    partial rows in ONE pass over the input.
+
+    A lazy Dataset re-executes its read once per consumer, so the
+    two-branch plan (extractor branch + partials branch) scanned the
+    input parquet twice — at the 100 TB design point that doubles the
+    dominant I/O cost. Here the partials ride IN the triple schema as
+    pseudo-rows (``PARTIAL_PREDICATE`` + packed int payload in
+    ``object_value``), so one downstream keyed exchange carries both
+    the dedup traffic and the conv-partial traffic.
+    """
+
+    def __init__(self, provenance: str = "transcripts", gazetteer: dict | None = None):
+        self.extract = TranscriptTripleExtractor(provenance, gazetteer)
+        self.partials = ConversationPartials()
+        self.provenance = provenance
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        triples = self.extract(batch)
+        p = self.partials(batch).to_pandas()
+        n = len(p)
+        if n == 0:
+            return triples
+        payload = (
+            p["n_turns"].astype(str)
+            + "|"
+            + p["min_ts"].astype("int64").astype(str)
+            + "|"
+            + p["max_ts"].astype("int64").astype(str)
+            + "|"
+            + p["checksum"].astype(str)
+            + "|"
+            + p["max_turn_idx"].astype(str)
+        ).to_numpy(dtype=object)
+        pseudo = pa.table(
+            {
+                "subject_id": pa.array(p["conv_id"].to_numpy(dtype=object), pa.string()),
+                "predicate": pa.array(np.full(n, PARTIAL_PREDICATE, object), pa.string()),
+                "object_id": pa.array(np.full(n, None, object), pa.string()),
+                "object_value": pa.array(payload, pa.large_string()),
+                "provenance": pa.array(np.full(n, self.provenance, object), pa.string()),
+            }
+        )
+        return pa.concat_tables([triples, pseudo])
+
+
+def partials_from_pseudo_rows(batch: pa.Table) -> pa.Table:
+    """Inverse of ``FusedTranscriptExtractor``'s payload packing: pseudo
+    triple rows → the ``ConversationPartials`` schema."""
+    conv = batch["subject_id"].to_pandas().to_numpy(dtype=object)
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "min_ts": pa.array([], pa.timestamp("us")),
+                "max_ts": pa.array([], pa.timestamp("us")),
+                "checksum": pa.array([], pa.uint64()),
+                "max_turn_idx": pa.array([], pa.int64()),
+            }
+        )
+    parts = batch["object_value"].to_pandas().str.split("|", expand=True)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "n_turns": pa.array(parts[0].to_numpy(dtype=object).astype(np.int64)),
+            "min_ts": pa.array(
+                parts[1].to_numpy(dtype=object).astype(np.int64), pa.timestamp("us")
+            ),
+            "max_ts": pa.array(
+                parts[2].to_numpy(dtype=object).astype(np.int64), pa.timestamp("us")
+            ),
+            "checksum": pa.array(parts[3].to_numpy(dtype=object).astype(np.uint64)),
+            "max_turn_idx": pa.array(parts[4].to_numpy(dtype=object).astype(np.int64)),
+        }
+    )
+
+
 def merge_conversation_partials_block(batch: pa.Table) -> pa.Table:
     """Vectorized merge of ConversationPartials rows → conversation
     triples. Runs per BLOCK after a hash repartition on ``conv_id`` (all

@@ -206,6 +206,67 @@ def test_kg_snapshot_asof_matches_prefiltered_build(ray_session, transcripts_pat
     pd.testing.assert_frame_equal(got, want)
 
 
+def _count_reads(ds) -> int:
+    """Number of read operators in the logical plan — the fused pipeline
+    must scan the input exactly once."""
+    seen, stack, reads = set(), [ds._logical_plan.dag], 0
+    while stack:
+        op = stack.pop()
+        if id(op) in seen:
+            continue
+        seen.add(id(op))
+        if type(op).__name__.startswith("Read"):
+            reads += 1
+        stack.extend(getattr(op, "input_dependencies", []))
+    return reads
+
+
+def test_fused_single_scan_matches_legacy_plan(ray_session, transcripts_path):
+    """The fused single-scan pipeline (one extractor emitting triples +
+    conv-partial pseudo-rows, one keyed exchange) must produce exactly
+    the triple set of the legacy two-branch plan, for both dedup
+    strategies — and its logical plan must contain exactly ONE read."""
+    import pandas as pd
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+    from import_ray.pipelines.kg import TRANSCRIPT_COLS, build_triples
+    from import_ray.stages.dedup import exact_dedup_triples
+    from import_ray.stages.extract import (
+        ConversationPartials,
+        TranscriptTripleExtractor,
+        merge_conversation_partials_block,
+    )
+
+    cols = ["subject_id", "predicate", "object_id", "object_value", "provenance"]
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (
+            df[cols].astype(str).sort_values(cols, kind="mergesort").reset_index(drop=True)
+        )
+
+    configure_data_context()
+    src = ray.data.read_parquet(transcripts_path, columns=TRANSCRIPT_COLS)
+    turn = src.map_batches(TranscriptTripleExtractor(), batch_format="pyarrow")
+    conv = (
+        src.map_batches(ConversationPartials(), batch_format="pyarrow")
+        .repartition(4, keys=["conv_id"])
+        .map_batches(
+            merge_conversation_partials_block, batch_format="pyarrow", batch_size=None
+        )
+    )
+    want = canon(exact_dedup_triples(turn.union(conv), num_partitions=4))
+
+    for strategy in ("shuffle", "broadcast"):
+        fused = build_triples(transcripts_path, dedup_strategy=strategy)
+        # shuffle: exactly one ReadParquet in the lazy plan; broadcast:
+        # zero (the strategy materializes the hashed rows, consuming the
+        # single scan eagerly). Both must be < the legacy plan's two.
+        assert _count_reads(fused) <= 1, f"{strategy}: fused plan must read once"
+        pd.testing.assert_frame_equal(canon(fused), want)
+
+
 def test_dedup_strategies_identical(ray_session, transcripts_path):
     """Shuffle dedup (rows move once) and broadcast dedup (only 32-byte
     keys move; actor-pool winner filter) must produce identical triple
