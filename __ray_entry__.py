@@ -463,6 +463,62 @@ def _minhash_planted_clusters(sf_dir: str):
     )
 
 
+_ER_V1 = 10_000_000
+_ER_V2 = 20_000_000
+
+
+def _entity_resolution_planted(sf_dir: str):
+    """Oracle-checkable entity resolution: every 10th customer gets two
+    planted name variants — v1 case/punctuation ("CUSTOMER # <key>",
+    identical token set), v2 reorder + extra token ("<key> customer
+    inc", Jaccard 2/3) — and the blocking→verify→cluster pipeline
+    (stages/entity_resolution.py) must canonicalize each variant to its
+    source customer while every other customer stays a singleton (the
+    oracle states exactly that)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from import_ray.stages.entity_resolution import resolve_entities
+
+    ds = _read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        name = pc.cast(b["c_name"], pa.string())
+        base = pa.table(
+            {"entity_id": pa.array(keys, pa.int64()), "name": name}
+        )
+        m = keys % 10 == 0
+        arrow_m = pa.array(m)
+        sub_name = name.filter(arrow_m)
+        skeys = keys[m]
+        v1 = pa.table(
+            {
+                "entity_id": pa.array(skeys + _ER_V1, pa.int64()),
+                "name": pc.utf8_upper(
+                    pc.replace_substring(sub_name, "#", " # ")
+                ),
+            }
+        )
+        num = pc.replace_substring_regex(
+            sub_name, pattern=r"^Customer#", replacement=""
+        )
+        v2 = pa.table(
+            {
+                "entity_id": pa.array(skeys + _ER_V2, pa.int64()),
+                "name": pc.binary_join_element_wise(num, "customer inc", " "),
+            }
+        )
+        return pa.concat_tables(
+            [base, v1.cast(base.schema), v2.cast(base.schema)]
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return resolve_entities(planted, threshold=0.6)
+
+
 def _plant_exact_copies(sf_dir: str, offset: int):
     """documents + an EXACT copy (doc_id + offset) of every 20th doc."""
     import pyarrow as pa
@@ -1303,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
+        "entity_resolution_planted": _entity_resolution_planted,
     }
 
 
@@ -1397,6 +1454,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_planted_clusters": (
             f"SELECT doc_id + {_PLANT_OFFSET} AS doc_id, TRUE AS same_cluster "
             "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "entity_resolution_planted": (
+            "SELECT c_custkey AS entity_id, c_custkey AS canonical_id FROM customer "
+            f"UNION ALL SELECT c_custkey + {_ER_V1}, c_custkey "
+            "FROM customer WHERE c_custkey % 10 = 0 "
+            f"UNION ALL SELECT c_custkey + {_ER_V2}, c_custkey "
+            "FROM customer WHERE c_custkey % 10 = 0"
         ),
         "simhash_planted_pairs": (
             f"SELECT doc_id AS doc_lo, doc_id + {_PLANT2} AS doc_hi, "

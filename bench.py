@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q20_dominant_part_suppliers",
     "inverted_index_docs",
     "token_pairs_docs",
+    "entity_resolution_planted",
 ]
 
 

@@ -451,17 +451,25 @@ def _union_find_labels(pair_rows) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_DRIVER_PAIRS):
-    """(doc_id, cluster_id) Dataset — cluster_id = min doc_id of the
-    near-dup cluster; singleton docs map to themselves.
+def label_clusters(
+    ids_ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    max_driver_pairs: int = MAX_DRIVER_PAIRS,
+):
+    """Hybrid connected-component labeling shared by every pair-based
+    clustering operator (minhash near-dup, entity resolution):
+    ``ids_ds`` (one row per entity, int64 ``id_col``) × a MATERIALIZED
+    pair Dataset (doc_lo, doc_hi) → (``id_col``, ``label_col``) with
+    the label = min id of the component; ids in no pair label
+    themselves. Both paths bounded by the PAIR set (never an O(corpus)
+    driver structure):
 
-    Hybrid labeling, both paths bounded by the PAIR set (never an
-    O(corpus) driver structure):
-
-    - pairs ≤ ``max_driver_pairs`` (the common case — LSH candidates
+    - pairs ≤ ``max_driver_pairs`` (the common case — candidates
       ≪ corpus): driver union-find over the pairs, labels BROADCAST
       through the object store, one vectorized fill pass over the
-      corpus. Two shuffles total (band exchange + none on the fill).
+      corpus — no extra shuffle.
     - larger pair sets: distributed groupby min-label propagation +
       left-outer join back onto the corpus.
     """
@@ -469,11 +477,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_D
 
     from import_ray.core.context import npartitions
 
-    pairs, _ = _lsh_raw_pairs(docs_ds, threshold, num_perm=64, bands=16)
-    pairs = pairs.materialize()
-
-    if pairs.count() <= max_driver_pairs:
-        labels_ref = ray.put(_union_find_labels(pairs.take_all()))
+    if pairs_ds.count() <= max_driver_pairs:
+        labels_ref = ray.put(_union_find_labels(pairs_ds.take_all()))
 
         class Fill:
             def __init__(self, ref):
@@ -483,25 +488,23 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_D
             def __call__(self, b: pa.Table) -> pa.Table:
                 if self._labels is None:
                     self._labels = ray.get(self._ref)
-                ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
+                ids = pd.Series(b[id_col].to_numpy(zero_copy_only=False))
                 lab = ids.map(self._labels).fillna(ids).astype(np.int64)
                 return pa.table(
                     {
-                        "doc_id": pa.array(ids.to_numpy(), pa.int64()),
-                        "cluster_id": pa.array(lab.to_numpy(), pa.int64()),
+                        id_col: pa.array(ids.to_numpy(), pa.int64()),
+                        label_col: pa.array(lab.to_numpy(), pa.int64()),
                     }
                 )
 
-        return docs_ds.select_columns(["doc_id"]).map_batches(
-            Fill(labels_ref), batch_format="pyarrow"
-        )
+        return ids_ds.map_batches(Fill(labels_ref), batch_format="pyarrow")
 
-    labels = propagate_min_labels(pairs)
-    out = docs_ds.select_columns(["doc_id"]).join(
+    labels = propagate_min_labels(pairs_ds)
+    out = ids_ds.join(
         labels,
         join_type="left_outer",
         num_partitions=npartitions(),
-        on=("doc_id",),
+        on=(id_col,),
         right_on=("node",),
     )
 
@@ -509,12 +512,24 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_D
         lab = b["label"]
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "cluster_id": pc.coalesce(lab, b["doc_id"]),
+                id_col: b[id_col],
+                label_col: pc.coalesce(lab, pc.cast(b[id_col], pa.int64())),
             }
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.7, max_driver_pairs: int = MAX_DRIVER_PAIRS):
+    """(doc_id, cluster_id) Dataset — cluster_id = min doc_id of the
+    near-dup cluster; singleton docs map to themselves. LSH candidate
+    pairs → hybrid labeling (``label_clusters``)."""
+    pairs, _ = _lsh_raw_pairs(docs_ds, threshold, num_perm=64, bands=16)
+    return label_clusters(
+        docs_ds.select_columns(["doc_id"]),
+        pairs.materialize(),
+        max_driver_pairs=max_driver_pairs,
+    )
 
 
 class SimHashKernel:
