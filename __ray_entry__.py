@@ -519,6 +519,83 @@ def _entity_resolution_planted(sf_dir: str):
     return resolve_entities(planted, threshold=0.6)
 
 
+def _lm_perplexity_docs(sf_dir: str):
+    """CCNet-style LM quality scores: distributed bigram-count training
+    over the corpus, broadcast bounded model, vectorized Stupid-Backoff
+    perplexity per doc (stages/lm_quality.py)."""
+    from import_ray.stages.lm_quality import lm_perplexity
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(ds)
+
+
+def _lm_perplexity_planted(sf_dir: str):
+    """Oracle-checkable LM-scoring fixture: every 20th doc gets a
+    garbled copy (every token OOV-prefixed — provably unseen grams, so
+    it scores at the backoff floor) while the model trains on the
+    ORIGINALS only; each copy must score strictly higher perplexity
+    than its source (the oracle states exactly that; strictness holds
+    because any seen bigram's logp = -log c(w1) exceeds the floor)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from import_ray.core.context import npartitions
+    from import_ray.stages.lm_quality import lm_perplexity, train_bigram_lm
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 20 == 0))
+        garbled = pc.binary_join_element_wise(
+            pa.scalar("zq"),
+            pc.replace_substring(pc.cast(sub["text"], pa.string()), " ", " zq"),
+            pa.scalar(""),
+        )
+        copies = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "text": garbled,
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    model = train_bigram_lm(ds)
+    scored = lm_perplexity(ds.map_batches(plant, batch_format="pyarrow"), model=model)
+    copies = scored.filter(expr=f"doc_id >= {_PLANT_OFFSET}").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "src_id": pc.subtract(
+                    b["doc_id"], pa.scalar(_PLANT_OFFSET, pa.int64())
+                ),
+                "copy_ppl": b["ppl"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sources = scored.filter(expr=f"doc_id < {_PLANT_OFFSET}").map_batches(
+        lambda b: pa.table({"src_id": b["doc_id"], "src_ppl": b["ppl"]}),
+        batch_format="pyarrow",
+    )
+    joined = copies.join(
+        sources, join_type="inner", num_partitions=npartitions(), on=("src_id",)
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "higher_ppl": pc.greater(b["copy_ppl"], b["src_ppl"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _plant_exact_copies(sf_dir: str, offset: int):
     """documents + an EXACT copy (doc_id + offset) of every 20th doc."""
     import pyarrow as pa
@@ -1360,6 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
         "entity_resolution_planted": _entity_resolution_planted,
+        "lm_perplexity_docs": _lm_perplexity_docs,
+        "lm_perplexity_planted": _lm_perplexity_planted,
     }
 
 
@@ -1453,6 +1532,10 @@ def oracle_sql() -> dict[str, str]:
         "melt_part": R.MELT_PART_SQL,
         "minhash_planted_clusters": (
             f"SELECT doc_id + {_PLANT_OFFSET} AS doc_id, TRUE AS same_cluster "
+            "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "lm_perplexity_planted": (
+            f"SELECT doc_id + {_PLANT_OFFSET} AS doc_id, TRUE AS higher_ppl "
             "FROM documents WHERE doc_id % 20 = 0"
         ),
         "entity_resolution_planted": (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "inverted_index_docs",
     "token_pairs_docs",
     "entity_resolution_planted",
+    "lm_perplexity_docs",
 ]
 
 
