@@ -910,6 +910,46 @@ def _embedding_neardup(sf_dir: str):
     )
 
 
+def _semdedup_planted(sf_dir: str):
+    """SemDeDup (k-means bucket + within-cluster earlier-member cosine,
+    arXiv:2303.09540) with planted EXACT vector copies: survivors must
+    be exactly the original table — each copy is dropped by its
+    earlier-ordered original (tie on centroid-sim broken by vec_id) and
+    no natural pair reaches the 0.95 threshold (max ≈ 0.51)."""
+    import pyarrow as pa
+
+    from import_ray.stages.semdedup import semdedup_kept
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 20 == 0))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return semdedup_kept(
+        ds.map_batches(plant, batch_format="pyarrow"), k=8, threshold=0.95
+    )
+
+
+def _semdedup_docs(sf_dir: str):
+    """Bulk SemDeDup over the real embeddings at an aggressive
+    threshold so real drops happen (rows-only: k-means cluster
+    assignments aren't SQL-expressible)."""
+    from import_ray.stages.semdedup import semdedup
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, k=8, threshold=0.4)
+
+
 def _events_series(sf_dir: str):
     """Series grouping (optimized-graph shape) using events as obs rows."""
     import pyarrow as pa
@@ -1417,6 +1457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
         "embedding_neardup_pairs": _embedding_neardup,
+        "semdedup_planted": _semdedup_planted,
+        "semdedup_docs": _semdedup_docs,
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
@@ -1557,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id AS vec_lo, vec_id + {_PLANT_OFFSET} AS vec_hi, "
             "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
         ),
+        "semdedup_planted": "SELECT vec_id FROM embeddings",
         "lang_id_planted": LANG_ID_PLANTED_SQL,
         "fingerprint_planted": (
             f"SELECT doc_id + {_PLANT2} AS doc_id, TRUE AS same_fp "
