@@ -940,6 +940,57 @@ def _semdedup_planted(sf_dir: str):
     )
 
 
+def _dsir_planted(sf_dir: str):
+    """DSIR (hashed-ngram importance resampling, arXiv:2302.03169)
+    planted oracle: every raw doc carries the same base text; docs with
+    doc_id % 7 == 0 additionally carry the target corpus's distinctive
+    tokens, so top-k selection (k = planted count) returns exactly the
+    planted ids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.dsir import dsir_select
+
+    ids = _read_table(sf_dir, "documents", ["doc_id"])
+    base = "the quick brown fox jumps over the lazy dog"
+    plant = base + " zebraq wombatx zebraq wombatx"
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [plant if i % 7 == 0 else base for i in d]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(texts, pa.string())})
+
+    def planted_count(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((d % 7 == 0).sum())], pa.int64())})
+
+    raw = ids.map_batches(synth, batch_format="pyarrow")
+    k = int(ids.map_batches(planted_count, batch_format="pyarrow").sum("n"))
+    target = ray.data.from_items(
+        [{"doc_id": 10_000_000 + i, "text": "zebraq wombatx zebraq wombatx"} for i in range(3)]
+    )
+    out = dsir_select(raw, target, k=k, buckets=512, smoothing=1e-3)
+    return out.drop_columns(["logweight"])
+
+
+def _dsir_select_docs(sf_dir: str):
+    """Bulk DSIR selection: target = docs from one source, raw = the
+    whole corpus; top-100 by importance weight (rows-only: hashed-ngram
+    likelihoods aren't SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from import_ray.stages.dsir import dsir_select
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    raw = docs.drop_columns(["source"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["source"], "src18")).drop_columns(["source"]),
+        batch_format="pyarrow",
+    )
+    return dsir_select(raw, target, k=100, smoothing=0.01)
+
+
 def _semdedup_docs(sf_dir: str):
     """Bulk SemDeDup over the real embeddings at an aggressive
     threshold so real drops happen (rows-only: k-means cluster
@@ -1458,6 +1509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection_embeddings": _random_projection,
         "embedding_neardup_pairs": _embedding_neardup,
         "semdedup_planted": _semdedup_planted,
+        "dsir_planted": _dsir_planted,
+        "dsir_select_docs": _dsir_select_docs,
         "semdedup_docs": _semdedup_docs,
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
@@ -1600,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
             "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
         ),
         "semdedup_planted": "SELECT vec_id FROM embeddings",
+        "dsir_planted": "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",
         "lang_id_planted": LANG_ID_PLANTED_SQL,
         "fingerprint_planted": (
             f"SELECT doc_id + {_PLANT2} AS doc_id, TRUE AS same_fp "
