@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "token_pairs_docs",
     "entity_resolution_planted",
     "lm_perplexity_docs",
+    "semdedup_docs",
+    "dsir_select_docs",
 ]
 
 

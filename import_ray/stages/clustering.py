@@ -66,22 +66,39 @@ def kmeans_fit(
     init = _hash_sample(ds, train_sample)
     centroids = _kmeans(init, k, iters=3, seed=seed)
     k = len(centroids)  # sample may be smaller than requested k
-    n_agg = min(npartitions(), max(2, k))
+    # cluster stats are DENSE fixed-k rows (k per block). When
+    # blocks × k is driver-small, reduce the partials on the driver
+    # with one np.add.at scatter instead of a keyed shuffle — spinning
+    # a hash-shuffle aggregator pool costs ~2 s PER ITERATION at
+    # sf0.1, pure fixed overhead for a k×(d+2) result. Past the cap
+    # (huge corpora × large k) fall back to the groupby path, whose
+    # cost is then amortized by real data volume.
+    driver_reduce = ds.num_blocks() * k <= 2_000_000
     for _ in range(iters):
         fn, cols = _partial_stats_fn(centroids)
-        stats = (
-            ds.map_batches(fn, batch_format="pyarrow")
-            .groupby("cluster_id", num_partitions=n_agg)
-            .sum(["n"] + cols)
-        ).to_pandas()
-        stats = stats.sort_values("cluster_id")
-        counts = stats["sum(n)"].to_numpy()
-        sums = stats[[f"sum({c})" for c in cols]].to_numpy()
+        partials = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        if driver_reduce:
+            stats = partials.to_pandas()
+            cid = stats["cluster_id"].to_numpy()
+            counts = np.zeros(k, np.int64)
+            np.add.at(counts, cid, stats["n"].to_numpy())
+            sums = np.zeros((k, len(cols)), np.float64)
+            np.add.at(sums, cid, stats[cols].to_numpy())
+        else:
+            n_agg = min(npartitions(), max(2, k // 1024))
+            stats = (
+                partials.groupby("cluster_id", num_partitions=n_agg)
+                .sum(["n"] + cols)
+                .to_pandas()
+            )
+            cid = stats["cluster_id"].to_numpy()
+            counts = np.zeros(k, np.int64)
+            counts[cid] = stats["sum(n)"].to_numpy()
+            sums = np.zeros((k, len(cols)), np.float64)
+            sums[cid] = stats[[f"sum({c})" for c in cols]].to_numpy()
         nonzero = counts > 0
         new = centroids.copy()
-        new[stats["cluster_id"].to_numpy()[nonzero]] = (
-            sums[nonzero] / counts[nonzero, None]
-        )
+        new[nonzero] = sums[nonzero] / counts[nonzero, None]
         centroids = _normalize(new)
     return centroids
 
