@@ -940,6 +940,56 @@ def _semdedup_planted(sf_dir: str):
     )
 
 
+def _incremental_dedup_docs(sf_dir: str):
+    """Incremental corpus dedup: admit a new shard (docs with
+    doc_id % 3 == 0, PLUS planted copies of existing texts under new
+    ids) against the already-ingested corpus (doc_id % 3 != 0). Bloom
+    prefilter of existing hashes + one keyed anti exchange; survivors
+    = novel texts, min id per within-shard duplicate group."""
+    import numpy as np
+    import pyarrow as pa
+
+    from import_ray.stages.dedup import incremental_dedup_documents
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_existing(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        own = b.filter(pa.array(ids % 3 == 0))
+        planted = b.filter(pa.array((ids % 3 != 0) & (ids % 5 == 1)))
+        planted = pa.table(
+            {
+                "doc_id": pa.array(
+                    planted["doc_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "text": planted["text"],
+            }
+        )
+        return pa.concat_tables([own, planted.cast(own.schema)])
+
+    existing = docs.map_batches(mk_existing, batch_format="pyarrow")
+    new = docs.map_batches(mk_new, batch_format="pyarrow")
+    return incremental_dedup_documents(new, existing)
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH existing AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+     new AS (
+       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       UNION ALL
+       SELECT doc_id + {_PLANT_OFFSET}, text FROM documents
+       WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+     )
+SELECT MIN(doc_id) AS doc_id FROM new
+WHERE text NOT IN (SELECT text FROM existing)
+GROUP BY text
+"""
+
+
 def _dsir_planted(sf_dir: str):
     """DSIR (hashed-ngram importance resampling, arXiv:2302.03169)
     planted oracle: every raw doc carries the same base text; docs with
@@ -1510,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _embedding_neardup,
         "semdedup_planted": _semdedup_planted,
         "dsir_planted": _dsir_planted,
+        "incremental_dedup_docs": _incremental_dedup_docs,
         "dsir_select_docs": _dsir_select_docs,
         "semdedup_docs": _semdedup_docs,
         "events_series_groups": _events_series,
@@ -1654,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semdedup_planted": "SELECT vec_id FROM embeddings",
         "dsir_planted": "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",
+        "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
         "lang_id_planted": LANG_ID_PLANTED_SQL,
         "fingerprint_planted": (
             f"SELECT doc_id + {_PLANT2} AS doc_id, TRUE AS same_fp "

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "lm_perplexity_docs",
     "semdedup_docs",
     "dsir_select_docs",
+    "incremental_dedup_docs",
 ]
 
 

@@ -584,3 +584,123 @@ SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
 FROM ranked WHERE rn = 1
 GROUP BY doc_id
 """
+
+
+# --- incremental corpus dedup (new shard vs already-ingested corpus) ---------
+
+
+def incremental_dedup_documents(
+    new_ds,
+    existing_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 4,
+):
+    """Exact dedup of a NEW shard against an already-ingested corpus:
+    keep each new doc whose text never appears in the existing corpus,
+    collapsing within-shard duplicates to the min id. The incremental
+    analog of ``exact_dedup_documents`` — how a continuously-ingesting
+    100 TB pipeline admits a day's shard without re-deduping history.
+
+    Exchange budget: both sides reduce to 64-bit content hashes (16
+    B/row; bodies never move). A Bloom filter of the EXISTING hashes is
+    built with the distributed OR-reduce (`stages/bloom.py`) and
+    broadcast once: new rows whose hash MISSES the filter are
+    definitely novel (Bloom has no false negatives) and skip the join
+    entirely; only hits (true-dup rate + fp rate of the corpus-sized
+    filter) enter the exact ``left_anti`` hash join, so the join
+    shuffles a small fraction of the shard and NONE of history beyond
+    its hash column.
+    """
+    import ray
+
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+    from import_ray.stages.bloom import _bit_positions, _test_bits, build_bloom
+
+    ensure_hash_shuffle(new_ds)
+    ensure_hash_shuffle(existing_ds)
+    from ray.data.aggregate import Min
+
+    def _old_hashes(b: pa.Table) -> pa.Table:
+        # fresh metadata-free table: pandas schema metadata on parquet
+        # batches defeats schema dedup in the join aggregators
+        return pa.table({"text_hash": add_text_hash(b, text_col)["text_hash"]})
+
+    hash_old = existing_ds.map_batches(_old_hashes, batch_format="pyarrow")
+    words = build_bloom(hash_old, "text_hash", m_bits=m_bits, k=k)
+    ref = ray.put(words)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        batch = add_text_hash(batch, text_col)
+        keys = batch["text_hash"].to_numpy(zero_copy_only=False)
+        hit = (
+            _test_bits(w, _bit_positions(keys, m_bits, k))
+            if len(keys)
+            else np.zeros(0, bool)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text_hash": batch["text_hash"],
+                "bloom_hit": pa.array(hit),
+            }
+        )
+
+    # hashes + flag only (16 B/row): safe to pin so the two branches
+    # below don't recompute the text hashing pass
+    tagged = new_ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def keep_miss(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(b["bloom_hit"])).drop_columns(["bloom_hit"])
+
+    def keep_hit(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(b["bloom_hit"])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_hash": t["text_hash"],
+                "is_new": pa.array(np.ones(len(t), bool)),
+            }
+        )
+
+    def _old_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(np.zeros(len(b), np.int64)),
+                "text_hash": b["text_hash"],
+                "is_new": pa.array(np.zeros(len(b), bool)),
+            }
+        )
+
+    definite = tagged.map_batches(keep_miss, batch_format="pyarrow")
+    # exact anti join via ONE keyed repartition (hand-rolled like the
+    # engine's other fact-fact joins — Ray's join operator chokes on
+    # partitions whose left side is empty, which a Bloom-filtered
+    # probe side routinely produces): co-locate new-hit and existing
+    # rows by hash, then a vectorized np.isin drop per block
+    both = tagged.map_batches(keep_hit, batch_format="pyarrow").union(
+        hash_old.map_batches(_old_side, batch_format="pyarrow")
+    )
+
+    def anti_block(b: pa.Table) -> pa.Table:
+        is_new = b["is_new"].to_numpy(zero_copy_only=False)
+        hashes = b["text_hash"].to_numpy(zero_copy_only=False)
+        keep = is_new & ~np.isin(hashes, hashes[~is_new])
+        t = b.filter(pa.array(keep))
+        return pa.table({id_col: t[id_col], "text_hash": t["text_hash"]})
+
+    survivors = both.repartition(npartitions(), keys=["text_hash"]).map_batches(
+        anti_block, batch_format="pyarrow", batch_size=None
+    )
+    return (
+        definite.union(survivors)
+        .groupby("text_hash", num_partitions=npartitions())
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
