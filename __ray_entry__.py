@@ -213,6 +213,44 @@ def _kg_snapshot_asof(sf_dir: str):
     return kg_snapshot_asof(ensure_transcripts(sf_dir))
 
 
+def _kg_ancestors(sf_dir: str):
+    """Distributed transitive ancestor closure (semi-naive recursive-
+    CTE plan: per-round delta ⋈ edges hash join + (node, ancestor)
+    keyed min fold) over a deterministic decimal hierarchy: child
+    p_partkey → parent p_partkey // 10."""
+    import pyarrow as pa
+
+    from import_ray.stages.graph import ancestor_closure
+
+    parts = _read_table(sf_dir, "part", ["p_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = p[p >= 10]
+        return pa.table(
+            {"child": pa.array(p), "parent": pa.array(p // 10)}
+        )
+
+    return ancestor_closure(parts.map_batches(edges, batch_format="pyarrow"))
+
+
+KG_ANCESTORS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey >= 10
+), anc AS (
+  SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
+  FROM edges
+  UNION ALL
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.ancestor = e.child
+)
+SELECT node, ancestor, depth FROM anc
+"""
+
+
 def _kg_communities(sf_dir: str):
     """Community detection over the entity co-mention graph: synchronous
     distributed label propagation (per-round labels⋈edges hash join +
@@ -1579,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_k_hop_reach": _kg_k_hop_reach,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_communities": _kg_communities,
+        "kg_ancestors": _kg_ancestors,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
@@ -1659,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
+        "kg_ancestors": KG_ANCESTORS_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,
         "stratified_sample_docs": STRATIFIED_SAMPLE_ORACLE,
         "mixture_sample_docs": MIXTURE_SAMPLE_ORACLE,

@@ -1215,3 +1215,81 @@ def label_propagation(edges_ds, max_rounds: int = 10):
         if changed == 0:
             break
     return labels
+
+
+# --- transitive ancestor closure (semi-naive recursive-CTE plan) -------------
+
+
+def ancestor_closure(edges_ds, max_depth: int = 32):
+    """Distributed transitive closure over directed ``(child, parent)``
+    int64 edges: one ``(node, ancestor, depth)`` row per ancestor
+    reachable by following parent pointers, with MIN path depth on
+    DAGs (the SQL ``WITH RECURSIVE`` ancestor query, evaluated
+    semi-naively).
+
+    Per round: the newest delta ⋈ edges on ``ancestor == child`` (hash
+    join, 8-byte keys) extends every frontier path by one edge; ONE
+    ``(node, ancestor)`` keyed min fold dedups against everything seen,
+    and the next delta is the rows first discovered this round — so
+    each round shuffles only path endpoints (24 B/row), never
+    re-expands known pairs, and terminates after diameter rounds (or
+    ``max_depth``, the cycle guard). Closure size — not input size —
+    bounds the exchange, exactly like the recursive-CTE worktable.
+    """
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b["child"], pa.int64()),
+                "ancestor": pc.cast(b["parent"], pa.int64()),
+                "depth": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "child": pc.cast(b["child"], pa.int64()),
+                "parent": pc.cast(b["parent"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    closure = edges.map_batches(base, batch_format="pyarrow").materialize()
+    delta = closure
+    for depth in range(2, int(max_depth) + 1):
+        ext = join_safe(
+            delta.select_columns(["node", "ancestor"]).join(
+                edges,
+                join_type="inner",
+                num_partitions=n,
+                on=("ancestor",),
+                right_on=("child",),
+            )
+        )
+
+        def step(b: pa.Table, _d=depth) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "ancestor": b["parent"],
+                    "depth": pa.array(np.full(b.num_rows, _d, np.int64), pa.int64()),
+                }
+            )
+
+        candidates = ext.map_batches(step, batch_format="pyarrow")
+        closure = join_safe(
+            closure.union(candidates)
+            .groupby(["node", "ancestor"], num_partitions=n)
+            .aggregate(Min("depth", alias_name="depth"))
+        ).materialize()
+        delta = join_safe(closure.filter(expr=f"depth == {depth}"))
+        if delta.count() == 0:
+            break
+    return closure
