@@ -1582,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _lang_id,
         "knn_cosine": _knn,
         "melt_part": R.melt_part,
+        "rollup_lineitem": R.rollup_lineitem,
+        "cube_lineitem": R.cube_lineitem,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "minhash_planted_clusters": _minhash_planted_clusters,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -1699,6 +1701,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
         "kg_ancestors": KG_ANCESTORS_SQL,
+        "rollup_lineitem": R.ROLLUP_SQL,
+        "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,
         "stratified_sample_docs": STRATIFIED_SAMPLE_ORACLE,
         "mixture_sample_docs": MIXTURE_SAMPLE_ORACLE,

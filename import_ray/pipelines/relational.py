@@ -3282,51 +3282,55 @@ def _nation_region_arrays(sf_dir: str):
     return nk_name, nk_region
 
 
-def q2_min_cost_supplier(sf_dir: str, size: int = 15, region: str = "EUROPE"):
+def q2_min_cost_supplier(
+    sf_dir: str,
+    size: int = 15,
+    region: str = "EUROPE",
+    broadcast_limit: int = 2_000_000,
+):
     """TPC-H Q2 shape (the schema has no partsupp; the lineitem
     (partkey, suppkey) association with unit cost
     round(extendedprice/quantity*100) stands in for supplycost): for
     each size-`size` part, the `region` supplier(s) achieving the
     per-part minimum unit cost.
 
-    Plan: in-batch (part,supplier) min combiner → ONE pair-key exchange
-    for the global per-pair min → supplier join (supplier scales with
-    SF) with broadcast nation/region filter → part-size join → per-part
-    argmin + join-back fused into one block-local scan after a keyed
-    repartition on partkey (the Q2 correlated subquery, one exchange)."""
+    Both dim sides are FILTER-TINY (size-`size` parts ~2% of part,
+    `region` suppliers ~20% of supplier), so the default plan
+    broadcasts them (``ray.put`` once, node-local fetch per task) and
+    the whole correlated-subquery query costs ONE exchange:
+
+    1. map: np.isin prefilter on the broadcast partkey set (prunes
+       ~98% of lineitem BEFORE anything shuffles) + EU-suppkey filter
+       + in-batch (part, supplier) min combiner;
+    2. keyed repartition on partkey co-locates each part's pairs;
+    3. block scan: per-pair global min -> per-part argmin (ties kept,
+       as in the SQL) -> supplier attrs attached from the broadcast
+       frame.
+
+    Past ``broadcast_limit`` rows on either dim side, that side falls
+    back to the distributed hash join (the SF-scaled path; dims grow
+    with SF but the filtered sets broadcast comfortably until the
+    multi-billion-part regime)."""
+    import ray
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe
+
     li = _read(
         sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
     )
-
-    def unit_cost(batch: pa.Table) -> pa.Table:
-        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {
-                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
-                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
-                "cost_cents": _cents(ep / qty),
-            }
-        )
-        g = (
-            df.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_cents"]
-            .min()
-            .reset_index()
-        )
-        return from_pandas_clean(g, preserve_index=False)
-
-    from ray.data.aggregate import Min
-
-    from import_ray.core.context import join_safe
-
     n = _np_for(li)
-    cost = join_safe(
-        li.map_batches(unit_cost, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"], num_partitions=n)
-        .aggregate(Min("cost_cents", alias_name="cost_cents"))
-    )
-
     nk_name, nk_region = _nation_region_arrays(sf_dir)
+
+    def size_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["p_size"], pa.scalar(size))).select(
+            ["p_partkey"]
+        )
+
+    part_f = join_safe(
+        _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+            size_parts, batch_format="pyarrow"
+        )
+    )
 
     def supp_region(batch: pa.Table) -> pa.Table:
         nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3349,6 +3353,91 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, region: str = "EUROPE"):
             sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
         ).map_batches(supp_region, batch_format="pyarrow")
     )
+
+    if part_f.count() > broadcast_limit or supp.count() > broadcast_limit:
+        return _q2_join_plan(li, part_f, supp, n)
+
+    part_ref = ray.put(np.sort(part_f.to_pandas()["p_partkey"].to_numpy()))
+    supp_pdf = supp.to_pandas()
+    supp_keys_ref = ray.put(np.sort(supp_pdf["s_suppkey"].to_numpy()))
+    supp_ref = ray.put(supp_pdf)
+
+    def unit_cost(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, ray.get(part_ref)) & np.isin(sk, ray.get(supp_keys_ref))
+        t = batch.filter(pa.array(keep))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "cost_cents": _cents(ep / qty),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_cents"]
+            .min()
+            .reset_index()
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    def part_argmin_bcast(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_cents"]
+            .min()
+            .reset_index()
+        )
+        df = df[
+            df["cost_cents"] == df.groupby("l_partkey")["cost_cents"].transform("min")
+        ]
+        df = df.merge(ray.get(supp_ref), left_on="l_suppkey", right_on="s_suppkey")
+        df = df.rename(columns={"l_partkey": "p_partkey"})
+        return from_pandas_clean(
+            df[["p_partkey", "s_name", "n_name", "acctbal_cents", "cost_cents"]],
+            preserve_index=False,
+        )
+
+    pairs = li.map_batches(unit_cost, batch_format="pyarrow")
+    ensure_hash_shuffle(pairs)
+    return pairs.repartition(max(2, n // 4), keys=["l_partkey"]).map_batches(
+        part_argmin_bcast, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _q2_join_plan(li, part_f, supp, n):
+    """SF-scaled fallback: distributed hash joins on both dim sides
+    (see q2_min_cost_supplier — selected when a filtered dim side
+    exceeds the broadcast budget)."""
+
+    def unit_cost(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "cost_cents": _cents(ep / qty),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["cost_cents"]
+            .min()
+            .reset_index()
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe
+
+    cost = join_safe(
+        li.map_batches(unit_cost, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"], num_partitions=n)
+        .aggregate(Min("cost_cents", alias_name="cost_cents"))
+    )
     cost = cost.join(
         supp,
         join_type="inner",
@@ -3356,19 +3445,8 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, region: str = "EUROPE"):
         on=("l_suppkey",),
         right_on=("s_suppkey",),
     )
-
-    def size_parts(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["p_size"], pa.scalar(size))).select(
-            ["p_partkey"]
-        )
-
-    part = join_safe(
-        _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
-            size_parts, batch_format="pyarrow"
-        )
-    )
     j = cost.join(
-        part,
+        part_f,
         join_type="inner",
         num_partitions=n,
         on=("l_partkey",),
@@ -3379,11 +3457,11 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, region: str = "EUROPE"):
         df = batch.select(
             ["l_partkey", "s_name", "n_name", "acctbal_cents", "cost_cents"]
         ).to_pandas()
-        df = df[df["cost_cents"] == df.groupby("l_partkey")["cost_cents"].transform("min")]
+        df = df[
+            df["cost_cents"] == df.groupby("l_partkey")["cost_cents"].transform("min")
+        ]
         df = df.rename(columns={"l_partkey": "p_partkey"})
         return from_pandas_clean(df, preserve_index=False)
-
-    from import_ray.core.context import ensure_hash_shuffle
 
     ensure_hash_shuffle(j)
     return j.repartition(n, keys=["l_partkey"]).map_batches(
@@ -3788,4 +3866,91 @@ WHERE r_name = 'EUROPE'
     WHERE 2*qty > (SELECT SUM(qty) FROM shipped s2
                    WHERE s2.l_partkey = s1.l_partkey))
 ORDER BY s_name, n_name
+"""
+
+
+# --- grouping sets: ROLLUP / CUBE (SURVEY §2.7 grouped aggregation family) ---
+
+
+def _grouping_sets_lineitem(sf_dir: str, sets):
+    """ONE distributed groupby at the finest grain; every coarser
+    grouping set folds from the finest result on the driver —
+    distributive aggregates make the fold exact, and the finest result
+    is schema-scale (|flags| × |status| rows) at ANY data scale, so
+    ROLLUP/CUBE cost exactly one exchange."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        return (
+            tbl.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("one", "sum")])
+            .rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np_for(ds))
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+    )
+    frames = []
+    for keys in sets:
+        if keys:
+            g = finest.groupby(list(keys), as_index=False)[["sum_qty", "n_rows"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"sum_qty": [finest["sum_qty"].sum()], "n_rows": [finest["n_rows"].sum()]}
+            )
+        for col in ("l_returnflag", "l_linestatus"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        frames.append(g[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out
+
+
+def rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over SUM(qty)/COUNT."""
+    return _grouping_sets_lineitem(
+        sf_dir, [("l_returnflag", "l_linestatus"), ("l_returnflag",), ()]
+    )
+
+
+def cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus)."""
+    return _grouping_sets_lineitem(
+        sf_dir,
+        [("l_returnflag", "l_linestatus"), ("l_returnflag",), ("l_linestatus",), ()],
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
 """

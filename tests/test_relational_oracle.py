@@ -119,3 +119,24 @@ def test_query_matches_oracle(ray_session, sf_small, oracle_con, name):
     pd.testing.assert_frame_equal(
         ray_df, sql_df, check_dtype=False, check_exact=True
     )
+
+
+def test_q2_join_fallback_matches_broadcast(ray_session, sf_small):
+    """broadcast_limit=0 forces the distributed-join plan; results must
+    equal the default broadcast plan exactly."""
+    from import_ray.pipelines.relational import q2_min_cost_supplier
+
+    a = _canon(_to_pandas(q2_min_cost_supplier(sf_small)))
+    b = _canon(_to_pandas(q2_min_cost_supplier(sf_small, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_grouping_sets_match_oracle(ray_session, sf_small, oracle_con):
+    import __ray_entry__ as entry
+
+    for name in ("rollup_lineitem", "cube_lineitem"):
+        ray_df = _canon(_to_pandas(entry.queries()[name](sf_small)))
+        sql_df = _canon(oracle_con.sql(entry.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(
+            ray_df, sql_df, check_dtype=False, check_exact=True
+        )
