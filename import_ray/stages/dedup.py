@@ -604,14 +604,14 @@ def incremental_dedup_documents(
     100 TB pipeline admits a day's shard without re-deduping history.
 
     Exchange budget: both sides reduce to 64-bit content hashes (16
-    B/row; bodies never move). A Bloom filter of the EXISTING hashes is
-    built with the distributed OR-reduce (`stages/bloom.py`) and
-    broadcast once: new rows whose hash MISSES the filter are
-    definitely novel (Bloom has no false negatives) and skip the join
-    entirely; only hits (true-dup rate + fp rate of the corpus-sized
-    filter) enter the exact ``left_anti`` hash join, so the join
-    shuffles a small fraction of the shard and NONE of history beyond
-    its hash column.
+    B/row; bodies never move). Every NEW row must co-locate by hash
+    anyway (within-shard dup collapse), so the Bloom filter points the
+    OTHER way: a distributed OR-reduce (`stages/bloom.py`) over the
+    NEW shard's hashes, broadcast once, prefilters the EXISTING side —
+    history rows that can't match any new hash (no false negatives)
+    never leave their scan task. The whole operator is ONE aggregate
+    (the ~1 MB bitmap) + ONE keyed exchange of |new| + (dup∩ + fp·|old|)
+    hash rows; history is scanned but never shuffled.
     """
     import ray
 
@@ -620,47 +620,11 @@ def incremental_dedup_documents(
 
     ensure_hash_shuffle(new_ds)
     ensure_hash_shuffle(existing_ds)
-    from ray.data.aggregate import Min
 
-    def _old_hashes(b: pa.Table) -> pa.Table:
-        # fresh metadata-free table: pandas schema metadata on parquet
-        # batches defeats schema dedup in the join aggregators
-        return pa.table({"text_hash": add_text_hash(b, text_col)["text_hash"]})
-
-    hash_old = existing_ds.map_batches(_old_hashes, batch_format="pyarrow")
-    words = build_bloom(hash_old, "text_hash", m_bits=m_bits, k=k)
-    ref = ray.put(words)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        batch = add_text_hash(batch, text_col)
-        keys = batch["text_hash"].to_numpy(zero_copy_only=False)
-        hit = (
-            _test_bits(w, _bit_positions(keys, m_bits, k))
-            if len(keys)
-            else np.zeros(0, bool)
-        )
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "text_hash": batch["text_hash"],
-                "bloom_hit": pa.array(hit),
-            }
-        )
-
-    # hashes + flag only (16 B/row): safe to pin so the two branches
-    # below don't recompute the text hashing pass
-    tagged = new_ds.map_batches(tag, batch_format="pyarrow").materialize()
-
-    def keep_miss(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return b.filter(pc.invert(b["bloom_hit"])).drop_columns(["bloom_hit"])
-
-    def keep_hit(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = b.filter(b["bloom_hit"])
+    def _new_rows(b: pa.Table) -> pa.Table:
+        # fresh metadata-free tables throughout: pandas schema metadata
+        # on parquet batches defeats schema dedup in the exchange
+        t = add_text_hash(b, text_col)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -669,38 +633,45 @@ def incremental_dedup_documents(
             }
         )
 
-    def _old_side(b: pa.Table) -> pa.Table:
+    # hashes only (17 B/row): pinned so the bloom build and the
+    # exchange don't re-run the text hashing pass
+    hash_new = new_ds.map_batches(_new_rows, batch_format="pyarrow").materialize()
+    words = build_bloom(hash_new, "text_hash", m_bits=m_bits, k=k)
+    ref = ray.put(words)
+
+    def _relevant_old(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        t = add_text_hash(b, text_col)
+        keys = t["text_hash"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            t = t.filter(pa.array(_test_bits(w, _bit_positions(keys, m_bits, k))))
+        n = len(t)
         return pa.table(
             {
-                id_col: pa.array(np.zeros(len(b), np.int64)),
-                "text_hash": b["text_hash"],
-                "is_new": pa.array(np.zeros(len(b), bool)),
+                id_col: pa.array(np.zeros(n, np.int64)),
+                "text_hash": t["text_hash"],
+                "is_new": pa.array(np.zeros(n, bool)),
             }
         )
 
-    definite = tagged.map_batches(keep_miss, batch_format="pyarrow")
-    # exact anti join via ONE keyed repartition (hand-rolled like the
-    # engine's other fact-fact joins — Ray's join operator chokes on
-    # partitions whose left side is empty, which a Bloom-filtered
-    # probe side routinely produces): co-locate new-hit and existing
-    # rows by hash, then a vectorized np.isin drop per block
-    both = tagged.map_batches(keep_hit, batch_format="pyarrow").union(
-        hash_old.map_batches(_old_side, batch_format="pyarrow")
+    both = hash_new.union(
+        existing_ds.map_batches(_relevant_old, batch_format="pyarrow")
     )
 
     def anti_block(b: pa.Table) -> pa.Table:
         is_new = b["is_new"].to_numpy(zero_copy_only=False)
         hashes = b["text_hash"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
         keep = is_new & ~np.isin(hashes, hashes[~is_new])
-        t = b.filter(pa.array(keep))
-        return pa.table({id_col: t[id_col], "text_hash": t["text_hash"]})
+        # min id per surviving within-shard dup group, one lexsort
+        h, i = hashes[keep], ids[keep]
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        first = np.r_[True, h[1:] != h[:-1]]
+        return pa.table({id_col: pa.array(i[first], pa.int64())})
 
-    survivors = both.repartition(npartitions(), keys=["text_hash"]).map_batches(
+    return both.repartition(npartitions(), keys=["text_hash"]).map_batches(
         anti_block, batch_format="pyarrow", batch_size=None
-    )
-    return (
-        definite.union(survivors)
-        .groupby("text_hash", num_partitions=npartitions())
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
     )
