@@ -3493,16 +3493,25 @@ WHERE p_size = 15
 # --- q9 shape: multi-join profit by nation/year (TPC-H Q9) -------------------
 
 
-def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
+def q9_profit_by_nation_year(
+    sf_dir: str, token: str = "gear", broadcast_limit: int = 2_000_000
+):
     """TPC-H Q9 shape: profit per (supplier nation, order year) for
     parts whose name contains `token`. supplycost has no table here, so
     profit = extendedprice*(1-discount) - 0.1*retailprice*quantity,
     rounded to integer cents per row (identically in the SQL oracle).
 
-    Plan: part filtered at the read and joined distributed (part scales
-    with SF), orders joined for the year, supplier joined for the
-    nation key, nation broadcast for the name; in-batch partial sums
-    before ONE final (nation, year) exchange of ≤25×#years rows."""
+    Plan: the token-filtered part map (partkey → retailprice) and the
+    supplier map (suppkey → nationkey) broadcast when they fit the
+    budget (ray.put + sorted-key searchsorted lookup per batch), so the
+    ONLY distributed join is the genuine fact-fact lineitem ⋈ orders
+    year lookup; in-batch partial sums feed one final (nation, year)
+    exchange of ≤ 25×#years rows. Past the budget each dim side falls
+    back to its distributed hash join."""
+    import ray
+
+    from import_ray.core.context import join_safe
+
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
 
     def keep_parts(batch: pa.Table) -> pa.Table:
@@ -3514,8 +3523,6 @@ def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
             }
         )
 
-    from import_ray.core.context import join_safe
-
     part = join_safe(part.map_batches(keep_parts, batch_format="pyarrow"))
     li = _read(
         sf_dir,
@@ -3524,15 +3531,49 @@ def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
          "l_extendedprice", "l_discount"],
     )
     n = _np_for(li)
-    j = li.join(
-        part,
-        join_type="inner",
-        num_partitions=n,
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-    )
+    supp = join_safe(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
 
-    def amount(batch: pa.Table) -> pa.Table:
+    part_small = part.count() <= broadcast_limit
+    supp_small = supp.count() <= broadcast_limit
+    part_ref = supp_ref = None
+    if part_small:
+        pdf = part.to_pandas().sort_values("p_partkey")
+        part_ref = ray.put(
+            (pdf["p_partkey"].to_numpy(), pdf["p_retailprice"].to_numpy())
+        )
+    if supp_small:
+        sdf = supp.to_pandas().sort_values("s_suppkey")
+        supp_ref = ray.put(
+            (sdf["s_suppkey"].to_numpy(), sdf["s_nationkey"].to_numpy().astype(np.int64))
+        )
+
+    def amount_bcast(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        keys, rp_vals = ray.get(part_ref)
+        pos = np.searchsorted(keys, pk)
+        pos[pos >= len(keys)] = 0
+        keep = keys[pos] == pk
+        t = batch.filter(pa.array(keep))
+        rp = rp_vals[pos[keep]]
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        out = {
+            "l_orderkey": t["l_orderkey"],
+            "amount_cents": pa.array(
+                _cents(ep * (1.0 - disc) - 0.1 * rp * qty), pa.int64()
+            ),
+        }
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if supp_ref is not None:
+            skeys, nks = ray.get(supp_ref)
+            spos = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+            out["s_nationkey"] = pa.array(nks[spos], pa.int64())
+        else:
+            out["l_suppkey"] = t["l_suppkey"]
+        return pa.table(out)
+
+    def amount_join(batch: pa.Table) -> pa.Table:
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
@@ -3547,7 +3588,16 @@ def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
             }
         )
 
-    j = j.map_batches(amount, batch_format="pyarrow")
+    if part_small:
+        j = li.map_batches(amount_bcast, batch_format="pyarrow")
+    else:
+        j = li.join(
+            part,
+            join_type="inner",
+            num_partitions=n,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(amount_join, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
@@ -3567,15 +3617,26 @@ def q9_profit_by_nation_year(sf_dir: str, token: str = "gear"):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
+    if not supp_small or not part_small:
+        if supp_ref is not None:
 
-    supp = join_safe(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
-    j = j.join(
-        supp,
-        join_type="inner",
-        num_partitions=n,
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-    )
+            def attach_nk(batch: pa.Table) -> pa.Table:
+                skeys, nks = ray.get(supp_ref)
+                sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                spos = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+                return batch.drop_columns(["l_suppkey"]).append_column(
+                    "s_nationkey", pa.array(nks[spos], pa.int64())
+                )
+
+            j = j.map_batches(attach_nk, batch_format="pyarrow")
+        else:
+            j = j.join(
+                supp,
+                join_type="inner",
+                num_partitions=n,
+                on=("l_suppkey",),
+                right_on=("s_suppkey",),
+            )
 
     nk_name, _ = _nation_region_arrays(sf_dir)
 

@@ -140,3 +140,11 @@ def test_grouping_sets_match_oracle(ray_session, sf_small, oracle_con):
         pd.testing.assert_frame_equal(
             ray_df, sql_df, check_dtype=False, check_exact=True
         )
+
+
+def test_q9_join_fallback_matches_broadcast(ray_session, sf_small):
+    from import_ray.pipelines.relational import q9_profit_by_nation_year
+
+    a = _canon(_to_pandas(q9_profit_by_nation_year(sf_small)))
+    b = _canon(_to_pandas(q9_profit_by_nation_year(sf_small, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
