@@ -37,7 +37,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from import_ray.core.context import npartitions
 from import_ray.stages.neardup import _shingle_hashes_flat, _split_flat
 
 
@@ -53,30 +52,37 @@ def _flat_buckets(batch: pa.Table, buckets: int):
 
 
 def fit_bucket_counts(docs_ds, buckets: int = 10_000) -> np.ndarray:
-    """(B,) int64 global hashed-ngram bucket counts for a corpus."""
+    """(B,) int64 global hashed-ngram bucket counts for a corpus.
 
-    def partials(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"bucket": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
+    Dense tree-reduce, no keyed shuffle: each block bincounts into one
+    (B,) vector and vectors sum pairwise up the aggregate tree — the
+    same topology as the Bloom OR-reduce. Only fixed-size B-vectors
+    ever move (80 KB at the default B), so the fit costs one streaming
+    pass at any corpus size."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class CountAgg(AggregateFnV2):
+        def __init__(self):
+            super().__init__(
+                "bucket_counts",
+                lambda: np.zeros(buckets, np.int64),
+                on=None,
+                ignore_nulls=True,
             )
-        _, uni, _, bi = _flat_buckets(batch, buckets)
-        c = np.bincount(uni, minlength=buckets)
-        c += np.bincount(bi, minlength=buckets)
-        nz = np.flatnonzero(c)
-        return pa.table(
-            {"bucket": pa.array(nz), "count": pa.array(c[nz].astype(np.int64))}
-        )
 
-    agg = (
-        docs_ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=min(npartitions(), 8))
-        .sum("count")
-        .to_pandas()
-    )
-    out = np.zeros(buckets, np.int64)
-    out[agg["bucket"].to_numpy()] = agg["sum(count)"].to_numpy()
-    return out
+        def aggregate_block(self, block):
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            if tbl.num_rows == 0:
+                return np.zeros(buckets, np.int64)
+            _, uni, _, bi = _flat_buckets(tbl, buckets)
+            c = np.bincount(uni, minlength=buckets)
+            c += np.bincount(bi, minlength=buckets)
+            return c.astype(np.int64)
+
+        def combine(self, a, b):
+            return a + b
+
+    return docs_ds.aggregate(CountAgg())["bucket_counts"]
 
 
 def log_ratio(
