@@ -13,11 +13,11 @@ the near-dup/quality stages it sits beside.
 
 Ray-Data shape:
 
-- **fit** (each corpus): per-batch ``np.bincount`` over the flat hashed
-  n-gram bucket ids → sparse non-zero ``(bucket, count)`` partial rows
-  → one tiny ``groupby("bucket").sum`` (≤ B rows reach the driver;
-  B defaults to 10k — broadcast-small by construction, same contract as
-  a k×d centroid matrix).
+- **fit** (each corpus): per-block ``np.bincount`` into a dense (B,)
+  vector, summed pairwise up an ``AggregateFnV2`` tree (the Bloom
+  OR-reduce topology) — only fixed-size 80 KB vectors move, no keyed
+  shuffle; B defaults to 10k, broadcast-small by construction, same
+  contract as a k×d centroid matrix.
 - **weight**: the (B,) log-ratio vector ships inside the map closure;
   each batch computes per-doc weights with two segmented
   ``np.add.reduceat`` sums (unigrams + bigrams) — no Python loops.
