@@ -273,14 +273,18 @@ def q5_region_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
+        # in-batch per-order combine: ~4 lineitems/order collapse before
+        # the join, so the exchange carries order-grain partials
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_orderkey": batch["l_orderkey"],
-                "revenue_cents": pa.array(_cents(ep * (1.0 - disc))),
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": _cents(ep * (1.0 - disc)),
             }
         )
+        g = df.groupby("l_orderkey", sort=False)["revenue_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
 
     n_li = _np_for(li)
     li = li.map_batches(revenue, batch_format="pyarrow")
@@ -291,10 +295,23 @@ def q5_region_revenue(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        # ≤25 rows leave each batch: the final exchange is schema-scale
+        df = batch.select(["r_name", "n_name", "revenue_cents"]).to_pandas()
+        g = (
+            df.groupby(["r_name", "n_name"], sort=False)["revenue_cents"]
+            .sum()
+            .reset_index()
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
     from ray.data.aggregate import Sum
 
-    return joined.groupby(["r_name", "n_name"], num_partitions=n_li).aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents")
+    return (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"], num_partitions=max(2, n_li // 4))
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
 
 
