@@ -1583,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _knn,
         "melt_part": R.melt_part,
         "rollup_lineitem": R.rollup_lineitem,
+        "skyline_orders": R.skyline_orders,
         "cube_lineitem": R.cube_lineitem,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "minhash_planted_clusters": _minhash_planted_clusters,
@@ -1702,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_dup_docs": CROSS_DUP_ORACLE,
         "kg_ancestors": KG_ANCESTORS_SQL,
         "rollup_lineitem": R.ROLLUP_SQL,
+        "skyline_orders": R.SKYLINE_SQL,
         "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,
         "stratified_sample_docs": STRATIFIED_SAMPLE_ORACLE,

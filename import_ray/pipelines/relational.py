@@ -4032,3 +4032,83 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
+
+
+# --- skyline (pareto frontier) -----------------------------------------------
+
+
+def _skyline2d_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Keep mask for the 2-D max-max skyline with strict dominance
+    (r2 dominates r1 iff ≥ on both dims and > on at least one; exact
+    (price, date) duplicates survive together). One lexsort + two
+    segment scans — no pairwise loops."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-date, -price))
+    p, d = price[order], date[order]
+    new_grp = np.r_[True, p[1:] != p[:-1]]
+    grp_idx = np.cumsum(new_grp) - 1
+    grp_max = d[new_grp]  # date desc within a price group → first is max
+    prev_max = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(grp_max)[:-1]]
+    dominated = (d <= prev_max[grp_idx]) | (d < grp_max[grp_idx])
+    keep = np.empty(n, bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def skyline_orders(sf_dir: str):
+    """Distributed 2-D skyline: pareto-optimal orders maximizing
+    (total price, order date). Per-batch vectorized frontier scan
+    shrinks every batch to its local skyline (sort + running-max — the
+    skyline of a union IS the skyline of the union of partial
+    skylines), partial frontiers merge in ONE single-partition rescan:
+    frontier size, not data size, bounds everything after the map."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        date = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        keep = _skyline2d_mask(price, date)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(price[keep], pa.int64()),
+                "o_date": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "_d": pa.array(date[keep], pa.int64()),
+            }
+        )
+
+    def merge_skyline(batch: pa.Table) -> pa.Table:
+        keep = _skyline2d_mask(
+            batch["price_cents"].to_numpy(zero_copy_only=False),
+            batch["_d"].to_numpy(zero_copy_only=False),
+        )
+        return batch.filter(pa.array(keep)).drop_columns(["_d"])
+
+    return (
+        ds.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_skyline, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+         o_orderdate
+  FROM orders)
+SELECT o_orderkey, price_cents, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+FROM o o1
+WHERE NOT EXISTS (
+  SELECT 1 FROM o o2
+  WHERE o2.price_cents >= o1.price_cents AND o2.o_orderdate >= o1.o_orderdate
+    AND (o2.price_cents > o1.price_cents OR o2.o_orderdate > o1.o_orderdate))
+"""

@@ -148,3 +148,29 @@ def test_q9_join_fallback_matches_broadcast(ray_session, sf_small):
     a = _canon(_to_pandas(q9_profit_by_nation_year(sf_small)))
     b = _canon(_to_pandas(q9_profit_by_nation_year(sf_small, broadcast_limit=0)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_skyline_matches_oracle(ray_session, sf_small, oracle_con):
+    import __ray_entry__ as entry
+
+    ray_df = _canon(_to_pandas(entry.queries()["skyline_orders"](sf_small)))
+    sql_df = _canon(oracle_con.sql(entry.oracle_sql()["skyline_orders"]).df())
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=True)
+
+
+def test_skyline_mask_brute_force_parity():
+    import numpy as np
+
+    from import_ray.pipelines.relational import _skyline2d_mask
+
+    rng = np.random.RandomState(9)
+    p = rng.randint(0, 20, 400).astype(np.int64)  # heavy ties incl. exact dups
+    d = rng.randint(0, 20, 400).astype(np.int64)
+    got = _skyline2d_mask(p, d)
+    dom = (
+        (p[None, :] >= p[:, None])
+        & (d[None, :] >= d[:, None])
+        & ((p[None, :] > p[:, None]) | (d[None, :] > d[:, None]))
+    )
+    exp = ~dom.any(axis=1)
+    assert (got == exp).all()
