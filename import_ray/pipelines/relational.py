@@ -3811,18 +3811,25 @@ WHERE value_cents > (SELECT 2.0 * AVG(value_cents) FROM v)
 # --- q20 shape: majority-share semi-join chain (TPC-H Q20) -------------------
 
 
-def q20_dominant_part_suppliers(sf_dir: str, region: str = "EUROPE"):
+def q20_dominant_part_suppliers(
+    sf_dir: str, region: str = "EUROPE", broadcast_limit: int = 2_000_000
+):
     """TPC-H Q20 shape: `region` suppliers who shipped a strict majority
     (2×qty > part total) of some 'red%' part's 1997 volume (availqty
     has no table here; the majority-share test stands in).
 
-    Plan: part prefix-filter + date filter at the read → distributed
-    partkey join → in-batch (part,supplier) qty combiner → pair-key
-    exchange → per-part majority scan fused into one block-local pass
-    after a keyed repartition on partkey → winner-suppkey distinct
-    (keyed exchange of 8-byte keys) → distributed join onto the
-    region-filtered supplier table (supplier scales with SF; the
-    nation/region attach itself is a broadcast dense-array lookup)."""
+    Plan (TWO exchanges when the filter-tiny dims fit the broadcast
+    budget): red-part keys broadcast → np.isin prefilter + in-batch
+    (part, supplier) qty combiner → ONE partkey exchange fuses the
+    global pair sum with the per-part majority scan → winner suppkeys
+    (result-scale) → ONE suppkey exchange for the cross-block distinct,
+    with region/name attrs attached from the broadcast supplier frame
+    in the same block pass. Past the budget either dim side falls back
+    to its distributed hash join."""
+    import ray
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe
+
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
 
     def red_parts(batch: pa.Table) -> pa.Table:
@@ -3830,71 +3837,7 @@ def q20_dominant_part_suppliers(sf_dir: str, region: str = "EUROPE"):
             pc.starts_with(batch["p_name"], "red")
         ).select(["p_partkey"])
 
-    from import_ray.core.context import join_safe
-
     part = join_safe(part.map_batches(red_parts, batch_format="pyarrow"))
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
-
-    def y1997(batch: pa.Table) -> pa.Table:
-        lo = pa.scalar(np.datetime64("1997-01-01", "us"))
-        hi = pa.scalar(np.datetime64("1998-01-01", "us"))
-        mask = pc.and_(
-            pc.greater_equal(batch["l_shipdate"], lo),
-            pc.less(batch["l_shipdate"], hi),
-        )
-        df = pd.DataFrame(
-            {
-                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False)[
-                    mask.to_numpy(zero_copy_only=False)
-                ],
-                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False)[
-                    mask.to_numpy(zero_copy_only=False)
-                ],
-                "qty": batch["l_quantity"]
-                .to_numpy(zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
-                .astype(np.int64),
-            }
-        )
-        g = df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"].sum().reset_index()
-        return from_pandas_clean(g, preserve_index=False)
-
-    n = _np_for(li)
-    shipped = li.map_batches(y1997, batch_format="pyarrow").join(
-        part,
-        join_type="inner",
-        num_partitions=n,
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-    )
-
-    from ray.data.aggregate import Sum
-
-    shipped = shipped.groupby(["l_partkey", "l_suppkey"], num_partitions=n).aggregate(
-        Sum("qty", alias_name="qty")
-    )
-
-    def majority(batch: pa.Table) -> pa.Table:
-        df = batch.select(["l_partkey", "l_suppkey", "qty"]).to_pandas()
-        total = df.groupby("l_partkey")["qty"].transform("sum")
-        df = df[2 * df["qty"] > total]
-        return from_pandas_clean(df[["l_suppkey"]].drop_duplicates(), preserve_index=False)
-
-    from import_ray.core.context import ensure_hash_shuffle
-
-    ensure_hash_shuffle(shipped)
-    winners = (
-        shipped.repartition(n, keys=["l_partkey"])
-        .map_batches(majority, batch_format="pyarrow", batch_size=None)
-        # the same supplier can dominate parts in different partkey
-        # blocks: one keyed exchange of 8-byte keys makes them distinct
-        .repartition(n, keys=["l_suppkey"])
-        .map_batches(
-            lambda b: b.group_by("l_suppkey").aggregate([]),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
 
     nk_name, nk_region = _nation_region_arrays(sf_dir)
 
@@ -3915,8 +3858,90 @@ def q20_dominant_part_suppliers(sf_dir: str, region: str = "EUROPE"):
             region_supp, batch_format="pyarrow"
         )
     )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    n = _np_for(li)
+
+    part_ref = (
+        ray.put(np.sort(part.to_pandas()["p_partkey"].to_numpy()))
+        if part.count() <= broadcast_limit
+        else None
+    )
+    supp_ref = None
+    if supp.count() <= broadcast_limit:
+        supp_ref = ray.put(supp.to_pandas().sort_values("s_suppkey"))
+
+    def y1997(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        ).to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        if part_ref is not None:
+            mask = mask & np.isin(pk, ray.get(part_ref))
+        df = pd.DataFrame(
+            {
+                "l_partkey": pk[mask],
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False)[mask],
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)[mask]
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    shipped = li.map_batches(y1997, batch_format="pyarrow")
+    if part_ref is None:
+        shipped = shipped.join(
+            part,
+            join_type="inner",
+            num_partitions=n,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+    def majority(batch: pa.Table) -> pa.Table:
+        # fused: global per-pair sum (all partials of a partkey are in
+        # this block) + the per-part majority scan
+        df = batch.select(["l_partkey", "l_suppkey", "qty"]).to_pandas()
+        df = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"]
+            .sum()
+            .reset_index()
+        )
+        total = df.groupby("l_partkey")["qty"].transform("sum")
+        df = df[2 * df["qty"] > total]
+        return from_pandas_clean(df[["l_suppkey"]].drop_duplicates(), preserve_index=False)
+
+    ensure_hash_shuffle(shipped)
+    winners = (
+        shipped.repartition(n, keys=["l_partkey"])
+        .map_batches(majority, batch_format="pyarrow", batch_size=None)
+        # the same supplier can dominate parts in different partkey
+        # blocks: one keyed exchange of 8-byte keys makes them distinct
+        .repartition(max(2, n // 4), keys=["l_suppkey"])
+    )
+
+    if supp_ref is not None:
+
+        def attach(batch: pa.Table) -> pa.Table:
+            sdf = ray.get(supp_ref)
+            sk = np.unique(batch["l_suppkey"].to_numpy(zero_copy_only=False))
+            out = pd.DataFrame({"s_suppkey": sk}).merge(sdf, on="s_suppkey")
+            return from_pandas_clean(out[["s_name", "n_name"]], preserve_index=False)
+
+        return winners.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+    distinct = winners.map_batches(
+        lambda b: b.group_by("l_suppkey").aggregate([]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     out = supp.join(
-        join_safe(winners),
+        join_safe(distinct),
         join_type="inner",
         num_partitions=n,
         on=("s_suppkey",),

@@ -174,3 +174,11 @@ def test_skyline_mask_brute_force_parity():
     )
     exp = ~dom.any(axis=1)
     assert (got == exp).all()
+
+
+def test_q20_join_fallback_matches_broadcast(ray_session, sf_small):
+    from import_ray.pipelines.relational import q20_dominant_part_suppliers
+
+    a = _canon(_to_pandas(q20_dominant_part_suppliers(sf_small)))
+    b = _canon(_to_pandas(q20_dominant_part_suppliers(sf_small, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
