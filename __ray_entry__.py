@@ -1028,6 +1028,28 @@ GROUP BY text
 """
 
 
+def _shuffle_shards_docs(sf_dir: str):
+    """Deterministic training-export shuffle: seeded auditable hash →
+    balanced shards + within-shard rank (a reproducible global
+    permutation; the writer twin materializes shard=K/ parquet dirs)."""
+    from import_ray.stages.sampling import shuffle_shards
+
+    return shuffle_shards(
+        _read_table(sf_dir, "documents", ["doc_id"]), n_shards=8, seed=7
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+SELECT doc_id,
+       CAST(((doc_id + 7) * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ((doc_id + 7) * 2654435761) % 4294967296 % 8
+         ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id) - 1
+         AS BIGINT) AS pos
+FROM documents
+"""
+
+
 def _dsir_planted(sf_dir: str):
     """DSIR (hashed-ngram importance resampling, arXiv:2302.03169)
     planted oracle: every raw doc carries the same base text; docs with
@@ -1602,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_planted": _semdedup_planted,
         "dsir_planted": _dsir_planted,
         "incremental_dedup_docs": _incremental_dedup_docs,
+        "shuffle_shards_docs": _shuffle_shards_docs,
         "dsir_select_docs": _dsir_select_docs,
         "semdedup_docs": _semdedup_docs,
         "events_series_groups": _events_series,
@@ -1752,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_planted": "SELECT vec_id FROM embeddings",
         "dsir_planted": "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",
         "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
+        "shuffle_shards_docs": SHUFFLE_SHARDS_SQL,
         "lang_id_planted": LANG_ID_PLANTED_SQL,
         "fingerprint_planted": (
             f"SELECT doc_id + {_PLANT2} AS doc_id, TRUE AS same_fp "

@@ -262,3 +262,95 @@ FROM keyed
 ORDER BY -ln((h + 0.5) / 4294967296.0) / weight_cents, o_orderkey
 LIMIT 100
 """
+
+
+# --- deterministic training-data shuffle → balanced shards -------------------
+
+
+def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 8, seed: int = 7):
+    """Deterministic global shuffle for training-data export: every row
+    gets the auditable seeded hash key ``((id + seed) * 2654435761)
+    mod 2^32``; ``shard_id = key % n_shards`` and ``pos`` is the row's
+    rank within its shard under (key, id) — i.e. a reproducible random
+    permutation materialized as balanced shards. ONE keyed exchange
+    co-locates each shard; within-shard order is a block-local lexsort.
+    Same seed → byte-identical shards on re-run (the resumable-writer
+    contract). Returns (id, shard_id, pos)."""
+    from import_ray.core.context import ensure_hash_shuffle, npartitions
+
+    ensure_hash_shuffle(ds)
+
+    def key_shard(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) & _MOD32
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "shard_id": pa.array((key % np.uint64(n_shards)).astype(np.int64)),
+                "shuffle_key": pa.array(key.astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key_shard, batch_format="pyarrow")
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["shard_id"].to_numpy(zero_copy_only=False)
+        key = batch["shuffle_key"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shard_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, key, sh))
+        sh_s, ids_s = sh[order], ids[order]
+        new_shard = np.r_[True, sh_s[1:] != sh_s[:-1]]
+        starts = np.flatnonzero(new_shard)
+        pos = np.arange(len(sh_s), dtype=np.int64)
+        pos -= np.repeat(starts, np.diff(np.r_[starts, len(sh_s)]))
+        return pa.table(
+            {
+                id_col: pa.array(ids_s),
+                "shard_id": pa.array(sh_s),
+                "pos": pa.array(pos),
+            }
+        )
+
+    n = min(npartitions(), max(2, n_shards))
+    return keyed.repartition(n, keys=["shard_id"]).map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def write_shuffled_shards(
+    ds, out_dir: str, id_col: str = "doc_id", n_shards: int = 8, seed: int = 7
+):
+    """Materialize ``shuffle_shards`` as one parquet directory per
+    shard (``shard=K/``) — the resumable training-export layout: a
+    failed export reruns only the missing shard dirs, and a re-run
+    with the same seed reproduces identical content."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    assigned = shuffle_shards(ds, id_col=id_col, n_shards=n_shards, seed=seed)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        sh = batch["shard_id"].to_numpy(zero_copy_only=False)
+        for s in np.unique(sh):
+            sub = batch.filter(pa.array(sh == s))
+            d = os.path.join(out_dir, f"shard={int(s)}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, "part.parquet.tmp")
+            pq.write_table(sub.sort_by("pos"), tmp)
+            os.replace(tmp, os.path.join(d, "part.parquet"))
+        return pa.table({"written": pa.array([len(batch)], pa.int64())})
+
+    total = (
+        assigned.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+        .sum("written")
+    )
+    return int(total or 0)
