@@ -275,7 +275,11 @@ def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 8, seed: int = 7)
     permutation materialized as balanced shards. ONE keyed exchange
     co-locates each shard; within-shard order is a block-local lexsort.
     Same seed → byte-identical shards on re-run (the resumable-writer
-    contract). Returns (id, shard_id, pos)."""
+    contract). Returns (id, shard_id, pos).
+
+    Partitioning assumption: a shard fits a worker block — size
+    ``n_shards`` to the corpus (≈ corpus_bytes / 256 MB; thousands of
+    shards at 100 TB), never a handful of giant shards."""
     from import_ray.core.context import ensure_hash_shuffle, npartitions
 
     ensure_hash_shuffle(ds)
