@@ -1604,7 +1604,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _lang_id,
         "knn_cosine": _knn,
         "melt_part": R.melt_part,
-        "rollup_lineitem": R.rollup_lineitem,
         "skyline_orders": R.skyline_orders,
         "cube_lineitem": R.cube_lineitem,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1725,7 +1724,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
         "kg_ancestors": KG_ANCESTORS_SQL,
-        "rollup_lineitem": R.ROLLUP_SQL,
         "skyline_orders": R.SKYLINE_SQL,
         "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,

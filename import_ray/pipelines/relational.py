@@ -4025,13 +4025,6 @@ def _grouping_sets_lineitem(sf_dir: str, sets):
     return out
 
 
-def rollup_lineitem(sf_dir: str):
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over SUM(qty)/COUNT."""
-    return _grouping_sets_lineitem(
-        sf_dir, [("l_returnflag", "l_linestatus"), ("l_returnflag",), ()]
-    )
-
-
 def cube_lineitem(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus)."""
     return _grouping_sets_lineitem(
@@ -4039,15 +4032,6 @@ def cube_lineitem(sf_dir: str):
         [("l_returnflag", "l_linestatus"), ("l_returnflag",), ("l_linestatus",), ()],
     )
 
-
-ROLLUP_SQL = """
-SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
-       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY ROLLUP(l_returnflag, l_linestatus)
-"""
 
 CUBE_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

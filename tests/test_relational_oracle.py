@@ -134,7 +134,7 @@ def test_q2_join_fallback_matches_broadcast(ray_session, sf_small):
 def test_grouping_sets_match_oracle(ray_session, sf_small, oracle_con):
     import __ray_entry__ as entry
 
-    for name in ("rollup_lineitem", "cube_lineitem"):
+    for name in ("cube_lineitem",):
         ray_df = _canon(_to_pandas(entry.queries()[name](sf_small)))
         sql_df = _canon(oracle_con.sql(entry.oracle_sql()[name]).df())
         pd.testing.assert_frame_equal(
