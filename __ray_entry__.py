@@ -824,6 +824,16 @@ def _random_projection(sf_dir: str):
     return random_projection(ds, out_dim=16, seed=7)
 
 
+def _pca_embeddings(sf_dir: str):
+    """Distributed PCA 64→8 dims: moment-partial fit (1 row/block,
+    row-count-independent driver state) + broadcast projection;
+    numpy-parity pytest-gated (sign-fixed components)."""
+    from import_ray.stages.pca import pca_embeddings
+
+    ds = _read_table(sf_dir, "embeddings")
+    return pca_embeddings(ds, k=8)
+
+
 def _ivf_knn(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1619,6 +1629,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _ivf_knn,
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
+        "pca_embeddings": _pca_embeddings,
+        "funnel_events": R.funnel_counts,
+        "cohort_retention": R.cohort_retention,
+        "event_transitions": R.event_transitions,
+        "orders_price_histogram": R.orders_price_histogram,
         "embedding_neardup_pairs": _embedding_neardup,
         "semdedup_planted": _semdedup_planted,
         "dsir_planted": _dsir_planted,
@@ -1710,6 +1725,10 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_user": R.TOP_EVENT_PER_USER_SQL,
         "topn_orders_per_customer": R.TOPN_ORDERS_SQL,
         "profile_orders": R.PROFILE_ORDERS_SQL,
+        "funnel_events": R.FUNNEL_SQL,
+        "cohort_retention": R.COHORT_SQL,
+        "event_transitions": R.TRANSITIONS_SQL,
+        "orders_price_histogram": R.HISTOGRAM_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "semdedup_docs",
     "dsir_select_docs",
     "incremental_dedup_docs",
+    "funnel_events",
+    "cohort_retention",
+    "event_transitions",
+    "orders_price_histogram",
+    "pca_embeddings",
 ]
 
 

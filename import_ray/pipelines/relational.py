@@ -4121,3 +4121,248 @@ WHERE NOT EXISTS (
   WHERE o2.price_cents >= o1.price_cents AND o2.o_orderdate >= o1.o_orderdate
     AND (o2.price_cents > o1.price_cents OR o2.o_orderdate > o1.o_orderdate))
 """
+
+
+# --- ordered funnel analysis -------------------------------------------------
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel_counts(sf_dir: str):
+    """Ordered funnel: how many users reached each stage of
+    signup → view → click → purchase IN ORDER (stage k counts users
+    with an event of type k at/after their stage-(k-1) completion
+    time). One user-keyed exchange co-locates each user's events; a
+    per-block vectorized pass computes the stage chain with 4 masked
+    groupby-mins + merges (no per-user Python loop); the output is
+    #stages × #blocks partial rows summed on the driver (16 B each).
+    Returns a pandas DataFrame (stage, n_users)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        reached = None  # Series: user_id -> completion ts of prev stage
+        out_stage, out_n = [], []
+        for i, stage in enumerate(FUNNEL_STAGES):
+            ev = df[df["event_type"] == stage]
+            if reached is not None:
+                ev = ev.merge(
+                    reached.rename("prev_ts"), left_on="user_id", right_index=True
+                )
+                ev = ev[ev["ts"] >= ev["prev_ts"]]
+            reached = ev.groupby("user_id", sort=False)["ts"].min()
+            out_stage.append(f"{i + 1}_{stage}")
+            out_n.append(np.int64(len(reached)))
+        return pa.table(
+            {"stage": pa.array(out_stage), "n_users": pa.array(out_n, pa.int64())}
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    parts = (
+        ds.repartition(_np_for(ds), keys=["user_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = parts.groupby("stage", sort=True)["n_users"].sum().reset_index()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["stage", "n_users"]]
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+  JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.ts
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+  JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+  JOIN t3 ON e.user_id = t3.user_id AND e.ts >= t3.ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM t1
+UNION ALL SELECT '2_view', COUNT(*) FROM t2
+UNION ALL SELECT '3_click', COUNT(*) FROM t3
+UNION ALL SELECT '4_purchase', COUNT(*) FROM t4
+"""
+
+
+# --- cohort retention --------------------------------------------------------
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by the ISO week (Monday
+    start) of their FIRST event, counted as retained in every distinct
+    week-offset they were active. One user-keyed exchange; per block,
+    first-event week + distinct activity weeks per user are computed
+    vectorized (dedup on (user, offset)), yielding (cohort_week,
+    week_offset, n) partials — calendar-scale rows summed on the
+    driver. Returns a pandas DataFrame."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _monday(ts: pd.Series) -> pd.Series:
+        return ts.dt.normalize() - pd.to_timedelta(ts.dt.weekday, unit="D")
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["week"] = _monday(df["ts"])
+        first = df.groupby("user_id", sort=False)["week"].min()
+        m = df.merge(
+            first.rename("first_week"), left_on="user_id", right_index=True
+        )
+        pairs = pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "cohort_week": m["first_week"].dt.strftime("%Y-%m-%d"),
+                "week_offset": (
+                    (m["week"] - m["first_week"]).dt.days // 7
+                ).astype("int64"),
+            }
+        ).drop_duplicates(["user_id", "week_offset"])
+        g = (
+            pairs.groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    parts = (
+        ds.repartition(_np_for(ds), keys=["user_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["cohort_week", "week_offset"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+COHORT_SQL = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id,
+         strftime(DATE_TRUNC('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+         CAST((EXTRACT(EPOCH FROM DATE_TRUNC('week', e.ts))
+             - EXTRACT(EPOCH FROM DATE_TRUNC('week', f.first_ts)))
+              / 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY cohort_week, week_offset
+"""
+
+
+# --- per-user event-transition (Markov) counts -------------------------------
+
+
+def event_transitions(sf_dir: str):
+    """First-order event-transition counts: for every user, consecutive
+    event pairs in (ts, event_id) order, counted over the whole corpus
+    — the Markov-chain fit over user journeys. One user-keyed exchange;
+    per-block lexsort + shift (vectorized), per-block (prev, next)
+    partial counts, driver sum of the tiny #types² matrix."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        et = df["event_type"].to_numpy(dtype=object)
+        uid = df["user_id"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame(
+                {
+                    "prev_type": np.concatenate(([None], et[:-1]))[same],
+                    "next_type": et[same],
+                }
+            )
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    parts = (
+        ds.repartition(_np_for(ds), keys=["user_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["prev_type", "next_type"], sort=True)["n"].sum().reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+TRANSITIONS_SQL = """
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+# --- fixed-width numeric histogram -------------------------------------------
+
+
+def orders_price_histogram(sf_dir: str, bucket_width: float = 20000.0):
+    """Fixed-width histogram of order totals: pure map + tiny reduce —
+    per-batch ``np.bincount`` partials over floor(price/width), summed
+    on the driver. NO shuffle at any scale (the histogram itself is
+    bounded by the value range, not the row count)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(x / bucket_width).astype(np.int64)
+        n = np.bincount(b)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(n[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bucket", sort=True)["n"].sum().reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY bucket
+"""

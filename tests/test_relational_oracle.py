@@ -76,6 +76,10 @@ NEW_QUERIES = [
     "topn_orders_per_customer",
     "profile_orders",
     "top_terms_per_doc",
+    "funnel_events",
+    "cohort_retention",
+    "event_transitions",
+    "orders_price_histogram",
 ]
 
 
