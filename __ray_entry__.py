@@ -1634,6 +1634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": R.cohort_retention,
         "event_transitions": R.event_transitions,
         "orders_price_histogram": R.orders_price_histogram,
+        "corr_price_quantity": R.corr_price_quantity,
+        "events_gapfill_daily": R.events_gapfill_daily,
         "embedding_neardup_pairs": _embedding_neardup,
         "semdedup_planted": _semdedup_planted,
         "dsir_planted": _dsir_planted,
@@ -1729,6 +1731,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": R.COHORT_SQL,
         "event_transitions": R.TRANSITIONS_SQL,
         "orders_price_histogram": R.HISTOGRAM_SQL,
+        "corr_price_quantity": R.CORR_SQL,
+        "events_gapfill_daily": R.GAPFILL_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

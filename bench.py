@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "event_transitions",
     "orders_price_histogram",
     "pca_embeddings",
+    "corr_price_quantity",
+    "events_gapfill_daily",
 ]
 
 

@@ -4366,3 +4366,174 @@ SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM orders GROUP BY bucket
 """
+
+
+# --- distributed bivariate moments / Pearson correlation ---------------------
+
+
+def corr_price_quantity(sf_dir: str):
+    """Distributed Pearson correlation between l_extendedprice (cents)
+    and l_quantity over all of lineitem, computed from EXACT integer
+    moment partials: each batch emits int64 (n, Σx, Σy, Σxy, Σx², Σy²)
+    — a pure map + one tiny reduce, no shuffle at any scale — and the
+    driver merges in arbitrary-precision Python ints (per-batch int64
+    sums are overflow-safe at batch_size ≤ 8k; the cross-batch sum is
+    not, hence bigint merge). The correlation itself is derived from
+    the exact sums with the same double-arithmetic expression the SQL
+    oracle uses, so the scaled value matches bit-for-bit."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        y = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [
+            len(x),
+            int(x.sum()),
+            int(y.sum()),
+            int((x * y).sum()),
+            int((x * x).sum()),
+            int((y * y).sum()),
+        ]
+        return pa.table(
+            {
+                "k": pa.array(["n", "sx", "sy", "sxy", "sxx", "syy"]),
+                "v": pa.array([str(v) for v in vals]),  # decimal strings: the
+                # cross-batch sums exceed int64 (Σx² ~ 1e14/row)
+            }
+        )
+
+    # batch_size bounds the per-batch int64 moment sums: Σx² per batch
+    # ≤ (1.1e7 cents)² × 8192 ≈ 8e17 < 2^63 (the cross-batch merge is
+    # arbitrary-precision, so only the per-batch bound matters)
+    parts = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    sums = {k: 0 for k in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    for k, v in zip(parts["k"], parts["v"]):
+        sums[k] += int(v)
+    n, sx, sy, sxy, sxx, syy = (
+        sums["n"], sums["sx"], sums["sy"], sums["sxy"], sums["sxx"], sums["syy"]
+    )
+    # identical double expression to the SQL oracle: exact bigints cast
+    # to double once, then IEEE sqrt/divide — bit-reproducible
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    corr_1e9 = int(math.floor(num / den * 1e9)) if den > 0 else 0
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "corr_x1e9": pd.array([corr_1e9], dtype="int64"),
+            "sum_x": [str(sx)],
+            "sum_y": [str(sy)],
+            "sum_xy": [str(sxy)],
+            "sum_xx": [str(sxx)],
+            "sum_yy": [str(syy)],
+        }
+    )
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+           * CAST(l_quantity AS BIGINT)) AS sxy,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+           * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+           * CAST(l_quantity AS BIGINT)) AS syy
+  FROM lineitem)
+SELECT n,
+       CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+            / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+             * SQRT(CAST(n*syy - sy*sy AS DOUBLE))) * 1e9) AS BIGINT)
+         AS corr_x1e9,
+       CAST(sx AS VARCHAR) AS sum_x,
+       CAST(sy AS VARCHAR) AS sum_y,
+       CAST(sxy AS VARCHAR) AS sum_xy,
+       CAST(sxx AS VARCHAR) AS sum_xx,
+       CAST(syy AS VARCHAR) AS sum_yy
+FROM m
+"""
+
+
+# --- time-series gap filling -------------------------------------------------
+
+
+def events_gapfill_daily(sf_dir: str):
+    """Calendar gap-filling (resample): per-user DAILY event counts
+    with explicit zero rows for every missing day between the user's
+    first and last event — the dense-series input a forecasting /
+    feature pipeline needs. One user-keyed exchange; per block the
+    dense calendar is built vectorized (per-user spans via repeat +
+    offset arange, then a left merge of observed counts). Output size
+    is Σ user-spans (calendar-bounded), never touched by a second
+    shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # integer day numbers (days since epoch) — resolution-proof vs
+        # pandas' datetime64[us]/[ns] unit variance
+        df["day_num"] = (
+            df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        obs = (
+            df.groupby(["user_id", "day_num"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        b = obs.groupby("user_id", sort=True)["day_num"].agg(["min", "max"])
+        lo_d = b["min"].to_numpy()
+        hi_d = b["max"].to_numpy()
+        spans = (hi_d - lo_d + 1).astype(np.int64)
+        total = int(spans.sum())
+        # dense per-user day numbers: global arange minus per-user offset
+        starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, spans)
+        days = np.repeat(lo_d, spans) + idx
+        cal = pd.DataFrame(
+            {"user_id": np.repeat(b.index.to_numpy(), spans), "day_num": days}
+        )
+        out = cal.merge(obs, on=["user_id", "day_num"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        out["day"] = np.datetime_as_string(
+            out["day_num"].to_numpy().astype("datetime64[D]"), unit="D"
+        )
+        return from_pandas_clean(
+            out[["user_id", "day", "n"]], preserve_index=False
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+GAPFILL_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY user_id),
+cal AS (
+  SELECT b.user_id, CAST(u.g AS DATE) AS day
+  FROM b, UNNEST(generate_series(CAST(b.lo AS TIMESTAMP),
+                                 CAST(b.hi AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS u(g))
+SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0) AS n
+FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day
+"""

@@ -80,6 +80,8 @@ NEW_QUERIES = [
     "cohort_retention",
     "event_transitions",
     "orders_price_histogram",
+    "corr_price_quantity",
+    "events_gapfill_daily",
 ]
 
 
