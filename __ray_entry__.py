@@ -1636,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_histogram": R.orders_price_histogram,
         "corr_price_quantity": R.corr_price_quantity,
         "events_gapfill_daily": R.events_gapfill_daily,
+        "events_moving_7d_sum": R.events_moving_7d_sum,
+        "user_activity_trend": R.user_activity_trend,
         "embedding_neardup_pairs": _embedding_neardup,
         "semdedup_planted": _semdedup_planted,
         "dsir_planted": _dsir_planted,
@@ -1733,6 +1735,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_histogram": R.HISTOGRAM_SQL,
         "corr_price_quantity": R.CORR_SQL,
         "events_gapfill_daily": R.GAPFILL_SQL,
+        "events_moving_7d_sum": R.MOVING_7D_SQL,
+        "user_activity_trend": R.TREND_SQL,
         "kmeans_planted_purity": KMEANS_PLANTED_ORACLE,
         "doc_rarity_stats": DOC_RARITY_ORACLE,
         "oov_stats_docs": OOV_STATS_ORACLE,

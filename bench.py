@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "pca_embeddings",
     "corr_price_quantity",
     "events_gapfill_daily",
+    "events_moving_7d_sum",
+    "user_activity_trend",
 ]
 
 

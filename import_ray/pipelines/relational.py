@@ -4463,6 +4463,36 @@ FROM m
 # --- time-series gap filling -------------------------------------------------
 
 
+def _dense_daily_series(batch: pa.Table):
+    """Block kernel shared by the gap-fill family: (user_id, ts) rows →
+    dense per-user daily calendar df (user_id, day_num, n) with zero
+    rows for missing days, sorted by (user_id, day_num). Returns None
+    on an empty block. Day numbers are integer days-since-epoch
+    (resolution-proof vs pandas' datetime64[us]/[ns] unit variance)."""
+    df = batch.to_pandas()
+    if not len(df):
+        return None
+    df["day_num"] = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    obs = (
+        df.groupby(["user_id", "day_num"], sort=False).size().reset_index(name="n")
+    )
+    b = obs.groupby("user_id", sort=True)["day_num"].agg(["min", "max"])
+    lo_d = b["min"].to_numpy()
+    hi_d = b["max"].to_numpy()
+    spans = (hi_d - lo_d + 1).astype(np.int64)
+    total = int(spans.sum())
+    # dense per-user day numbers: global arange minus per-user offset
+    starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, spans)
+    days = np.repeat(lo_d, spans) + idx
+    cal = pd.DataFrame(
+        {"user_id": np.repeat(b.index.to_numpy(), spans), "day_num": days}
+    )
+    out = cal.merge(obs, on=["user_id", "day_num"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out
+
+
 def events_gapfill_daily(sf_dir: str):
     """Calendar gap-filling (resample): per-user DAILY event counts
     with explicit zero rows for every missing day between the user's
@@ -4475,8 +4505,8 @@ def events_gapfill_daily(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def per_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        out = _dense_daily_series(batch)
+        if out is None:
             return pa.table(
                 {
                     "user_id": pa.array([], pa.int64()),
@@ -4484,30 +4514,6 @@ def events_gapfill_daily(sf_dir: str):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        # integer day numbers (days since epoch) — resolution-proof vs
-        # pandas' datetime64[us]/[ns] unit variance
-        df["day_num"] = (
-            df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        )
-        obs = (
-            df.groupby(["user_id", "day_num"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        b = obs.groupby("user_id", sort=True)["day_num"].agg(["min", "max"])
-        lo_d = b["min"].to_numpy()
-        hi_d = b["max"].to_numpy()
-        spans = (hi_d - lo_d + 1).astype(np.int64)
-        total = int(spans.sum())
-        # dense per-user day numbers: global arange minus per-user offset
-        starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
-        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, spans)
-        days = np.repeat(lo_d, spans) + idx
-        cal = pd.DataFrame(
-            {"user_id": np.repeat(b.index.to_numpy(), spans), "day_num": days}
-        )
-        out = cal.merge(obs, on=["user_id", "day_num"], how="left")
-        out["n"] = out["n"].fillna(0).astype("int64")
         out["day"] = np.datetime_as_string(
             out["day_num"].to_numpy().astype("datetime64[D]"), unit="D"
         )
@@ -4536,4 +4542,155 @@ cal AS (
 SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
        COALESCE(d.n, 0) AS n
 FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day
+"""
+
+
+def events_moving_7d_sum(sf_dir: str):
+    """Windowed aggregate over a REGULAR series: per-user trailing
+    7-day event-count sum at every day of the user's dense (gap-filled)
+    calendar. Same single user-keyed exchange as the gap-fill; the
+    window itself is a cumsum-difference over each user's contiguous
+    span (vectorized, O(rows))."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        out = _dense_daily_series(batch)
+        if out is None:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.string()),
+                    "sum_7d": pa.array([], pa.int64()),
+                }
+            )
+        n = out["n"].to_numpy()
+        uid = out["user_id"].to_numpy()
+        csum = np.cumsum(n)
+        # subtract the cumsum 7 positions back, clamped to each user's
+        # span start (rows are (user, day)-sorted and contiguous)
+        first_idx = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+        )
+        user_start = np.repeat(first_idx, np.diff(np.append(first_idx, len(uid))))
+        back = np.arange(len(n)) - 7
+        start_base = csum[user_start] - n[user_start]
+        win = csum - np.where(back >= user_start, csum[np.maximum(back, 0)], start_base)
+        out["sum_7d"] = win.astype(np.int64)
+        out["day"] = np.datetime_as_string(
+            out["day_num"].to_numpy().astype("datetime64[D]"), unit="D"
+        )
+        return from_pandas_clean(
+            out[["user_id", "day", "sum_7d"]], preserve_index=False
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+MOVING_7D_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY user_id),
+cal AS (
+  SELECT b.user_id, CAST(u.g AS DATE) AS day
+  FROM b, UNNEST(generate_series(CAST(b.lo AS TIMESTAMP),
+                                 CAST(b.hi AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS u(g)),
+dense AS (
+  SELECT cal.user_id, cal.day, COALESCE(d.n, 0) AS n
+  FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
+                         ROWS 6 PRECEDING) AS BIGINT) AS sum_7d
+FROM dense
+"""
+
+
+def user_activity_trend(sf_dir: str):
+    """Per-user linear activity trend: least-squares slope of daily
+    event count vs day over each user's dense calendar, from EXACT
+    integer moments per user (slope floor-scaled ×1e9 with the same
+    double expression as the SQL oracle — bit-reproducible). One
+    user-keyed exchange; per-block segmented reduceat moments, no
+    per-user Python loop."""
+    import math
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        out = _dense_daily_series(batch)
+        if out is None:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_days": pa.array([], pa.int64()),
+                    "slope_x1e9": pa.array([], pa.int64()),
+                }
+            )
+        uid = out["user_id"].to_numpy()
+        # center t per user at the span start so Σt² stays small/exact
+        t = out["day_num"].to_numpy()
+        y = out["n"].to_numpy()
+        first_idx = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        seg_len = np.diff(np.append(first_idx, len(uid)))
+        t0 = np.repeat(t[first_idx], seg_len)
+        tt = t - t0
+        n = seg_len.astype(np.int64)
+        st = np.add.reduceat(tt, first_idx)
+        sy = np.add.reduceat(y, first_idx)
+        sty = np.add.reduceat(tt * y, first_idx)
+        stt = np.add.reduceat(tt * tt, first_idx)
+        num = (n * sty - st * sy).astype(np.float64)
+        den = (n * stt - st * st).astype(np.float64)
+        slope = np.zeros(len(n))
+        nz = den > 0
+        slope[nz] = num[nz] / den[nz]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first_idx].astype(np.int64), pa.int64()),
+                "n_days": pa.array(n, pa.int64()),
+                "slope_x1e9": pa.array(
+                    np.floor(slope * 1e9).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+TREND_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY user_id),
+cal AS (
+  SELECT b.user_id, CAST(u.g AS DATE) AS day
+  FROM b, UNNEST(generate_series(CAST(b.lo AS TIMESTAMP),
+                                 CAST(b.hi AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS u(g)),
+dense AS (
+  SELECT cal.user_id, cal.day, COALESCE(d.n, 0) AS n,
+         CAST(cal.day - MIN(cal.day) OVER (PARTITION BY cal.user_id)
+              AS BIGINT) AS t
+  FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day),
+m AS (
+  SELECT user_id, COUNT(*) AS n_days,
+         SUM(t) AS st, SUM(n) AS sy, SUM(t*n) AS sty, SUM(t*t) AS stt
+  FROM dense GROUP BY user_id)
+SELECT user_id, n_days,
+       CASE WHEN n_days*stt - st*st > 0
+            THEN CAST(FLOOR(CAST(n_days*sty - st*sy AS DOUBLE)
+                          / CAST(n_days*stt - st*st AS DOUBLE) * 1e9) AS BIGINT)
+            ELSE 0 END AS slope_x1e9
+FROM m
 """

@@ -82,6 +82,8 @@ NEW_QUERIES = [
     "orders_price_histogram",
     "corr_price_quantity",
     "events_gapfill_daily",
+    "events_moving_7d_sum",
+    "user_activity_trend",
 ]
 
 
