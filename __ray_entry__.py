@@ -834,6 +834,40 @@ def _pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, k=8)
 
 
+def _kg_sorted_export(sf_dir: str):
+    """Range-partitioned globally-sorted triple export for serving:
+    sampled boundaries → bucket tag → ONE keyed exchange → per-block
+    sort → bucket=K/ parquet + key-range manifest. Returns the manifest
+    as rows (bucket, min_key, max_key, rows)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.range_export import write_sorted_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    path = ensure_transcripts(sf_dir)
+    out = tempfile.mkdtemp(prefix="kg_sorted_export_")
+    try:
+        manifest = write_sorted_triples(
+            build_triples(path), out, n_buckets=8
+        )
+        rows = [
+            {
+                "bucket": int(k),
+                "min_key": v["min_key"],
+                "max_key": v["max_key"],
+                "rows": int(v["rows"]),
+            }
+            for k, v in manifest["buckets"].items()
+        ]
+        return pd.DataFrame(sorted(rows, key=lambda r: r["bucket"]))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _ivf_knn(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1648,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_series_groups": _events_series,
         "config_import_obs": _config_import_obs,
         "kg_transcript_triples": _kg_transcript_triples,
+        "kg_sorted_export": _kg_sorted_export,
         "kg_triple_diff": _kg_triple_diff,
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_entity_components": _kg_entity_components,
