@@ -251,6 +251,74 @@ SELECT node, ancestor, depth FROM anc
 """
 
 
+def _sssp_parts(sf_dir: str):
+    """Weighted multi-source shortest paths (semi-naive distributed
+    Bellman-Ford: improved-frontier ⋈ edges per round + node-keyed
+    packed-min fold) over a deterministic weighted DAG derived from
+    ``part``: p → p//10 (w = p%7+1) and p → p//13 (w = p%5+3); roots
+    are nodes < 10."""
+    import pyarrow as pa
+
+    from import_ray.stages.graph import weighted_sssp
+
+    parts = _read_table(sf_dir, "part", ["p_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = p[p >= 10]
+        c = p[p >= 13]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, c])),
+                "dst": pa.array(np.concatenate([a // 10, c // 13])),
+                "w": pa.array(np.concatenate([a % 7 + 1, c % 5 + 3])),
+            }
+        )
+
+    return weighted_sssp(
+        parts.map_batches(edges, batch_format="pyarrow"), roots=range(10)
+    ).sort("node")
+
+
+SSSP_PARTS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS src, p_partkey // 10 AS dst, p_partkey % 7 + 1 AS w
+  FROM part WHERE p_partkey >= 10
+  UNION ALL
+  SELECT p_partkey, p_partkey // 13, p_partkey % 5 + 3
+  FROM part WHERE p_partkey >= 13
+), d AS (
+  SELECT src AS node, CAST(w AS BIGINT) AS dist FROM e WHERE dst < 10
+  UNION ALL
+  SELECT e.src, d.dist + e.w FROM d JOIN e ON e.dst = d.node
+)
+SELECT node, MIN(dist) AS dist FROM d GROUP BY node ORDER BY node
+"""
+
+
+def _conv_reconstruct(sf_dir: str):
+    """Ordered conversation reconstruction: per-conv full text joined in
+    exact turn_idx order (the per-turn text-equality invariant as an
+    operator) — conv-keyed exchange + one vectorized binary_join per
+    block."""
+    from import_ray.pipelines.kg import reconstruct_conversations
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return reconstruct_conversations(ensure_transcripts(sf_dir))
+
+
+def _conv_dedup_exact(sf_dir: str):
+    """Conversation-level exact dedup: byte-identical ordered
+    (role, text) sequences collapse to the min conv_id (128-bit content
+    keys; bodies shuffle once)."""
+    from import_ray.pipelines.kg import conv_dedup_exact
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return conv_dedup_exact(ensure_transcripts(sf_dir))
+
+
 def _kg_communities(sf_dir: str):
     """Community detection over the entity co-mention graph: synchronous
     distributed label propagation (per-round labels⋈edges hash join +
@@ -1697,6 +1765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_communities": _kg_communities,
         "kg_ancestors": _kg_ancestors,
+        "sssp_parts": _sssp_parts,
+        "conv_reconstruct": _conv_reconstruct,
+        "conv_dedup_exact": _conv_dedup_exact,
+        "user_event_paths": R.user_event_paths,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
@@ -1786,6 +1858,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_repetition_docs": BIGRAM_REPETITION_ORACLE,
         "cross_dup_docs": CROSS_DUP_ORACLE,
         "kg_ancestors": KG_ANCESTORS_SQL,
+        "sssp_parts": SSSP_PARTS_SQL,
+        "user_event_paths": R.USER_EVENT_PATHS_SQL,
         "skyline_orders": R.SKYLINE_SQL,
         "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,

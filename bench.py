@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "events_gapfill_daily",
     "events_moving_7d_sum",
     "user_activity_trend",
+    "user_event_paths",
+    "conv_dedup_exact",
 ]
 
 

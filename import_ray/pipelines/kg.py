@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from import_ray.stages.dedup import exact_dedup_triples
 from import_ray.stages.extract import (
@@ -431,3 +432,144 @@ def kg_snapshot_asof(
         return batch.filter(pc.less_equal(batch["ts"], cut))
 
     return build_triples(transcripts_path, conv_filter=upto)
+
+
+def reconstruct_conversations(transcripts_path: str | list[str], sep: str = "\n"):
+    """Ordered conversation reconstruction: one row per conversation with
+    its turns' texts joined in EXACT ``turn_idx`` order — the
+    per-turn-text-equality-under-stable-ordering invariant (BASELINE
+    input_hint) made into an operator. The training-corpus shape: a
+    conversation becomes one document.
+
+    Shape: ONE conv-keyed exchange co-locates each conversation's turns
+    (a conversation must fit a block — the same mega-conversation bound
+    the extractor's skew guard documents), then per block: mergesort on
+    (conv_id, turn_idx), run-length segmentation, and a single
+    ``pyarrow.compute.binary_join`` over a zero-copy ListArray view.
+    Output is conversation-grain and stays a Dataset.
+
+    Returns (conv_id, n_turns, full_text:large_string).
+    """
+    import ray.data
+
+    from import_ray.core.context import configure_data_context, data_nparts
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "full_text": pa.array([], pa.large_string()),
+                }
+            )
+        conv = df["conv_id"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(df)))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        vals = pa.array(df["text"].to_numpy(dtype=object), pa.large_string())
+        runs = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(counts.astype(np.int64), pa.int64()),
+                "full_text": pc.binary_join(runs, pa.scalar(sep, pa.large_string())),
+            }
+        )
+
+    return ds.repartition(n, keys=["conv_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def conv_dedup_exact(transcripts_path: str | list[str]):
+    """Conversation-level exact dedup: conversations whose FULL ordered
+    (role, text) turn sequence is byte-identical collapse to one winner
+    (min conv_id) — node canonicalization at conversation grain, the
+    corpus-level twin of the triple dedup.
+
+    Shape: reconstruct per-conv canonical strings (conv-keyed exchange,
+    vectorized join of ``role␟text`` turn units), hash each to a
+    128-bit content key (two independent seeded hashes — only 16 B/row
+    + the conv_id ever reaches the second exchange), then a
+    (h1, h2)-keyed min fold picks winners. Bodies never shuffle twice.
+
+    Returns (conv_id, n_dups): one row per surviving conversation with
+    its duplicate-group size.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from import_ray.core.context import (
+        configure_data_context,
+        data_nparts,
+        ensure_hash_shuffle,
+        join_safe,
+    )
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+
+    def content_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "h1": pa.array([], pa.uint64()),
+                    "h2": pa.array([], pa.uint64()),
+                }
+            )
+        conv = df["conv_id"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(df)))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        unit = pc.binary_join_element_wise(
+            pc.cast(pa.array(df["role"].to_numpy(dtype=object)), pa.large_string()),
+            pc.cast(pa.array(df["text"].to_numpy(dtype=object)), pa.large_string()),
+            pa.scalar("\x1f", pa.large_string()),
+        )
+        runs = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), unit)
+        body = pc.binary_join(runs, pa.scalar("\x1e", pa.large_string()))
+        arr = body.to_pandas().to_numpy(dtype=object)
+        # int64 views: Ray's hash-shuffle block conversion rejects uint64
+        h1 = pd.util.hash_array(arr, hash_key="0123456789123456").view(np.int64)
+        h2 = pd.util.hash_array(arr, hash_key="6543210987654321").view(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+            }
+        )
+
+    ensure_hash_shuffle(ds)
+    keys = ds.repartition(n, keys=["conv_id"]).map_batches(
+        content_keys, batch_format="pyarrow", batch_size=None
+    )
+    winners = join_safe(
+        keys.groupby(["h1", "h2"], num_partitions=n).aggregate(
+            Min("conv_id", alias_name="conv_id"),
+            Count(alias_name="n_dups"),
+        )
+    )
+    return winners.select_columns(["conv_id", "n_dups"])

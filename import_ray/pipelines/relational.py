@@ -4694,3 +4694,63 @@ SELECT user_id, n_days,
             ELSE 0 END AS slope_x1e9
 FROM m
 """
+
+
+# --- ordered string aggregation (sequence reconstruction) ---------------------
+
+
+def user_event_paths(sf_dir: str):
+    """Ordered string aggregation (SQL ``STRING_AGG(... ORDER BY ...)``):
+    each user's full event-type journey as one delimited string in
+    exact (ts, event_id) order — the sequence-reconstruction primitive
+    behind session mining and behavioral modeling.
+
+    Shape: ONE user-keyed exchange co-locates each user's rows, then a
+    per-block mergesort + run-length segmentation + a single
+    ``pyarrow.compute.binary_join`` over a zero-copy ListArray view —
+    the concatenation is one Arrow kernel call per block, no per-user
+    Python join. Output rows are user-grain (#users ≪ #events), so
+    nothing ever materializes on the driver.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        uid = df["user_id"].to_numpy()
+        if not len(df):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        counts = np.diff(np.append(starts, len(uid)))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        vals = pa.array(df["event_type"].to_numpy(dtype=object), pa.string())
+        runs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "path": pc.binary_join(runs, ">"),
+            }
+        )
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+USER_EVENT_PATHS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events
+GROUP BY user_id
+"""

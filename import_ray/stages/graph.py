@@ -1293,3 +1293,110 @@ def ancestor_closure(edges_ds, max_depth: int = 32):
         if delta.count() == 0:
             break
     return closure
+
+
+def weighted_sssp(edges_ds, roots, max_rounds: int = 32):
+    """Distributed single/multi-source shortest paths over directed
+    ``(src, dst, w)`` int64 edges with POSITIVE integer weights:
+    min total weight from every node to its nearest root, following
+    edges forward (the ``WITH RECURSIVE`` min-distance query, evaluated
+    as semi-naive Bellman-Ford).
+
+    ``roots`` is a small broadcastable collection of root node ids
+    (shipped in the kernel closure; at larger root sets switch the base
+    case to a semi-join). Per round: only the IMPROVED frontier ⋈ edges
+    (hash join on 8-byte keys) extends paths, then ONE node-keyed min
+    fold. Improvement tracking rides inside the fold: distances are
+    packed as ``dist * K + round`` (K > max_rounds), so the min also
+    selects the earliest round among equal distances and the new delta
+    is exactly the rows whose packed round == this round — no
+    before/after join. Terminates after graph-depth rounds on DAGs (or
+    ``max_rounds``, the negative-free cycle guard — cycles only revisit
+    with larger dist, so folds converge).
+
+    Returns (node, dist). Roots themselves are not emitted (their
+    distance is 0 by definition).
+    """
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+    K = int(max_rounds) + 2
+    root_arr = np.unique(np.asarray(list(roots), dtype=np.int64))
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["src"], pa.int64()),
+                "dst": pc.cast(b["dst"], pa.int64()),
+                "w": pc.cast(b["w"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def base(b: pa.Table) -> pa.Table:
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        hit = np.isin(dst, root_arr)
+        w = b["w"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table(
+            {
+                "node": pa.array(b["src"].to_numpy(zero_copy_only=False)[hit]),
+                "packed": pa.array(w * K + 1, pa.int64()),
+            }
+        )
+
+    dist = join_safe(
+        edges.map_batches(base, batch_format="pyarrow")
+        .groupby("node", num_partitions=n)
+        .aggregate(Min("packed", alias_name="packed"))
+    ).materialize()
+    delta = dist
+    for rnd in range(2, int(max_rounds) + 1):
+        ext = join_safe(
+            delta.join(
+                edges,
+                join_type="inner",
+                num_partitions=n,
+                on=("node",),
+                right_on=("dst",),
+            )
+        )
+
+        def step(b: pa.Table, _r=rnd) -> pa.Table:
+            d = b["packed"].to_numpy(zero_copy_only=False) // K
+            w = b["w"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b["src"],
+                    "packed": pa.array((d + w) * K + _r, pa.int64()),
+                }
+            )
+
+        candidates = ext.map_batches(step, batch_format="pyarrow")
+        dist = join_safe(
+            dist.union(candidates)
+            .groupby("node", num_partitions=n)
+            .aggregate(Min("packed", alias_name="packed"))
+        ).materialize()
+        def improved(b: pa.Table, _r=rnd) -> pa.Table:
+            packed = b["packed"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(packed % K == _r))
+
+        delta = join_safe(dist.map_batches(improved, batch_format="pyarrow"))
+        if delta.count() == 0:
+            break
+
+    def unpack(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "dist": pa.array(
+                    b["packed"].to_numpy(zero_copy_only=False) // K, pa.int64()
+                ),
+            }
+        )
+
+    return dist.map_batches(unpack, batch_format="pyarrow")
