@@ -309,6 +309,17 @@ def _conv_reconstruct(sf_dir: str):
     return reconstruct_conversations(ensure_transcripts(sf_dir))
 
 
+def _tool_transitions(sf_dir: str):
+    """Agent tool-call chain mining: (prev_tool, next_tool) transition
+    counts over each conversation's ordered tool-invocation sequence
+    (chat turns skipped) — conv-keyed exchange + per-block vectorized
+    shift, #tools² driver sum."""
+    from import_ray.pipelines.kg import tool_transitions
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return tool_transitions(ensure_transcripts(sf_dir))
+
+
 def _conv_dedup_exact(sf_dir: str):
     """Conversation-level exact dedup: byte-identical ordered
     (role, text) sequences collapse to the min conv_id (128-bit content
@@ -1768,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parts": _sssp_parts,
         "conv_reconstruct": _conv_reconstruct,
         "conv_dedup_exact": _conv_dedup_exact,
+        "tool_transitions": _tool_transitions,
         "user_event_paths": R.user_event_paths,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,

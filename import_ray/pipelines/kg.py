@@ -573,3 +573,79 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
         )
     )
     return winners.select_columns(["conv_id", "n_dups"])
+
+
+def tool_transitions(transcripts_path: str | list[str]):
+    """Agent tool-call chain mining: first-order transition counts over
+    each conversation's SEQUENCE of tool invocations in exact turn_idx
+    order (turns with no tool are skipped, so "search → calculator"
+    counts even with chat turns between them) — the Markov fit over
+    agent behavior, the transcripts-surface twin of
+    ``relational.event_transitions``.
+
+    Shape: ONE conv-keyed exchange (rows are conv hash + tool + turn
+    idx; text never ships), per-block mergesort + vectorized shift,
+    per-block (prev_tool, next_tool) partial counts, driver sum of the
+    tiny #tools² matrix. Returns pandas (prev_tool, next_tool, n).
+    """
+    import pandas as pd
+    import ray.data
+
+    from import_ray.core.arrowutil import from_pandas_clean
+    from import_ray.core.context import (
+        configure_data_context,
+        data_nparts,
+        ensure_hash_shuffle,
+    )
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "tool"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["tool"].notna() & (df["tool"] != "")]
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        empty = pa.table(
+            {
+                "prev_tool": pa.array([], pa.string()),
+                "next_tool": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(df):
+            return empty
+        conv = df["conv_id"].to_numpy(dtype=object)
+        tool = df["tool"].to_numpy(dtype=object)
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        if not same.any():
+            return empty
+        g = (
+            pd.DataFrame(
+                {
+                    "prev_tool": np.concatenate(([None], tool[:-1]))[same],
+                    "next_tool": tool[same],
+                }
+            )
+            .groupby(["prev_tool", "next_tool"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    ensure_hash_shuffle(ds)
+    parts = (
+        ds.repartition(n, keys=["conv_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["prev_tool", "next_tool"], sort=True)["n"].sum().reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out

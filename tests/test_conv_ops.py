@@ -213,3 +213,54 @@ def test_weighted_sssp_random_graph_matches_driver(ray_session):
         .itertuples()
     }
     assert got == _sssp_driver(edges, roots)
+
+
+def test_tool_transitions_planted(ray_session, tmp_path):
+    from import_ray.pipelines.kg import tool_transitions
+
+    # c1 tool sequence in turn order: search, calculator, search —
+    # turn 2 is a chat turn and must be skipped, so the pairs are
+    # (search, calculator) and (calculator, search);
+    # c2: browser only (no pair); c3 written OUT of turn order — its
+    # (search, browser) pair must follow turn_idx, not input order
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1", "c1", "c2", "c3", "c3"],
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int32()),
+            "tool": ["search", "calculator", None, "search", "browser",
+                     "browser", "search"],
+        }
+    )
+    p = str(tmp_path / "tools.parquet")
+    pq.write_table(tbl, p)
+    got = tool_transitions(p)
+    want = {
+        ("search", "calculator"): 1,
+        ("calculator", "search"): 1,
+        ("search", "browser"): 1,
+    }
+    assert {
+        (r.prev_tool, r.next_tool): int(r.n) for r in got.itertuples()
+    } == want
+
+
+def test_tool_transitions_bulk_matches_pandas(ray_session, sf_small):
+    from import_ray.pipelines.kg import tool_transitions
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    path = ensure_transcripts(sf_small)
+    got = tool_transitions(path)
+
+    df = pq.read_table(path, columns=["conv_id", "turn_idx", "tool"]).to_pandas()
+    df = df[df["tool"].notna() & (df["tool"] != "")]
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    prev = df.groupby("conv_id")["tool"].shift(1)
+    pairs = pd.DataFrame({"prev_tool": prev, "next_tool": df["tool"]}).dropna()
+    want = (
+        pairs.groupby(["prev_tool", "next_tool"], sort=True)
+        .size()
+        .reset_index(name="n")
+    )
+    assert got.reset_index(drop=True).astype(str).equals(
+        want.astype({"n": "int64"}).reset_index(drop=True).astype(str)
+    )
