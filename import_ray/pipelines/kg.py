@@ -510,13 +510,11 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
     """
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Count, Min
 
     from import_ray.core.context import (
         configure_data_context,
         data_nparts,
         ensure_hash_shuffle,
-        join_safe,
     )
 
     configure_data_context()
@@ -562,17 +560,25 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
             }
         )
 
+    def winner_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["h1", "h2"], sort=False)["conv_id"]
+            .agg(conv_id="min", n_dups="size")
+            .reset_index(drop=True)
+        )
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     ensure_hash_shuffle(ds)
     keys = ds.repartition(n, keys=["conv_id"]).map_batches(
         content_keys, batch_format="pyarrow", batch_size=None
     )
-    winners = join_safe(
-        keys.groupby(["h1", "h2"], num_partitions=n).aggregate(
-            Min("conv_id", alias_name="conv_id"),
-            Count(alias_name="n_dups"),
-        )
+    # second exchange ships only (16 B keys + conv_id); the block-local
+    # pandas fold replaces a groupby().aggregate() aggregator pool
+    return keys.repartition(n, keys=["h1"]).map_batches(
+        winner_block, batch_format="pyarrow", batch_size=None
     )
-    return winners.select_columns(["conv_id", "n_dups"])
 
 
 def tool_transitions(transcripts_path: str | list[str]):
