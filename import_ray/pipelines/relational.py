@@ -3699,19 +3699,27 @@ GROUP BY n_name, o_year
 # --- q11 shape: global-share threshold over grouped value (TPC-H Q11) --------
 
 
-def q11_important_parts(sf_dir: str, region: str = "ASIA", mult: float = 2.0):
+def q11_important_parts(
+    sf_dir: str,
+    region: str = "ASIA",
+    mult: float = 2.0,
+    broadcast_limit: int = 2_000_000,
+):
     """TPC-H Q11 shape: per-part shipped value for suppliers in `region`,
     keeping parts whose value exceeds `mult`× the mean per-part value
     (the global-share threshold; TPC-H's FRACTION is SF-dependent, the
     mean-multiple is scale-free).
 
-    Plan: supplier scales with SF → region filter via broadcast
-    nation/region arrays, then a distributed semi-join on suppkey
-    (only 8-byte keys shuffle) → in-batch per-part partial sums → ONE
-    partkey exchange → the grand total + part count reduce to two
-    driver scalars (the Q11 HAVING subquery) → broadcast threshold
-    filter. The wide rows never move; only (partkey, cents) pairs
-    shuffle."""
+    Plan: region filter via broadcast nation/region arrays, then —
+    while the filtered suppkey set fits the broadcast budget — an
+    in-batch ``np.isin`` semi-filter fused with the per-part partial
+    sums, so the ONLY exchange in the whole query is the final partkey
+    fold; past the budget the semi-filter falls back to a distributed
+    hash semi-join on 8-byte keys. Grand total + part count reduce to
+    two driver scalars (the Q11 HAVING subquery) → broadcast threshold
+    filter. Wide rows never move; only (partkey, cents) pairs shuffle."""
+    import ray
+
     _, nk_region = _nation_region_arrays(sf_dir)
 
     def region_supp(batch: pa.Table) -> pa.Table:
@@ -3729,29 +3737,30 @@ def q11_important_parts(sf_dir: str, region: str = "ASIA", mult: float = 2.0):
     )
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    n = _np_for(li)
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    supp_ref = None
+    if supp.count() <= broadcast_limit:
+        skeys = np.sort(supp.to_pandas()["s_suppkey"].to_numpy())
+        supp_ref = ray.put(skeys)
+
+    def partial_bcast(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keys = ray.get(supp_ref)
+        pos = np.clip(np.searchsorted(keys, sk), 0, len(keys) - 1)
+        keep = keys[pos] == sk
+        df = pd.DataFrame(
             {
-                "l_partkey": batch["l_partkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "value_cents": pa.array(
-                    _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
-                    pa.int64(),
+                "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False)[keep],
+                "value_cents": _cents(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
                 ),
             }
         )
+        g = df.groupby("p_partkey", sort=False)["value_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
 
-    n = _np_for(li)
-    j = li.map_batches(to_cents, batch_format="pyarrow").join(
-        supp,
-        join_type="inner",
-        num_partitions=n,
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
+    def partial_join(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
@@ -3761,12 +3770,44 @@ def q11_important_parts(sf_dir: str, region: str = "ASIA", mult: float = 2.0):
         g = df.groupby("p_partkey", sort=False)["value_cents"].sum().reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    if supp_ref is not None:
+        partials = li.map_batches(partial_bcast, batch_format="pyarrow")
+    else:
 
-    value = (
-        j.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_partkey", num_partitions=n)
-        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        def to_cents(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": batch["l_partkey"],
+                    "l_suppkey": batch["l_suppkey"],
+                    "value_cents": pa.array(
+                        _cents(
+                            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        partials = li.map_batches(to_cents, batch_format="pyarrow").join(
+            supp,
+            join_type="inner",
+            num_partitions=n,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ).map_batches(partial_join, batch_format="pyarrow")
+
+    # final fold as repartition + block-local sum (no groupby aggregator
+    # pool spin-up; partials are ≤ #parts × #blocks rows of 16 B)
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("p_partkey", sort=False)["value_cents"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(partials)
+    value = partials.repartition(n, keys=["p_partkey"]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
     )
 
     def totals(batch: pa.Table) -> pa.Table:
