@@ -2677,14 +2677,40 @@ def q21_sole_return_suppliers(sf_dir: str):
         .map_batches(supp_sum, batch_format="pyarrow", batch_size=None)
     )
 
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    j = per_supp.join(
-        sup,
-        join_type="inner",
-        num_partitions=max(4, n // 4),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-    )
+    import ray
+
+    from import_ray.core.context import join_safe
+
+    sup = join_safe(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    sup_ref = None
+    if sup.count() <= 2_000_000:
+        sdf = sup.to_pandas().sort_values("s_suppkey")
+        sup_ref = ray.put(
+            (sdf["s_suppkey"].to_numpy(), sdf["s_name"].to_numpy(dtype=object))
+        )
+    if sup_ref is not None:
+
+        def attach_names(batch: pa.Table) -> pa.Table:
+            keys, names = ray.get(sup_ref)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, sk), 0, len(keys) - 1)
+            keep = keys[pos] == sk
+            t = batch.filter(pa.array(keep))
+            return t.append_column(
+                "s_name", pa.array(names[pos[keep]], pa.string())
+            )
+
+        # supplier names broadcast (dim-scale budget): the name attach is
+        # a per-batch searchsorted lookup — no join exchange
+        j = per_supp.map_batches(attach_names, batch_format="pyarrow")
+    else:
+        j = per_supp.join(
+            sup,
+            join_type="inner",
+            num_partitions=max(4, n // 4),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
 
     def block_top100(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
