@@ -563,8 +563,12 @@ def _minhash_planted_clusters(sf_dir: str):
             "src_id", pc.subtract(b["doc_id"], pa.scalar(_PLANT_OFFSET, pa.int64()))
         )
 
-    joined = copies.map_batches(with_src, batch_format="pyarrow").join(
-        sources,
+    from import_ray.core.context import join_safe
+
+    # filters can emit schema-less empty blocks that poison the join's
+    # key resolution (flaky by key hashing); join_safe drops them
+    joined = join_safe(copies.map_batches(with_src, batch_format="pyarrow")).join(
+        join_safe(sources),
         join_type="inner",
         num_partitions=npartitions(),
         on=("src_id",),
@@ -699,8 +703,10 @@ def _lm_perplexity_planted(sf_dir: str):
         lambda b: pa.table({"src_id": b["doc_id"], "src_ppl": b["ppl"]}),
         batch_format="pyarrow",
     )
-    joined = copies.join(
-        sources, join_type="inner", num_partitions=npartitions(), on=("src_id",)
+    from import_ray.core.context import join_safe
+
+    joined = join_safe(copies).join(
+        join_safe(sources), join_type="inner", num_partitions=npartitions(), on=("src_id",)
     )
     return joined.map_batches(
         lambda b: pa.table(
@@ -851,8 +857,10 @@ def _fingerprint_planted(sf_dir: str):
         lambda b: pa.table({"src_id": b["doc_id"], "fp_src": b["fingerprint"]}),
         batch_format="pyarrow",
     )
-    joined = copies.join(
-        sources, join_type="inner", num_partitions=npartitions(), on=("src_id",)
+    from import_ray.core.context import join_safe
+
+    joined = join_safe(copies).join(
+        join_safe(sources), join_type="inner", num_partitions=npartitions(), on=("src_id",)
     )
     return joined.map_batches(
         lambda b: pa.table(
