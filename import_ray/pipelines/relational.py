@@ -2623,7 +2623,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 # --- q21 shape: sole-fault supplier via exists / not-exists on one fact ------
 
 
-def q21_sole_return_suppliers(sf_dir: str):
+def q21_sole_return_suppliers(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Suppliers who were the ONLY supplier with returned ('R') items in
     a multi-supplier order (TPC-H Q21's exists/not-exists shape on a
     single fact table): per-block distinct (orderkey, suppkey, has_r)
@@ -2683,7 +2683,7 @@ def q21_sole_return_suppliers(sf_dir: str):
 
     sup = join_safe(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
     sup_ref = None
-    if sup.count() <= 2_000_000:
+    if sup.count() <= broadcast_limit:
         sdf = sup.to_pandas().sort_values("s_suppkey")
         sup_ref = ray.put(
             (sdf["s_suppkey"].to_numpy(), sdf["s_name"].to_numpy(dtype=object))

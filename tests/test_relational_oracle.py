@@ -190,3 +190,19 @@ def test_q20_join_fallback_matches_broadcast(ray_session, sf_small):
     a = _canon(_to_pandas(q20_dominant_part_suppliers(sf_small)))
     b = _canon(_to_pandas(q20_dominant_part_suppliers(sf_small, broadcast_limit=0)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_q11_join_fallback_matches_broadcast(ray_session, sf_small):
+    from import_ray.pipelines.relational import q11_important_parts
+
+    a = _canon(_to_pandas(q11_important_parts(sf_small)))
+    b = _canon(_to_pandas(q11_important_parts(sf_small, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_q21_join_fallback_matches_broadcast(ray_session, sf_small):
+    from import_ray.pipelines.relational import q21_sole_return_suppliers
+
+    a = _canon(_to_pandas(q21_sole_return_suppliers(sf_small)))
+    b = _canon(_to_pandas(q21_sole_return_suppliers(sf_small, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
