@@ -106,6 +106,21 @@ def _kg_pagerank(sf_dir: str):
     return ranks.sort("rank", descending=True).limit(20)
 
 
+def _kg_hits(sf_dir: str):
+    """Entity hubs & authorities: distributed HITS over the KG
+    entity-reference graph (per half-step: edges⋈scores hash join +
+    grouped sum + scalar L2 normalization). Returns the top 20
+    entities by authority. Parity vs a dense same-semantics iteration
+    is pinned in tests/test_graph.py."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import entity_edges, hits
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    scores = hits(entity_edges(triples), iterations=5)
+    return scores.sort("authority", descending=True).limit(20)
+
+
 def _kg_triangles(sf_dir: str):
     """Triangle count over the entity CO-MENTION graph (entities
     sharing a conversation), via degree-oriented wedge closing —
@@ -1774,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_entity_components": _kg_entity_components,
         "kg_pagerank": _kg_pagerank,
+        "kg_hits": _kg_hits,
         "kg_triangles": _kg_triangles,
         "kg_co_mention_pmi": _kg_co_mention_pmi,
         "kg_turn_latency": _kg_turn_latency,
@@ -1789,6 +1805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dedup_exact": _conv_dedup_exact,
         "tool_transitions": _tool_transitions,
         "user_event_paths": R.user_event_paths,
+        "quantity_moments_by_flag": R.quantity_moments_by_flag,
+        "order_part_jaccard": R.order_part_jaccard,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
@@ -1880,6 +1898,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ancestors": KG_ANCESTORS_SQL,
         "sssp_parts": SSSP_PARTS_SQL,
         "user_event_paths": R.USER_EVENT_PATHS_SQL,
+        "quantity_moments_by_flag": R.MOMENTS_SQL,
+        "order_part_jaccard": R.ORDER_JACCARD_SQL,
         "skyline_orders": R.SKYLINE_SQL,
         "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,

@@ -4821,3 +4821,293 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+# --- grouped higher moments: skewness / kurtosis from exact integer sums ------
+
+
+def quantity_moments_by_flag(sf_dir: str):
+    """Grouped skewness + excess kurtosis of ``l_quantity`` per
+    ``l_returnflag`` from EXACT integer raw-moment sums.
+
+    Distributed shape (same technique as :func:`corr_price_quantity`,
+    extended to grouped 3rd/4th moments): every batch pre-aggregates
+    (n, Σq, Σq², Σq³, Σq⁴) per group with one Arrow ``group_by`` — the
+    keyed exchange then moves ≤ #groups rows per batch, never data rows.
+    The standardized moments are derived per group from the exact
+    bigint sums with the SAME double expression the SQL oracle uses
+    (single division + IEEE sqrt — bit-reproducible), floor-scaled
+    ×1e9 into int64.
+
+    Int64 bounds: q ≤ 50 so Σq⁴ ≤ 6.25e6/row — the global per-group
+    sums stay < 2⁶³ up to ~10¹² rows; the final per-group combination
+    (n²·s3, s1⁴, …) runs in arbitrary-precision Python ints over
+    #groups rows, never at data scale. The DuckDB oracle carries the
+    same combination in HUGEINT (fine at oracle scale; 128-bit
+    overflow would begin around sf 10⁴, far past sf0.01).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q2 = q * q
+        tbl = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "one": pa.array(np.ones(len(q), np.int64)),
+                "s1": pa.array(q),
+                "s2": pa.array(q2),
+                "s3": pa.array(q2 * q),
+                "s4": pa.array(q2 * q2),
+            }
+        )
+        return (
+            tbl.group_by(["l_returnflag"])
+            .aggregate(
+                [("one", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")]
+            )
+            .rename_columns(["l_returnflag", "n_rows", "s1", "s2", "s3", "s4"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=_np_for(ds))
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # #groups rows total — exact bigint combination per row
+        skews, kurts = [], []
+        for i in range(len(batch)):
+            n = int(batch["n_rows"][i].as_py())
+            s1 = int(batch["s1"][i].as_py())
+            s2 = int(batch["s2"][i].as_py())
+            s3 = int(batch["s3"][i].as_py())
+            s4 = int(batch["s4"][i].as_py())
+            b = n * s2 - s1 * s1
+            if b <= 0 or n == 0:
+                skews.append(0)
+                kurts.append(0)
+                continue
+            a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+            c = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+            # identical double expressions to the SQL oracle
+            skew = float(a) / (float(b) * math.sqrt(float(b)))
+            kurt = float(c) / float(b * b) - 3.0
+            skews.append(math.floor(skew * 1e9))
+            kurts.append(math.floor(kurt * 1e9))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n_rows": batch["n_rows"],
+                "s1": batch["s1"],
+                "s2": batch["s2"],
+                "s3": batch["s3"],
+                "s4": batch["s4"],
+                "skew_x1e9": pa.array(skews, pa.int64()),
+                "kurt_x1e9": pa.array(kurts, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+MOMENTS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s1,
+         SUM(CAST(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s2,
+         SUM(CAST(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+                  *CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s3,
+         SUM(CAST(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+                  *CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag),
+d AS (
+  SELECT l_returnflag, n, s1, s2, s3, s4,
+         n*s2 - s1*s1 AS b,
+         n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a,
+         n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS c
+  FROM m)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4,
+       CASE WHEN b > 0 THEN CAST(FLOOR(CAST(a AS DOUBLE)
+              / (CAST(b AS DOUBLE) * SQRT(CAST(b AS DOUBLE))) * 1e9) AS BIGINT)
+            ELSE 0 END AS skew_x1e9,
+       CASE WHEN b > 0 THEN CAST(FLOOR((CAST(c AS DOUBLE) / CAST(b*b AS DOUBLE) - 3.0)
+              * 1e9) AS BIGINT)
+            ELSE 0 END AS kurt_x1e9
+FROM d
+"""
+
+
+# --- set-similarity self-join: Jaccard over order part-sets -------------------
+
+
+def order_part_jaccard(sf_dir: str, threshold_pct: int = 50):
+    """Set-similarity self-join: all order pairs whose part-sets have
+    Jaccard similarity >= threshold_pct/100, with exact intersection /
+    union counts (integer arithmetic end-to-end, so the value hash
+    matches the SQL oracle bit-for-bit).
+
+    Distributed shape (inverted-index join, the exact-counting half of
+    PPJoin):
+      1. one exchange keyed on l_orderkey co-locates each order's
+         rows; per-block (order,part) distinct + set-size tagging —
+         sizes ride along with the rows, so no size join later;
+      2. one exchange keyed on l_partkey builds the inverted index;
+         per-block vectorized pair expansion (triu per token group)
+         emits (o1, o2, n1, n2) candidate rows;
+      3. one keyed aggregate over (o1, o2) counts shared tokens
+         exactly (Count) and carries the set sizes (Max of a
+         per-pair-constant) — no verification pass is needed because
+         the count IS the intersection;
+      4. a stateless filter applies 100*|A∩B| >= t*|A∪B| in integers.
+
+    Skew: a token appearing in f sets emits C(f,2) candidates — the
+    classic hot-token blowup of exact all-pairs Jaccard. Token fan-in
+    here is bounded (parts per order ~4, orders per part ~30 at any
+    SF by TPC-H construction). For open-vocabulary corpora switch to
+    prefix filtering (index only the (s - ceil(t*s) + 1) globally
+    rarest tokens per set) + a blob-join verify — the machinery in
+    stages/neardup.py; the max observed token frequency is logged so
+    the blowup is visible, never silent.
+    """
+    import logging
+
+    from ray.data.aggregate import Count, Max
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ensure_hash_shuffle(ds)
+    n = _np_for(ds)
+
+    def distinct_with_size(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-block distinct (all rows of an order are co-located here)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.concatenate(
+            ([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1]))
+        )
+        o, p = o[keep], p[keep]
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.append(starts, len(o))).astype(np.int64)
+        return pa.table(
+            {
+                "o": pa.array(o),
+                "p": pa.array(p),
+                "n_set": pa.array(np.repeat(sizes, sizes)),
+            }
+        )
+
+    opn = ds.repartition(n, keys=["l_orderkey"]).map_batches(
+        distinct_with_size, batch_format="pyarrow", batch_size=None
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        p = batch["p"].to_numpy(zero_copy_only=False)
+        ns = batch["n_set"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, p))
+        o, p, ns = o[order], p[order], ns[order]
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        lens = np.diff(np.append(starts, len(p)))
+        max_f = int(lens.max()) if len(lens) else 0
+        if max_f > 100_000:
+            logging.getLogger(__name__).warning(
+                "order_part_jaccard: hot token with %d sets -> %d candidate "
+                "pairs from one token; consider prefix filtering",
+                max_f, max_f * (max_f - 1) // 2,
+            )
+        lo_i, hi_i = [], []
+        for s, g in zip(starts, lens):
+            if g < 2:
+                continue
+            iu, ju = np.triu_indices(int(g), 1)
+            lo_i.append(iu + s)
+            hi_i.append(ju + s)
+        if not lo_i:
+            return pa.table(
+                {
+                    "o1": pa.array([], pa.int64()),
+                    "o2": pa.array([], pa.int64()),
+                    "n1": pa.array([], pa.int64()),
+                    "n2": pa.array([], pa.int64()),
+                }
+            )
+        i = np.concatenate(lo_i)
+        j = np.concatenate(hi_i)
+        # orient each pair (o1 < o2) so the keyed count groups correctly
+        swap = o[i] > o[j]
+        i2 = np.where(swap, j, i)
+        j2 = np.where(swap, i, j)
+        return pa.table(
+            {
+                "o1": pa.array(o[i2].astype(np.int64)),
+                "o2": pa.array(o[j2].astype(np.int64)),
+                "n1": pa.array(ns[i2].astype(np.int64)),
+                "n2": pa.array(ns[j2].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        opn.repartition(n, keys=["p"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["o1", "o2"], num_partitions=n)
+        .aggregate(
+            Count(alias_name="n_common"),
+            Max("n1", alias_name="n1"),
+            Max("n2", alias_name="n2"),
+        )
+    )
+
+    t = int(threshold_pct)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = batch["n1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = n1 + n2 - inter
+        keep = 100 * inter >= t * uni
+        return pa.table(
+            {
+                "o1": pa.array(batch["o1"].to_numpy(zero_copy_only=False)[keep]),
+                "o2": pa.array(batch["o2"].to_numpy(zero_copy_only=False)[keep]),
+                "n_common": pa.array(inter[keep]),
+                "n_union": pa.array(uni[keep]),
+                "jacc_x1e6": pa.array(inter[keep] * 1_000_000 // uni[keep]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDER_JACCARD_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+sz AS (SELECT o, COUNT(*) AS n FROM op GROUP BY o),
+inter AS (
+  SELECT a.o AS o1, b.o AS o2, COUNT(*) AS n_common
+  FROM op a JOIN op b ON a.p = b.p AND a.o < b.o
+  GROUP BY a.o, b.o),
+j AS (
+  SELECT i.o1, i.o2, i.n_common, sa.n + sb.n - i.n_common AS n_union
+  FROM inter i JOIN sz sa ON sa.o = i.o1 JOIN sz sb ON sb.o = i.o2)
+SELECT o1, o2, n_common, n_union,
+       n_common * 1000000 // n_union AS jacc_x1e6
+FROM j WHERE 100 * n_common >= 50 * n_union
+"""

@@ -1400,3 +1400,139 @@ def weighted_sssp(edges_ds, roots, max_rounds: int = 32):
         )
 
     return dist.map_batches(unpack, batch_format="pyarrow")
+
+
+def hits(edges_ds, iterations: int = 10):
+    """Distributed HITS (hubs & authorities) over a directed edge
+    Dataset (doc_lo=src, doc_hi=dst, int64 node hashes — the
+    ``entity_edges`` schema).
+
+    Complements :func:`pagerank`: authorities surface canonical-entity
+    candidates (heavily referenced nodes), hubs surface aggregator
+    nodes (conversations / index entities that reference many others)
+    — both useful for canonicalization priority and spot-check
+    sampling in a KG-construction run.
+
+    Scale shape per iteration (identical to the PageRank loop): one
+    edges⋈scores hash join on the 8-byte endpoint key + one grouped
+    sum for each of the two half-steps; L2 normalization is a scalar
+    sum-of-squares aggregate over the node-grain sums (driver sees two
+    floats per half-step, nothing else). Parallel edges contribute
+    multiply (multigraph semantics), matching the dense parity test.
+
+    Returns a Dataset (node:int64, hub:float64, authority:float64),
+    each score vector L2-normalized over the full endpoint-node set.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    edges = join_safe(edges_ds).materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([lo, hi])), pa.int64())}
+        )
+
+    nodes = (
+        join_safe(
+            edges.map_batches(nodes_of, batch_format="pyarrow")
+            .groupby("node", num_partitions=n)
+            .aggregate(Count(alias_name="_c"))
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+
+    def _half_step(scores, key_on, group_to):
+        """One HITS half-step: propagate ``scores`` across edges from
+        ``key_on`` (src|dst) to ``group_to``, L2-normalize, fill 0 for
+        nodes with no incident edge on that side."""
+        import math
+
+        msgs = edges.join(
+            scores,
+            join_type="inner",
+            num_partitions=n,
+            on=(key_on,),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b[group_to], "s": b["score"]}),
+            batch_format="pyarrow",
+        )
+        sums = join_safe(
+            msgs.groupby("node", num_partitions=n).aggregate(Sum("s", alias_name="s"))
+        ).materialize()
+        sq = sums.map_batches(
+            lambda b: pa.table(
+                {"q": pc.multiply(b["s"], b["s"])}
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("q", alias_name="q"))
+        norm = math.sqrt(float(sq["q"] or 0.0))
+        inv = 1.0 / norm if norm > 0 else 0.0
+        return (
+            nodes.join(
+                sums,
+                join_type="left_outer",
+                num_partitions=n,
+                on=("node",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b, inv=inv: pa.table(
+                    {
+                        "node": b["node"],
+                        "score": pc.multiply(
+                            pa.scalar(inv),
+                            pc.fill_null(pc.cast(b["s"], pa.float64()), 0.0),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    hub = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "score": pa.array(np.ones(len(b)), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = hub
+    for _ in range(iterations):
+        auth = _half_step(hub, "doc_lo", "doc_hi")
+        hub = _half_step(auth, "doc_hi", "doc_lo")
+
+    out = hub.map_batches(
+        lambda b: pa.table({"node": b["node"], "hub": b["score"]}),
+        batch_format="pyarrow",
+    ).join(
+        auth.map_batches(
+            lambda b: pa.table({"node": b["node"], "authority": b["score"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=n,
+        on=("node",),
+        right_on=("node",),
+    )
+    return join_safe(out)

@@ -534,3 +534,60 @@ def test_label_propagation_random_parity(ray_session):
     got = {r["node"]: r["label"] for r in label_propagation(ds, max_rounds=6).take_all()}
     want = _lpa_reference(lo, hi, max_rounds=6)
     assert got == want
+
+
+def _hits_dense(edges, idx, iterations):
+    """Dense HITS with identical semantics (multigraph adjacency, L2
+    normalization each half-step) for parity checking."""
+    n = len(idx)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[idx[a], idx[b]] += 1.0
+    h = np.ones(n)
+    a_ = np.ones(n)
+    for _ in range(iterations):
+        a_ = A.T @ h
+        na = np.linalg.norm(a_)
+        a_ = a_ / na if na > 0 else a_
+        h = A @ a_
+        nh = np.linalg.norm(h)
+        h = h / nh if nh > 0 else h
+    return h, a_
+
+
+def test_hits_matches_dense_iteration(ray_session):
+    """Distributed HITS must match a dense same-semantics iteration on
+    a graph with a hub, an authority, a sink, and a parallel edge."""
+    import ray.data
+
+    from import_ray.stages.graph import hits
+
+    lo = [0, 0, 0, 1, 2, 3, 0]
+    hi = [1, 2, 3, 2, 4, 4, 1]  # 0 is a hub; 2/4 authorities; 0→1 ×2
+    ds = ray.data.from_arrow(
+        pa.table({"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())})
+    ).repartition(3)
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(ds, iterations=6).take_all()}
+
+    idx = {v: i for i, v in enumerate(sorted(set(lo) | set(hi)))}
+    h, a = _hits_dense(list(zip(lo, hi)), idx, iterations=6)
+    assert set(got) == set(idx)
+    for v, i in idx.items():
+        assert got[v][0] == pytest.approx(h[i], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[i], abs=1e-12)
+    # hub 0 dominates hubs; node 4 (fed by 2 and 3) is a top authority
+    assert got[0][0] == max(s[0] for s in got.values())
+
+
+def test_hits_entity_graph(kg_triples):
+    """HITS over the real entity graph: unit L2 norms, non-negative."""
+    from import_ray.stages.graph import entity_edges, hits
+
+    ds, _ = kg_triples
+    scores = hits(entity_edges(ds), iterations=3).take_all()
+    assert scores
+    hn = sum(r["hub"] ** 2 for r in scores) ** 0.5
+    an = sum(r["authority"] ** 2 for r in scores) ** 0.5
+    assert hn == pytest.approx(1.0, abs=1e-9)
+    assert an == pytest.approx(1.0, abs=1e-9)
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in scores)

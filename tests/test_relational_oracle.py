@@ -84,6 +84,8 @@ NEW_QUERIES = [
     "events_gapfill_daily",
     "events_moving_7d_sum",
     "user_activity_trend",
+    "quantity_moments_by_flag",
+    "order_part_jaccard",
 ]
 
 
