@@ -985,6 +985,18 @@ def _ivf_knn(sf_dir: str):
     return ivf_knn(ds, queries, _KNN_K, n_clusters=8, n_probe=5)
 
 
+def _pq_knn(sf_dir: str):
+    """Product-quantization ANN (Jégou 2011): hash-sample-trained
+    broadcast codebooks, one encode pass (vector → m bytes), ADC
+    candidate search over codes only, exact re-rank of the Q·r·k
+    candidate rows via one blob hash join. Recall + lossless-parity
+    pytest-gated in test_similarity.py."""
+    from import_ray.stages.similarity import pq_knn
+
+    ds = _read_table(sf_dir, "embeddings")
+    return pq_knn(ds, _KNN_QUERIES, _KNN_K, m=8, n_codes=32, rerank_factor=8)
+
+
 def _config_import_obs(sf_dir: str):
     """Multi-file config-driven import (Simple importer semantics) over
     CSVs derived DETERMINISTICALLY from the sf tables: a wide melt file
@@ -1763,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_planted": _fingerprint_planted,
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
+        "pq_knn": _pq_knn,
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
         "pca_embeddings": _pca_embeddings,
@@ -1807,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": R.user_event_paths,
         "quantity_moments_by_flag": R.quantity_moments_by_flag,
         "order_part_jaccard": R.order_part_jaccard,
+        "percent_rank_orders": R.percent_rank_orders,
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
@@ -1900,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_paths": R.USER_EVENT_PATHS_SQL,
         "quantity_moments_by_flag": R.MOMENTS_SQL,
         "order_part_jaccard": R.ORDER_JACCARD_SQL,
+        "percent_rank_orders": R.PERCENT_RANK_SQL,
         "skyline_orders": R.SKYLINE_SQL,
         "cube_lineitem": R.CUBE_SQL,
         "dup_span_docs": DUP_SPAN_ORACLE,

@@ -5111,3 +5111,148 @@ SELECT o1, o2, n_common, n_union,
        n_common * 1000000 // n_union AS jacc_x1e6
 FROM j WHERE 100 * n_common >= 50 * n_union
 """
+
+
+# --- per-row rank windows: PERCENT_RANK / CUME_DIST without a global sort -----
+
+
+def percent_rank_orders(sf_dir: str):
+    """Exact grouped PERCENT_RANK + CUME_DIST of ``o_totalprice`` within
+    each ``o_orderpriority`` — a PER-ROW window output computed WITHOUT
+    a global sort (ranking over a 5-group partition would otherwise be
+    a 5-partition skewed sort-shuffle).
+
+    Distributed shape (the bucket-histogram family of
+    :func:`price_percentiles_by_flag` / NTILE, extended to per-row
+    ranks):
+
+    1. coarse pass — per-block (group, cents-bucket) histograms merge
+       driver-side; the table is DOMAIN-bounded (#groups × domain/1024
+       rows), independent of row count. Prefix sums give every bucket's
+       strict-rank offset within its group plus each group's n.
+    2. ONE keyed exchange on (group, bucket) co-locates each bucket's
+       rows; per block: mergesort + vectorized run segmentation gives
+       each row's within-bucket strict-less / ≤ counts (first/last
+       position of its tie run — no per-run Python loops), so
+       rank = bucket offset + local strict count.
+
+    Ties: cents is a bijection of the 2-decimal price, so tie runs are
+    exact and PERCENT_RANK's shared-rank semantics reproduce. The final
+    doubles use the SAME expression as the SQL window definition
+    ((rank−1)/(n−1) and leq/n, single IEEE division), floor-scaled
+    ×1e9 into int64 for bit-stable comparison.
+    """
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ensure_hash_shuffle(ds)
+    n_parts = _np_for(ds)
+    BITS = 10
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "grp": batch["o_orderpriority"].to_pandas(),
+                "bucket": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                )
+                >> BITS,
+            }
+        )
+        g = df.groupby(["grp", "bucket"], sort=False).size().reset_index(name="cnt")
+        return from_pandas_clean(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(coarse, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["grp", "bucket"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
+    )
+    parts = []
+    for grp, sub in hist.groupby("grp", sort=True):
+        sub = sub.sort_values("bucket")
+        cnt = sub["cnt"].to_numpy()
+        off = np.concatenate(([0], cnt.cumsum()[:-1]))
+        parts.append(
+            pd.DataFrame(
+                {
+                    "grp": grp,
+                    "bucket": sub["bucket"].to_numpy(),
+                    "offset": off.astype(np.int64),
+                    "n_grp": np.int64(cnt.sum()),
+                }
+            )
+        )
+    # domain-bounded broadcast table: (group, bucket) → rank offset, n
+    lookup = pd.concat(parts, ignore_index=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "grp": batch["o_orderpriority"],
+                "bucket": pa.array(cents >> BITS, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "pr_x1e9": pa.array([], pa.int64()),
+                    "cd_x1e9": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values(["grp", "bucket", "cents"], kind="mergesort")
+        m = len(df)
+        grp = df["grp"].to_numpy(dtype=object)
+        bkt = df["bucket"].to_numpy()
+        cents = df["cents"].to_numpy()
+        new_run = np.empty(m, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (grp[1:] != grp[:-1]) | (bkt[1:] != bkt[:-1])
+        new_val = new_run.copy()
+        new_val[1:] |= cents[1:] != cents[:-1]
+        idx = np.arange(m)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        vid = np.cumsum(new_val) - 1
+        val_len = np.bincount(vid)
+        strict = val_start - run_start  # in-bucket rows strictly less
+        leq = strict + val_len[vid]  # in-bucket rows <=
+        j = df.merge(lookup, on=["grp", "bucket"], how="left", sort=False)
+        off = j["offset"].to_numpy().astype(np.int64)
+        n_g = j["n_grp"].to_numpy().astype(np.int64)
+        rank = off + strict  # 0-based RANK-1 (ties share first position)
+        pr = np.where(n_g > 1, rank / np.maximum(n_g - 1, 1), 0.0)
+        cd = (off + leq) / n_g
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                "pr_x1e9": pa.array(np.floor(pr * 1e9).astype(np.int64)),
+                "cd_x1e9": pa.array(np.floor(cd * 1e9).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(n_parts, keys=["grp", "bucket"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(FLOOR(PERCENT_RANK() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice) * 1e9) AS BIGINT)
+         AS pr_x1e9,
+       CAST(FLOOR(CUME_DIST() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice) * 1e9) AS BIGINT)
+         AS cd_x1e9
+FROM orders
+"""

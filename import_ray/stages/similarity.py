@@ -568,3 +568,207 @@ def knn_cosine_int8(embeddings_ds, n_queries: int, k: int):
     return partials.groupby("query_id", num_partitions=npartitions()).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )
+
+
+# --- product quantization (PQ) ANN ---------------------------------------------
+
+
+def _kmeans_l2(data: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means under plain L2 (PQ subspace
+    codebooks operate on UN-normalized subvectors, unlike the spherical
+    ``_kmeans``). Farthest-point init; empty clusters keep their
+    centroid (harmless duplicates when k exceeds the distinct-point
+    count — assignment argmin picks the first match)."""
+    data = data.astype(np.float64)
+    k = min(k, len(data))
+    seeds = [0]
+    d2 = ((data - data[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        idx = int(np.argmax(d2))
+        seeds.append(idx)
+        d2 = np.minimum(d2, ((data - data[idx]) ** 2).sum(axis=1))
+    cents = data[seeds].copy()
+    for _ in range(iters):
+        dist = (cents**2).sum(axis=1)[None, :] - 2.0 * (data @ cents.T)
+        assign = np.argmin(dist, axis=1)
+        for c in range(len(cents)):
+            members = data[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(
+    embeddings_ds, m: int = 4, n_codes: int = 16, train_sample: int = 2048
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, 'Product Quantization for
+    Nearest Neighbor Search'): split the L2-NORMALIZED vector into ``m``
+    subspaces and k-means each independently on a deterministic hash
+    sample of the id space. Returns a (m, n_codes, d/m) float64 array —
+    a few KB, broadcast-sized regardless of corpus scale."""
+    train = _normalize(_hash_sample(embeddings_ds, train_sample).astype(np.float64))
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _kmeans_l2(train[:, i * dsub : (i + 1) * dsub], n_codes)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(embeddings_ds, codebooks: np.ndarray):
+    """Encode each embedding as ``m`` uint8 codes (nearest subspace
+    centroid under L2) — d×4 bytes → m bytes per vector (32× at
+    d=32, m=4). Returns Dataset (vec_id, code: fixed_size_binary(m));
+    downstream ANN search reads ONLY this codes table, so the
+    full-precision embeddings never leave storage after the one encode
+    pass. Codebooks ship in the task closure (KB-sized)."""
+    m, n_codes, dsub = codebooks.shape
+    # per-subspace ||c||² for the argmin-L2-as-argmax trick
+    c_sq = (codebooks**2).sum(axis=2)  # (m, n_codes)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch))
+        n = len(emb)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for i in range(m):
+            sub = emb[:, i * dsub : (i + 1) * dsub]
+            dist = c_sq[i][None, :] - 2.0 * (sub @ codebooks[i].T)
+            codes[:, i] = np.argmin(dist, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "code": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(m), n, [None, pa.py_buffer(codes.tobytes())]
+                ),
+            }
+        )
+
+    return embeddings_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+class PQPartialTopK:
+    """Per-batch ADC (asymmetric distance computation) top-k over PQ
+    CODES: the per-actor ``__init__`` precomputes the (Q, m, n_codes)
+    lookup table LUT[q,i,c] = q_subᵢ · codebookᵢ[c]; per batch the
+    score matrix is m uint8-indexed gathers + adds — no float matmul
+    against the corpus and only m bytes read per corpus vector."""
+
+    def __init__(self, queries: dict[int, np.ndarray], k: int, codebooks: np.ndarray):
+        self.qids = np.array(sorted(queries), dtype=np.int64)
+        qm = _normalize(
+            np.stack([queries[q] for q in sorted(queries)]).astype(np.float64)
+        )
+        m, n_codes, dsub = codebooks.shape
+        self.m = m
+        self.lut = np.empty((len(self.qids), m, n_codes))
+        for i in range(m):
+            self.lut[:, i, :] = qm[:, i * dsub : (i + 1) * dsub] @ codebooks[i].T
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        col = batch["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8).reshape(-1, self.m)
+        codes = codes[col.offset : col.offset + len(col)]
+        scores = self.lut[:, 0, :][:, codes[:, 0]]
+        for i in range(1, self.m):
+            scores = scores + self.lut[:, i, :][:, codes[:, i]]
+        scores[vec_ids[None, :] == self.qids[:, None]] = -np.inf
+        return _emit_topk(self.qids, vec_ids, scores, self.k)
+
+
+def pq_knn(
+    embeddings_ds,
+    n_queries: int,
+    k: int,
+    m: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    codebooks: np.ndarray | None = None,
+    rerank_factor: int = 0,
+):
+    """Approximate cosine top-k via product quantization: train
+    broadcast codebooks on a hash sample, one encode pass (vectors →
+    m-byte codes), then the standard partial-top-k/tiny-merge pipeline
+    running entirely over the CODES dataset — per-batch memory traffic
+    drops ×(4d/m) vs the exact kernel and the corpus floats are read
+    exactly once.
+
+    ``rerank_factor=r`` adds the standard two-stage refinement: ADC
+    selects ``r·k`` candidates per query (reading only codes), then ONE
+    hash join ships the Q·r·k candidate rows to the embeddings table
+    for exact rescoring — full-precision vectors are touched for the
+    candidate set only, never scanned. Recall vs brute force is
+    pytest-gated on clustered data; exact-parity holds when every
+    subspace has ≤ n_codes distinct subvectors
+    (test_pq_exact_on_quantized_corpus)."""
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(embeddings_ds)
+    q = embeddings_ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
+    query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
+    if codebooks is None:
+        codebooks = train_pq(embeddings_ds, m=m, n_codes=n_codes, train_sample=train_sample)
+    codes = pq_encode(embeddings_ds, codebooks)
+    n = npartitions()
+    adc_k = k * rerank_factor if rerank_factor else k
+    partial = PQPartialTopK(query_vectors, adc_k, codebooks)
+    partials = join_safe(codes.map_batches(partial, batch_format="pyarrow"))
+    adc_top = partials.groupby("query_id", num_partitions=n).map_groups(
+        _final_topk_factory(adc_k), batch_format="pandas"
+    )
+    if not rerank_factor:
+        return adc_top
+
+    qids_sorted = np.array(sorted(query_vectors), dtype=np.int64)
+    qm = _normalize(
+        np.stack([query_vectors[q] for q in sorted(query_vectors)]).astype(np.float64)
+    )
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        eb = batch["eb"]
+        if isinstance(eb, pa.ChunkedArray):
+            eb = eb.combine_chunks()
+        d = qm.shape[1]
+        # offset-aware decode (joined arrays may be slices): gather each
+        # row's d*8 bytes by its offsets entry, then view as float64
+        offs = np.frombuffer(eb.buffers()[1], dtype=np.int32)
+        starts = offs[eb.offset : eb.offset + len(eb)]
+        data = np.frombuffer(eb.buffers()[2], dtype=np.uint8)
+        byt = data[starts[:, None] + np.arange(d * 8)]
+        emb = np.ascontiguousarray(byt).view(np.float64).reshape(len(eb), d)
+        qi = np.searchsorted(
+            qids_sorted, batch["query_id"].to_numpy(zero_copy_only=False)
+        )
+        scores = np.einsum("ij,ij->i", qm[qi], emb)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    # Arrow hash joins reject list<float> payload columns — ship the
+    # already-normalized vector as a binary blob (the _emb_blobs shape)
+    blobs = embeddings_ds.map_batches(_emb_blobs, batch_format="pyarrow")
+    rescored = (
+        join_safe(adc_top)
+        .join(
+            blobs,
+            join_type="inner",
+            num_partitions=n,
+            on=("neighbor_id",),
+            right_on=("vec_id",),
+        )
+        .map_batches(rescore, batch_format="pyarrow")
+    )
+    return join_safe(rescored).groupby("query_id", num_partitions=n).map_groups(
+        _final_topk_factory(k), batch_format="pandas"
+    )

@@ -86,6 +86,7 @@ NEW_QUERIES = [
     "user_activity_trend",
     "quantity_moments_by_flag",
     "order_part_jaccard",
+    "percent_rank_orders",
 ]
 
 

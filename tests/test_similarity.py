@@ -212,3 +212,92 @@ def test_random_projection_deterministic_and_distance_preserving(embeddings):
     mask = dh > 0
     rel = np.abs(dl[mask] - dh[mask]) / dh[mask]
     assert rel.mean() < 0.2, rel.mean()
+
+
+def test_pq_exact_on_quantized_corpus(ray_session):
+    """When every subspace has ≤ n_codes distinct subvectors, PQ
+    reconstruction is lossless → pq_knn must equal brute force EXACTLY
+    (ranks included)."""
+    import ray.data
+
+    from import_ray.stages.similarity import knn_cosine, pq_knn
+
+    rng = np.random.default_rng(3)
+    # 4 subspaces × 8 UNIT prototypes each; every concatenation then has
+    # norm 2, so the L2-normalized subvectors stay within 8 distinct
+    # values per subspace and PQ reconstruction is lossless
+    protos = rng.standard_normal((4, 8, 8))
+    protos /= np.linalg.norm(protos, axis=2, keepdims=True)
+    rows = []
+    picks = rng.integers(0, 8, size=(120, 4))
+    for i in range(120):
+        v = np.concatenate([protos[s, picks[i, s]] for s in range(4)])
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    ds = ray.data.from_items(rows)
+
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_cosine(ds, 5, 10).take_all()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_knn(ds, 5, 10, m=4, n_codes=8, train_sample=120).take_all()
+    )
+    # neighbor SETS must match exactly; rank order may differ only
+    # within exact cosine ties (prototype reuse creates duplicates)
+    exact_sets, got_sets = {}, {}
+    for q, _, n in exact:
+        exact_sets.setdefault(q, set()).add(n)
+    for q, _, n in got:
+        got_sets.setdefault(q, set()).add(n)
+    assert got_sets == exact_sets
+
+
+def test_pq_recall_clustered(ray_session):
+    """On clustered data PQ ADC must reach recall ≥0.9 vs brute force
+    while reading only m bytes per corpus vector."""
+    import ray.data
+
+    from import_ray.stages.similarity import knn_cosine, pq_knn
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 32)) * 4
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(60):
+            v = centers[c] + 0.25 * rng.standard_normal(32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = ray.data.from_items(rows)
+
+    exact = knn_cosine(ds, 5, 10).take_all()
+    approx = pq_knn(
+        ds, 5, 10, m=8, n_codes=32, train_sample=480, rerank_factor=8
+    ).take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_encode_schema_and_determinism(embeddings):
+    """Codes are fixed_size_binary(m), one row per vector, deterministic."""
+    import pyarrow as pa
+
+    from import_ray.stages.similarity import pq_encode, train_pq
+
+    ds, _ = embeddings
+    books = train_pq(ds, m=4, n_codes=16, train_sample=256)
+    assert books.shape[0] == 4 and books.shape[1] <= 16
+    out1 = pq_encode(ds, books).sort("vec_id").take_all()
+    out2 = pq_encode(ds, books).sort("vec_id").take_all()
+    assert len(out1) == ds.count()
+    assert all(isinstance(r["code"], bytes) and len(r["code"]) == 4 for r in out1)
+    assert [r["code"] for r in out1] == [r["code"] for r in out2]
