@@ -463,6 +463,38 @@ def _token_stats(sf_dir: str):
     return ds.map_batches(token_stats, batch_format="pyarrow")
 
 
+def _source_token_cosine(sf_dir: str):
+    """Pairwise cosine similarity between per-source unigram count
+    vectors (corpus domain-shift / mixture-overlap measurement). One
+    token-keyed exchange of per-block (source, token) partial counts;
+    per block one (tokens x sources) matmul emits a tiny partial Gram
+    matrix; only #sources^2-sized partials reach the driver."""
+    from import_ray.stages.text import source_token_cosine
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_token_cosine(ds)
+
+
+def _source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary-set Jaccard between sources (type-level
+    domain overlap). Same one-exchange Gram shape as the cosine; only
+    #sources^2 partials reach the driver."""
+    from import_ray.stages.text import source_vocab_overlap
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_vocab_overlap(ds)
+
+
+def _vocab_stats_by_source(sf_dir: str):
+    """Per-source vocabulary profile (tokens, types, hapax count, top
+    count) — exact integers via token-keyed exchange + per-block
+    per-source partials."""
+    from import_ray.stages.text import vocab_stats_by_source
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return vocab_stats_by_source(ds)
+
+
 def _inverted_index_docs(sf_dir: str):
     """Inverted index over the corpus: per token exact document
     frequency + capped ascending posting prefix (one bounded token-keyed
@@ -1755,6 +1787,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": _segment_dedup_docs,
         "badword_filter_docs": _badword_filter_docs,
         "token_stats_docs": _token_stats,
+        "source_token_cosine": _source_token_cosine,
+        "source_vocab_overlap": _source_vocab_overlap,
+        "vocab_stats_by_source": _vocab_stats_by_source,
+        "regr_orders_by_priority": R.regr_orders_by_priority,
         "inverted_index_docs": _inverted_index_docs,
         "token_pairs_docs": _token_pairs_docs,
         "gopher_quality_docs": _gopher_quality_docs,
@@ -1837,8 +1873,11 @@ def oracle_sql() -> dict[str, str]:
         GOPHER_QUALITY_SQL,
         INVERTED_INDEX_SQL,
         QUALITY_SQL,
+        SOURCE_TOKEN_COSINE_SQL,
+        SOURCE_VOCAB_OVERLAP_SQL,
         TOKEN_PAIR_SQL,
         TOKEN_STATS_SQL,
+        VOCAB_STATS_SQL,
     )
 
     return {
@@ -1928,6 +1967,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),
         "token_stats_docs": TOKEN_STATS_SQL,
+        "source_token_cosine": SOURCE_TOKEN_COSINE_SQL,
+        "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
+        "vocab_stats_by_source": VOCAB_STATS_SQL,
+        "regr_orders_by_priority": R.REGR_BY_PRIORITY_SQL,
         "inverted_index_docs": INVERTED_INDEX_SQL,
         "token_pairs_docs": TOKEN_PAIR_SQL,
         "gopher_quality_docs": GOPHER_QUALITY_SQL,

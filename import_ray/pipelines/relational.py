@@ -5256,3 +5256,102 @@ SELECT o_orderkey,
          AS cd_x1e9
 FROM orders
 """
+
+
+# --- grouped OLS regression ---------------------------------------------------
+
+
+def regr_orders_by_priority(sf_dir: str):
+    """Per-priority OLS regression of order value (cents) on order date
+    (epoch days): slope and intercept per ``o_orderpriority`` — the
+    grouped trend-line primitive (drift of spend over time per
+    segment).
+
+    Same exact-integer-moments shape as :func:`corr_price_quantity`,
+    but keyed: each batch emits per-group int64 partial moments
+    (n, Σx, Σy, Σxy, Σx²) as decimal strings — a pure map with NO
+    shuffle (#groups × #blocks tiny rows) — and the driver folds them
+    in arbitrary-precision Python ints. slope/intercept are derived
+    from the exact sums with the identical double expression the SQL
+    oracle uses (one int→double rounding per operand, IEEE divide), so
+    the ×1e9/×1e6 floor-scaled values match bit-for-bit."""
+    import math
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        grp = batch["o_orderpriority"].to_pandas().to_numpy(dtype=object)
+        x = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        y = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "grp": grp,
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,  # ≤ 1e4 days × 6e7 cents = 6e11/row; batch
+                "sxx": x * x,  # sums safe in int64 at batch_size ≤ 8k
+            }
+        )
+        agg = df.groupby("grp", sort=False).sum().reset_index()
+        out = {"grp": pa.array(agg["grp"].to_numpy(dtype=object), pa.string())}
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            out[c] = pa.array([str(int(v)) for v in agg[c]], pa.string())
+        return pa.table(out)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192).to_pandas()
+    sums: dict[str, list[int]] = {}
+    for _, r in parts.iterrows():
+        s = sums.setdefault(r["grp"], [0, 0, 0, 0, 0])
+        for i, c in enumerate(("n", "sx", "sy", "sxy", "sxx")):
+            s[i] += int(r[c])
+    rows = []
+    for grp in sorted(sums):
+        n, sx, sy, sxy, sxx = sums[grp]
+        num = float(n * sxy - sx * sy)
+        den = float(n * sxx - sx * sx)
+        slope = num / den if den else 0.0
+        icept = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
+        rows.append(
+            {
+                "grp": grp,
+                "n": n,
+                "slope_x1e9": int(math.floor(slope * 1e9)),
+                "icept_x1e6": int(math.floor(icept * 1e6)),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["grp", "n", "slope_x1e9", "icept_x1e6"])
+    for c in ("n", "slope_x1e9", "icept_x1e6"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+REGR_BY_PRIORITY_SQL = """
+WITH t AS (
+  SELECT o_orderpriority AS grp,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM t GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+            / CAST(n*sxx - sx*sx AS DOUBLE) * 1e9) AS BIGINT) AS slope_x1e9,
+       CAST(FLOOR((CAST(sy AS DOUBLE)
+            - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+         AS icept_x1e6
+FROM s ORDER BY grp
+"""

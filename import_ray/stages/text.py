@@ -865,3 +865,335 @@ SELECT doc_id, n_tokens, n_alpha_tokens, n_stopwords,
         AND (n_stopwords >= 1)) AS keep
 FROM sig
 """
+
+
+# --- cross-source vocabulary similarity (domain-shift measurement) -------------
+
+
+def source_token_cosine(docs_ds):
+    """Pairwise cosine similarity between the per-``source`` unigram
+    COUNT vectors — the standard corpus domain-shift / mixture-overlap
+    measurement (which sources share vocabulary mass, which are
+    distribution outliers) used to weight mixture sampling.
+
+    Distributed shape: per-batch local (source, token) counts → ONE
+    keyed exchange on token co-locates every source's counts for a
+    token → per block a (tokens × sources) int64 pivot and ONE
+    ``Mᵀ·M`` matmul yields the block's partial Gram matrix (dots AND
+    squared norms together) → driver sums #sources² × #blocks tiny
+    partials in arbitrary-precision Python ints. Token strings never
+    shuffle twice and nothing data-scale reaches the driver.
+
+    Exactness: Gram entries are exact integers; the final cosine is the
+    SAME IEEE expression as the SQL oracle (two correctly-rounded
+    sqrts, one multiply, one divide), floor-scaled ×1e9. Int64 bound:
+    the per-block matmul is safe while every global per-(source, token)
+    count stays < ~3·10⁹ (hot-token product < 2⁶³); the driver-side
+    combine is unbounded. Returns pandas (src_a, src_b, dot,
+    cos_x1e9) for unordered pairs src_a < src_b.
+    """
+    import math
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+
+    def gram_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "dot": pa.array([], pa.int64()),
+                }
+            )
+        m = df.pivot_table(
+            index="token", columns="source", values="cnt", aggfunc="sum", fill_value=0
+        )
+        sources = list(m.columns)
+        g = m.to_numpy(dtype=np.int64)
+        gram = g.T @ g  # (S, S) partial Gram — dots and squared norms
+        ia, ib = np.triu_indices(len(sources))
+        return pa.table(
+            {
+                "src_a": pa.array([sources[i] for i in ia], pa.string()),
+                "src_b": pa.array([sources[j] for j in ib], pa.string()),
+                "dot": pa.array(gram[ia, ib], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_ds.map_batches(
+            lambda b: _local_source_token_rows(b, distinct=False),
+            batch_format="pyarrow",
+        )
+        .repartition(n, keys=["token"])
+        .map_batches(gram_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    # driver combine in Python ints (no overflow at any scale)
+    gram: dict[tuple[str, str], int] = {}
+    for sa, sb, d in zip(parts["src_a"], parts["src_b"], parts["dot"]):
+        gram[(sa, sb)] = gram.get((sa, sb), 0) + int(d)
+    sources = sorted({s for k in gram for s in k})
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            dot = gram.get((sa, sb), 0) + gram.get((sb, sa), 0)
+            na, nb = gram.get((sa, sa), 0), gram.get((sb, sb), 0)
+            cos = (
+                float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                if na and nb
+                else 0.0
+            )
+            rows.append(
+                {
+                    "src_a": sa,
+                    "src_b": sb,
+                    "dot": dot,
+                    "cos_x1e9": math.floor(cos * 1e9),
+                }
+            )
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "dot", "cos_x1e9"])
+    for c in ("dot", "cos_x1e9"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SOURCE_TOKEN_COSINE_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM tok GROUP BY source, token
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, SUM(a.c * b.c) AS dot
+  FROM cnt a JOIN cnt b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+), sq AS (
+  SELECT source, SUM(c * c) AS s FROM cnt GROUP BY source
+)
+SELECT d.src_a, d.src_b, CAST(d.dot AS BIGINT) AS dot,
+       CAST(FLOOR(CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(sa.s AS DOUBLE)) * SQRT(CAST(sb.s AS DOUBLE)))
+             * 1e9) AS BIGINT) AS cos_x1e9
+FROM dots d
+JOIN sq sa ON sa.source = d.src_a
+JOIN sq sb ON sb.source = d.src_b
+"""
+
+
+def _local_source_token_rows(batch: pa.Table, distinct: bool) -> pa.Table:
+    """Per-batch (source, token[, cnt]) partials shared by the
+    cross-source vocabulary family — Arrow split/flatten, pandas
+    groupby over the batch only."""
+    text = _text_col(batch)
+    lists = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    src = batch["source"].take(parents)
+    df = pd.DataFrame(
+        {
+            "source": src.to_pandas().to_numpy(dtype=object),
+            "token": flat.to_pandas().to_numpy(dtype=object),
+        }
+    )
+    if distinct:
+        g = df.drop_duplicates()
+        return from_pandas_clean(g, preserve_index=False)
+    g = df.groupby(["source", "token"], sort=False).size().reset_index(name="cnt")
+    g["cnt"] = g["cnt"].astype("int64")
+    return from_pandas_clean(g, preserve_index=False)
+
+
+def source_vocab_overlap(docs_ds):
+    """Pairwise vocabulary-SET overlap between sources: |A∩B|, |A∪B|
+    and floor-scaled Jaccard — the set-level companion to
+    :func:`source_token_cosine` (count-weighted). Measures which corpus
+    sources share word types regardless of frequency mass.
+
+    Distributed shape identical to the cosine: per-batch DISTINCT
+    (source, token) rows → ONE token-keyed exchange (all rows for a
+    token land in one block, so a block-local distinct IS the global
+    presence set) → per block a 0/1 (tokens × sources) matrix and one
+    ``MᵀM`` matmul gives partial co-occurrence counts AND per-source
+    vocabulary sizes on the diagonal → driver sums #sources²-sized
+    partials in Python ints. Jaccard = exact-int ∩ / exact-int ∪ in a
+    single IEEE divide, identical to the SQL oracle's expression.
+    Returns pandas (src_a, src_b, n_common, n_union, jaccard_x1e9)
+    for unordered pairs src_a < src_b with n_common > 0."""
+    import math
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+
+    def presence_gram(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()  # block-local == global
+        if not len(df):
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "common": pa.array([], pa.int64()),
+                }
+            )
+        df = df.assign(one=np.int64(1))
+        m = df.pivot_table(
+            index="token", columns="source", values="one", aggfunc="max", fill_value=0
+        )
+        sources = list(m.columns)
+        g = m.to_numpy(dtype=np.int64)
+        gram = g.T @ g
+        ia, ib = np.triu_indices(len(sources))
+        return pa.table(
+            {
+                "src_a": pa.array([sources[i] for i in ia], pa.string()),
+                "src_b": pa.array([sources[j] for j in ib], pa.string()),
+                "common": pa.array(gram[ia, ib], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_ds.map_batches(
+            lambda b: _local_source_token_rows(b, distinct=True),
+            batch_format="pyarrow",
+        )
+        .repartition(n, keys=["token"])
+        .map_batches(presence_gram, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    gram: dict[tuple[str, str], int] = {}
+    for sa, sb, c in zip(parts["src_a"], parts["src_b"], parts["common"]):
+        gram[(sa, sb)] = gram.get((sa, sb), 0) + int(c)
+    sources = sorted({s for k in gram for s in k})
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            common = gram.get((sa, sb), 0) + gram.get((sb, sa), 0)
+            if not common:
+                continue  # mirrors the oracle's inner join on shared tokens
+            union = gram.get((sa, sa), 0) + gram.get((sb, sb), 0) - common
+            jac = math.floor(float(common) / float(union) * 1e9)
+            rows.append(
+                {
+                    "src_a": sa,
+                    "src_b": sb,
+                    "n_common": common,
+                    "n_union": union,
+                    "jaccard_x1e9": jac,
+                }
+            )
+    out = pd.DataFrame(
+        rows, columns=["src_a", "src_b", "n_common", "n_union", "jaccard_x1e9"]
+    )
+    for c in ("n_common", "n_union", "jaccard_x1e9"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token FROM documents
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source
+)
+SELECT c.src_a, c.src_b, c.n_common,
+       sa.n + sb.n - c.n_common AS n_union,
+       CAST(FLOOR(CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - c.n_common AS DOUBLE) * 1e9) AS BIGINT)
+         AS jaccard_x1e9
+FROM common c
+JOIN sz sa ON sa.source = c.src_a
+JOIN sz sb ON sb.source = c.src_b
+"""
+
+
+def vocab_stats_by_source(docs_ds):
+    """Per-source vocabulary profile: total token count, distinct
+    types, hapax legomena (global count == 1 — the classic OOV-rate /
+    crawl-noise signal) and the hottest token's count. All exact
+    integers, so the oracle comparison is bit-trivial.
+
+    Distributed shape: per-batch (source, token, cnt) partials → ONE
+    token-keyed exchange → per block the block-local groupby IS the
+    global (source, token) count (token co-location), so each block
+    emits one tiny per-source partial row (Σcnt, #types, #hapax,
+    max cnt) → driver folds #sources × #blocks rows. Token strings
+    cross the wire once; the driver never sees a token."""
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+
+    def per_source_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                    "max_cnt": pa.array([], pa.int64()),
+                }
+            )
+        cnt = (
+            df.groupby(["source", "token"], sort=False)["cnt"].sum().reset_index()
+        )  # block-local == global per (source, token)
+        agg = cnt.groupby("source", sort=False)["cnt"].agg(
+            n_tokens="sum",
+            n_distinct="size",
+            n_hapax=lambda c: int((c == 1).sum()),
+            max_cnt="max",
+        )
+        agg = agg.reset_index()
+        for c in ("n_tokens", "n_distinct", "n_hapax", "max_cnt"):
+            agg[c] = agg[c].astype("int64")
+        return from_pandas_clean(agg, preserve_index=False)
+
+    parts = (
+        docs_ds.map_batches(
+            lambda b: _local_source_token_rows(b, distinct=False),
+            batch_format="pyarrow",
+        )
+        .repartition(n, keys=["token"])
+        .map_batches(per_source_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("source", sort=True)
+        .agg(
+            n_tokens=("n_tokens", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            n_hapax=("n_hapax", "sum"),
+            max_cnt=("max_cnt", "max"),
+        )
+        .reset_index()
+    )
+    for c in ("n_tokens", "n_distinct", "n_hapax", "max_cnt"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+VOCAB_STATS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MAX(c) AS BIGINT) AS max_cnt
+FROM cnt GROUP BY source ORDER BY source
+"""
