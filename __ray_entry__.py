@@ -495,6 +495,15 @@ def _vocab_stats_by_source(sf_dir: str):
     return vocab_stats_by_source(ds)
 
 
+def _mixture_weights_by_source(sf_dir: str):
+    """Per-source mixture-sampling weights (alpha=0.5 temperature
+    smoothing of token-mass shares) — pure map partials, no shuffle."""
+    from import_ray.stages.text import mixture_weights_by_source
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return mixture_weights_by_source(ds)
+
+
 def _inverted_index_docs(sf_dir: str):
     """Inverted index over the corpus: per token exact document
     frequency + capped ascending posting prefix (one bounded token-keyed
@@ -1791,6 +1800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _source_vocab_overlap,
         "vocab_stats_by_source": _vocab_stats_by_source,
         "regr_orders_by_priority": R.regr_orders_by_priority,
+        "mixture_weights_by_source": _mixture_weights_by_source,
+        "user_skew_profile": R.user_skew_profile,
         "inverted_index_docs": _inverted_index_docs,
         "token_pairs_docs": _token_pairs_docs,
         "gopher_quality_docs": _gopher_quality_docs,
@@ -1872,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
     from import_ray.stages.text import (
         GOPHER_QUALITY_SQL,
         INVERTED_INDEX_SQL,
+        MIXTURE_WEIGHTS_SQL,
         QUALITY_SQL,
         SOURCE_TOKEN_COSINE_SQL,
         SOURCE_VOCAB_OVERLAP_SQL,
@@ -1971,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
         "vocab_stats_by_source": VOCAB_STATS_SQL,
         "regr_orders_by_priority": R.REGR_BY_PRIORITY_SQL,
+        "mixture_weights_by_source": MIXTURE_WEIGHTS_SQL,
+        "user_skew_profile": R.USER_SKEW_SQL,
         "inverted_index_docs": INVERTED_INDEX_SQL,
         "token_pairs_docs": TOKEN_PAIR_SQL,
         "gopher_quality_docs": GOPHER_QUALITY_SQL,

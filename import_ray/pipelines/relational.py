@@ -5355,3 +5355,118 @@ SELECT grp, CAST(n AS BIGINT) AS n,
          AS icept_x1e6
 FROM s ORDER BY grp
 """
+
+
+# --- hot-key skew diagnostic ----------------------------------------------------
+
+
+def user_skew_profile(sf_dir: str, k: int = 10):
+    """Hot-key profile of ``events.user_id``: the ``k`` heaviest users
+    with their exact event counts and traffic shares, plus the corpus
+    Herfindahl concentration index — the shuffle-planning diagnostic
+    that decides whether a key needs salting before a groupby.
+
+    Distributed shape: per-batch partial user counts → ONE user-keyed
+    exchange (block-local count = global count) → each block emits its
+    local top-k candidates AND one (Σc², ΣT) summary row as decimal
+    strings → driver merges #blocks tiny partials with Python ints.
+    share/HHI use exact-int numerators through the oracle's exact IEEE
+    expression."""
+    import math
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    ensure_hash_shuffle(ds)
+    n = data_nparts(ds)
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def block_profile(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.string()),
+                }
+            )
+        g = df.groupby("user_id", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        top = g.head(k)
+        c = g["n"].to_numpy(dtype=np.int64)
+        s2 = sum(int(x) * int(x) for x in c)  # python ints: no overflow
+        t = int(c.sum())
+        return pa.table(
+            {
+                "kind": pa.array(["top"] * len(top) + ["sum"], pa.string()),
+                "user_id": pa.array(
+                    list(top["user_id"].astype("int64")) + [0], pa.int64()
+                ),
+                "n": pa.array(
+                    [str(int(x)) for x in top["n"]] + [f"{s2},{t}"], pa.string()
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .repartition(n, keys=["user_id"])
+        .map_batches(block_profile, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    s2 = t = 0
+    cands: list[tuple[int, int]] = []
+    for kind, uid, v in zip(parts["kind"], parts["user_id"], parts["n"]):
+        if kind == "sum":
+            a, b = v.split(",")
+            s2 += int(a)
+            t += int(b)
+        else:
+            cands.append((int(uid), int(v)))
+    cands.sort(key=lambda r: (-r[1], r[0]))
+    hhi = (
+        int(math.floor(float(s2) / (float(t) * float(t)) * 1e9)) if t else 0
+    )
+    rows = [
+        {
+            "user_id": uid,
+            "n_events": c,
+            "share_x1e9": int(math.floor(float(c) / float(t) * 1e9)),
+            "hhi_x1e9": hhi,
+        }
+        for uid, c in cands[:k]
+    ]
+    out = pd.DataFrame(
+        rows, columns=["user_id", "n_events", "share_x1e9", "hhi_x1e9"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+USER_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS t,
+         SUM(CAST(n AS HUGEINT) * n) AS s2
+  FROM c
+)
+SELECT user_id, n AS n_events,
+       CAST(FLOOR(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1e9) AS BIGINT)
+         AS share_x1e9,
+       CAST(FLOOR(CAST(s2 AS DOUBLE)
+            / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) * 1e9) AS BIGINT)
+         AS hhi_x1e9
+FROM c, tot ORDER BY n DESC, user_id LIMIT 10
+"""

@@ -1197,3 +1197,72 @@ SELECT source,
        CAST(MAX(c) AS BIGINT) AS max_cnt
 FROM cnt GROUP BY source ORDER BY source
 """
+
+
+def mixture_weights_by_source(docs_ds):
+    """Per-source mixture-sampling weights — the corpus-mixing stage of
+    a training-data pipeline (UnifiedQA / multilingual-style α = 0.5
+    temperature smoothing of the raw token-mass shares, which upweights
+    small sources without letting one giant crawl dominate).
+
+    Pure map + tiny driver fold: each batch emits per-source
+    (n_docs, n_tokens) partials computed from Arrow list lengths alone
+    — tokens are never materialized, NO shuffle at any scale. Shares
+    are exact-int ratios floor-scaled through the identical IEEE
+    expression the oracle uses (one divide, one sqrt)."""
+    import math
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        n_tok = pc.list_value_length(pc.split_pattern(text, pattern=" "))
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas().to_numpy(dtype=object),
+                "n_docs": np.int64(1),
+                "n_tokens": n_tok.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        agg = df.groupby("source", sort=False).sum().reset_index()
+        return from_pandas_clean(agg, preserve_index=False)
+
+    parts = docs_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    sums: dict[str, list[int]] = {}
+    for _, r in parts.iterrows():
+        s = sums.setdefault(r["source"], [0, 0])
+        s[0] += int(r["n_docs"])
+        s[1] += int(r["n_tokens"])
+    total = sum(v[1] for v in sums.values())
+    rows = []
+    for src in sorted(sums):
+        n_docs, n_tokens = sums[src]
+        share = float(n_tokens) / float(total) if total else 0.0
+        rows.append(
+            {
+                "source": src,
+                "n_docs": n_docs,
+                "n_tokens": n_tokens,
+                "share_x1e9": int(math.floor(share * 1e9)),
+                "w_sqrt_x1e9": int(math.floor(math.sqrt(share) * 1e9)),
+            }
+        )
+    out = pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_tokens", "share_x1e9", "w_sqrt_x1e9"]
+    )
+    for c in ("n_docs", "n_tokens", "share_x1e9", "w_sqrt_x1e9"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(FLOOR(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) * 1e9) AS BIGINT)
+         AS share_x1e9,
+       CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+         AS BIGINT) AS w_sqrt_x1e9
+FROM s, tot ORDER BY source
+"""

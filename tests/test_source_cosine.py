@@ -155,3 +155,38 @@ def test_regr_orders_by_priority_oracle(ray_session, sf_small):
     )
     want = con.execute(REGR_BY_PRIORITY_SQL).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mixture_weights_oracle(ray_session, sf_small):
+    import ray.data
+
+    from import_ray.stages.text import MIXTURE_WEIGHTS_SQL, mixture_weights_by_source
+
+    ds = ray.data.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    got = mixture_weights_by_source(ds).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = con.execute(MIXTURE_WEIGHTS_SQL).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # shares sum to ~1e9, sqrt weights dominate shares for small sources
+    assert abs(int(got["share_x1e9"].sum()) - 10**9) < len(got)
+    assert (got["w_sqrt_x1e9"] >= got["share_x1e9"]).all()
+
+
+def test_user_skew_profile_oracle(ray_session, sf_small):
+    from import_ray.pipelines.relational import USER_SKEW_SQL, user_skew_profile
+
+    got = user_skew_profile(sf_small).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = con.execute(USER_SKEW_SQL).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 10
