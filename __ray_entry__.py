@@ -194,6 +194,50 @@ def _minhash_keep_best_docs(sf_dir: str):
     return minhash_dedup_keep_best(ds, threshold=0.7).sort("doc_id")
 
 
+def _minhash_keep_best_planted(sf_dir: str):
+    """Oracle-checkable keep-best fixture. The raw corpus contains
+    NATURAL near-dups at 0.7 (LSH structure the oracle can't express),
+    so each doc's text is rewritten to a deterministic id-derived form
+    (one unique token × 30 — pairwise Jaccard 0) that DuckDB can
+    regenerate, then an EXACT copy of every 20th doc is planted at
+    doc_id + 1e6. Copies tie their originals on every quality signal,
+    so the (distinct_ratio, n_chars, doc_id) argmax keeps the ORIGINAL
+    of each {orig, copy} cluster and every other doc as a singleton:
+    kept set == originals with cluster_id = doc_id, exactly what the
+    oracle states. The full distributed LSH→label→join→argmax path
+    still runs."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.neardup import minhash_dedup_keep_best
+
+    ds = _read_table(sf_dir, "documents", ["doc_id"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pa.array(
+            [("w" + str(i) + " ") * 30 for i in ids], pa.string()
+        )
+        texts = pa.compute.utf8_rtrim(texts, characters=" ")
+        base = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        sub = base.filter(pa.array(ids % 20 == 0))
+        copies = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "text": sub["text"],
+            }
+        )
+        return pa.concat_tables([base, copies.cast(base.schema)])
+
+    return minhash_dedup_keep_best(
+        ds.map_batches(plant, batch_format="pyarrow"), threshold=0.7
+    ).sort("doc_id")
+
+
 def _kg_k_core(sf_dir: str):
     """Dense-subgraph extraction: the 2-core of the entity co-mention
     graph (iterative distributed peeling — keyed degree count + two
@@ -554,10 +598,14 @@ def _knn(sf_dir: str):
 
     from import_ray.stages.similarity import knn_cosine
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
-    queries = {
-        r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
-    }
+    # predicate pushdown: only the query rows' row groups are read —
+    # the driver never materializes the embeddings table
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KNN_QUERIES)],
+    ).to_pylist()
+    queries = {r["vec_id"]: np.asarray(r["embedding"]) for r in qt}
     ds = _read_table(sf_dir, "embeddings")
     return knn_cosine(ds, _KNN_QUERIES, _KNN_K, query_vectors=queries)
 
@@ -1018,10 +1066,14 @@ def _ivf_knn(sf_dir: str):
 
     from import_ray.stages.similarity import ivf_knn
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
-    queries = {
-        r["vec_id"]: np.asarray(r["embedding"]) for r in qt if r["vec_id"] < _KNN_QUERIES
-    }
+    # predicate pushdown: only the query rows' row groups are read —
+    # the driver never materializes the embeddings table
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KNN_QUERIES)],
+    ).to_pylist()
+    queries = {r["vec_id"]: np.asarray(r["embedding"]) for r in qt}
     ds = _read_table(sf_dir, "embeddings")
     return ivf_knn(ds, queries, _KNN_K, n_clusters=8, n_probe=5)
 
@@ -1036,6 +1088,51 @@ def _pq_knn(sf_dir: str):
 
     ds = _read_table(sf_dir, "embeddings")
     return pq_knn(ds, _KNN_QUERIES, _KNN_K, m=8, n_codes=32, rerank_factor=8)
+
+
+def _ivf_knn_planted(sf_dir: str):
+    """IVF ANN with planted EXACT copies as ground truth: every query
+    vector (vec_id < 32) gets an identical copy planted at
+    vec_id + 1e6; the copy shares the query's nearest-centroid cell, so
+    IVF probes it FIRST even at n_probe=2 — top-1 must be the copy at
+    cosine exactly 1.0 (no natural pair reaches it). Turns the
+    approximate path into a hash-checkable oracle query."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from import_ray.stages.similarity import ivf_knn
+
+    n_q = 32
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_q)],
+    ).to_pylist()
+    queries = {r["vec_id"]: np.asarray(r["embedding"]) for r in qt}
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids < n_q))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return ivf_knn(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        queries,
+        k=1,
+        n_clusters=8,
+        n_probe=2,
+    )
 
 
 def _config_import_obs(sf_dir: str):
@@ -1822,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_planted": _fingerprint_planted,
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
+        "ivf_knn_planted": _ivf_knn_planted,
         "pq_knn": _pq_knn,
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
@@ -1871,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_docs": _bpe_merges_docs,
         "bpe_token_counts_docs": _bpe_token_counts_docs,
         "minhash_keep_best_docs": _minhash_keep_best_docs,
+        "minhash_keep_best_planted": _minhash_keep_best_planted,
         "entity_resolution_planted": _entity_resolution_planted,
         "lm_perplexity_docs": _lm_perplexity_docs,
         "lm_perplexity_planted": _lm_perplexity_planted,
@@ -2017,6 +2116,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": (
             f"SELECT vec_id AS vec_lo, vec_id + {_PLANT_OFFSET} AS vec_hi, "
             "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
+        ),
+        "ivf_knn_planted": (
+            f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
+            "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
+        ),
+        "minhash_keep_best_planted": (
+            "SELECT doc_id, doc_id AS cluster_id, "
+            "CAST(1000000 AS BIGINT) // 30 AS distinct_ratio_micro, "
+            "length(rtrim(repeat('w' || CAST(doc_id AS VARCHAR) || ' ', 30)))"
+            " AS n_chars FROM documents"
         ),
         "semdedup_planted": "SELECT vec_id FROM embeddings",
         "dsir_planted": "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",

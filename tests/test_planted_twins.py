@@ -1,0 +1,55 @@
+"""Planted-oracle twins for the approximate-path queries: ivf_knn and
+minhash keep-best become hash-checkable against DuckDB via planted
+exact copies (self-cell probing / quality-tie argmax guarantees)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _oracle(sf_dir, table, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def test_ivf_knn_planted_oracle(ray_session, sf_small):
+    import __ray_entry__ as e
+
+    got = e.queries()["ivf_knn_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = got.sort_values("query_id").reset_index(drop=True)
+    want = (
+        _oracle(sf_small, "embeddings", e.oracle_sql()["ivf_knn_planted"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert len(got) == 32
+
+
+def test_minhash_keep_best_planted_oracle(ray_session, sf_small):
+    import __ray_entry__ as e
+
+    got = e.queries()["minhash_keep_best_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = (
+        _oracle(sf_small, "documents", e.oracle_sql()["minhash_keep_best_planted"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # every cluster kept its ORIGINAL (no planted copy survives)
+    assert (got["doc_id"] < 1_000_000).all()
