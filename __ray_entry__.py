@@ -1135,6 +1135,74 @@ def _ivf_knn_planted(sf_dir: str):
     )
 
 
+def _pq_knn_planted(sf_dir: str):
+    """PQ ANN with planted EXACT copies as ground truth (k=1,
+    rerank_factor=8): the copy encodes to the query's own nearest
+    codewords, so its ADC score is the maximum achievable — it is
+    always in the candidate set — and the exact re-rank scores it at
+    cosine exactly 1.0, strictly above every natural vector. Queries
+    are the originals (vec_id < 32), self-matches masked, so rank 1
+    must be vec_id + 1e6."""
+    import pyarrow as pa
+
+    from import_ray.stages.similarity import pq_knn
+
+    n_q = 32
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids < n_q))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return pq_knn(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        n_q,
+        k=1,
+        m=8,
+        n_codes=32,
+        rerank_factor=8,
+    )
+
+
+def _pack_docs_conservation(sf_dir: str):
+    """Conservation invariants of the FFD packer as a hash-checkable
+    query: packing must keep every doc exactly once (Σ n_docs = corpus
+    count), conserve tokens (Σ pack_tokens = corpus token count) and
+    never overfill a shared window (violations = packs over capacity
+    with more than one doc; long singleton docs are allowed). The
+    oracle states the same totals straight off the documents table
+    with zero violations."""
+    import pandas as pd
+
+    from import_ray.stages.chunking import pack_sequences
+
+    cap = 512
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    packs = pack_sequences(ds, capacity=cap).to_pandas()
+    viol = int(((packs["pack_tokens"] > cap) & (packs["n_docs"] > 1)).sum())
+    out = pd.DataFrame(
+        {
+            "total_docs": [int(packs["n_docs"].sum())],
+            "total_tokens": [int(packs["pack_tokens"].sum())],
+            "n_violations": [viol],
+        }
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _config_import_obs(sf_dir: str):
     """Multi-file config-driven import (Simple importer semantics) over
     CSVs derived DETERMINISTICALLY from the sf tables: a wide melt file
@@ -1920,6 +1988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "ivf_knn": _ivf_knn,
         "ivf_knn_planted": _ivf_knn_planted,
+        "pq_knn_planted": _pq_knn_planted,
+        "pack_docs_conservation": _pack_docs_conservation,
         "pq_knn": _pq_knn,
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
@@ -2120,6 +2190,15 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_planted": (
             f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
             "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
+        ),
+        "pq_knn_planted": (
+            f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
+            "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
+        ),
+        "pack_docs_conservation": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_docs, "
+            "CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens, "
+            "CAST(0 AS BIGINT) AS n_violations FROM documents"
         ),
         "minhash_keep_best_planted": (
             "SELECT doc_id, doc_id AS cluster_id, "

@@ -53,3 +53,37 @@ def test_minhash_keep_best_planted_oracle(ray_session, sf_small):
     )
     # every cluster kept its ORIGINAL (no planted copy survives)
     assert (got["doc_id"] < 1_000_000).all()
+
+
+def test_pq_knn_planted_oracle(ray_session, sf_small):
+    import __ray_entry__ as e
+
+    got = e.queries()["pq_knn_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = got.sort_values("query_id").reset_index(drop=True)
+    want = (
+        _oracle(sf_small, "embeddings", e.oracle_sql()["pq_knn_planted"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_pack_docs_conservation_oracle(ray_session, sf_small):
+    import __ray_entry__ as e
+
+    got = e.queries()["pack_docs_conservation"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(
+        sf_small, "documents", e.oracle_sql()["pack_docs_conservation"]
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert int(got["n_violations"].iloc[0]) == 0
