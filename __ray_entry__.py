@@ -1175,6 +1175,107 @@ def _pq_knn_planted(sf_dir: str):
     )
 
 
+def _knn_int8_planted(sf_dir: str):
+    """int8-quantized kNN with planted exact copies: the copy's int8
+    codes equal the query's own quantization, so its dequantized cosine
+    sits within quantization error of 1.0 while every natural vector is
+    ≤ ~0.51 — rank 1 must be vec_id + 1e6 regardless of int8 rounding."""
+    import pyarrow as pa
+
+    from import_ray.stages.similarity import knn_cosine_int8
+
+    n_q = 32
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids < n_q))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return knn_cosine_int8(ds.map_batches(plant, batch_format="pyarrow"), n_q, k=1)
+
+
+def _pca_invariants(sf_dir: str):
+    """Hash-checkable PCA contract: the distributed moment-partial fit
+    must produce an orthonormal component basis, non-increasing
+    per-component variances, and one k-dim row per input vector. The
+    checks run Ray/driver-side on schema-scale state (a k×d basis);
+    the oracle states the per-vector verdict."""
+    import numpy as np
+    import pandas as pd
+
+    from import_ray.stages.pca import pca_embeddings, pca_fit
+
+    k = 8
+    ds = _read_table(sf_dir, "embeddings")
+    model = pca_fit(ds, k=k)
+    comps = model["components"]
+    variances = model["explained_variance"]
+    ortho = bool(np.allclose(comps @ comps.T, np.eye(k), atol=1e-8))
+    mono = bool(np.all(np.diff(variances) <= 1e-12))
+    proj = pca_embeddings(_read_table(sf_dir, "embeddings"), k=k)
+
+    def verdict(b):
+        import pyarrow as pa
+
+        dims_ok = [len(v) == k for v in b["pca"].to_pylist()]
+        ok = [bool(d and ortho and mono) for d in dims_ok]
+        return pa.table({"vec_id": b["vec_id"], "ok": pa.array(ok, pa.bool_())})
+
+    return proj.map_batches(verdict, batch_format="pyarrow").sort("vec_id")
+
+
+def _random_projection_invariants(sf_dir: str):
+    """Hash-checkable JL contract: the seeded Gaussian projection must
+    emit one out_dim row per vector and preserve the pairwise distances
+    of a fixed 32-vector probe set within the JL distortion bound for
+    k=16 (checked exactly once, driver-side, on the probe sample)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from import_ray.stages.similarity import random_projection
+
+    out_dim, n_probe = 16, 32
+    probe = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_probe)],
+    )
+    x = np.stack([np.asarray(v) for v in probe["embedding"].to_pylist()]).astype(
+        np.float64
+    )
+    proj = random_projection(_read_table(sf_dir, "embeddings"), out_dim=out_dim, seed=7)
+    pro = proj.filter(expr=f"vec_id < {n_probe}").take_all()
+    pm = {r["vec_id"]: np.asarray(r["embedding"]) for r in pro}
+    y = np.stack([pm[i] for i in sorted(pm)])
+    dx = np.linalg.norm(x[:, None] - x[None, :], axis=2)
+    dy = np.linalg.norm(y[:, None] - y[None, :], axis=2)
+    iu = np.triu_indices(len(x), 1)
+    ratio = dy[iu] / np.maximum(dx[iu], 1e-12)
+    # JL multiplicative distortion for k=16 (loose bound; the seeded
+    # matrix is deterministic so this is a fixed property, not a gamble)
+    bound_ok = bool((ratio > 0.35).all() and (ratio < 1.9).all())
+
+    def verdict(b):
+        import pyarrow as pa
+
+        dims_ok = [len(v) == out_dim for v in b["embedding"].to_pylist()]
+        ok = [bool(d and bound_ok) for d in dims_ok]
+        return pa.table({"vec_id": b["vec_id"], "ok": pa.array(ok, pa.bool_())})
+
+    return proj.map_batches(verdict, batch_format="pyarrow").sort("vec_id")
+
+
 def _pack_docs_conservation(sf_dir: str):
     """Conservation invariants of the FFD packer as a hash-checkable
     query: packing must keep every doc exactly once (Σ n_docs = corpus
@@ -1990,6 +2091,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_planted": _ivf_knn_planted,
         "pq_knn_planted": _pq_knn_planted,
         "pack_docs_conservation": _pack_docs_conservation,
+        "knn_int8_planted": _knn_int8_planted,
+        "pca_invariants": _pca_invariants,
+        "random_projection_invariants": _random_projection_invariants,
         "pq_knn": _pq_knn,
         "knn_cosine_int8": _knn_int8,
         "random_projection_embeddings": _random_projection,
@@ -2199,6 +2303,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS total_docs, "
             "CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens, "
             "CAST(0 AS BIGINT) AS n_violations FROM documents"
+        ),
+        "knn_int8_planted": (
+            f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
+            "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
+        ),
+        "pca_invariants": "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id",
+        "random_projection_invariants": (
+            "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id"
         ),
         "minhash_keep_best_planted": (
             "SELECT doc_id, doc_id AS cluster_id, "

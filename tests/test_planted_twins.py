@@ -87,3 +87,24 @@ def test_pack_docs_conservation_oracle(ray_session, sf_small):
         check_dtype=False,
     )
     assert int(got["n_violations"].iloc[0]) == 0
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [
+        ("knn_int8_planted", "embeddings"),
+        ("pca_invariants", "embeddings"),
+        ("random_projection_invariants", "embeddings"),
+    ],
+)
+def test_embedding_twin_oracles(ray_session, sf_small, name, table):
+    import __ray_entry__ as e
+
+    got = e.queries()[name](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    key = got.columns[0]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = _oracle(sf_small, table, e.oracle_sql()[name])
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
