@@ -1276,6 +1276,92 @@ def _random_projection_invariants(sf_dir: str):
     return proj.map_batches(verdict, batch_format="pyarrow").sort("vec_id")
 
 
+def _kg_triples_planted(sf_dir: str):
+    """Hash-checkable fixture for the FLAGSHIP transcripts→triples
+    extraction: a transcript corpus derived deterministically from the
+    ``orders`` view (one 2-turn conversation per order; turn 0 mentions
+    a place ``isoCode:R<orderkey mod 7>``, turn 1 is a tool turn) runs
+    through the REAL distributed pipeline (fused extractor semantics +
+    exact triple dedup), and the oracle regenerates every expected
+    triple — structural, mention, and the DISTINCT place nodes — in
+    SQL. Conversation aggregates are off (their checksum triple is
+    intentionally not SQL-expressible; they're covered by
+    kg_conv_stats' pytest parity)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from import_ray.pipelines.kg import build_triples
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False)
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    r = (keys % 7).astype(str)
+    t0 = np.char.add(
+        "please check region isoCode:R", r.astype(object).astype(str)
+    ).astype(object)
+    n = len(keys)
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.repeat(conv, 2), pa.string()),
+            "turn_idx": pa.array(np.tile([0, 1], n).astype(np.int32), pa.int32()),
+            "role": pa.array(np.tile(["user", "agent"], n), pa.string()),
+            "text": pa.array(
+                np.column_stack([t0, np.full(n, "done", object)]).ravel(), pa.string()
+            ),
+            "tool": pa.array(np.tile(["", "lookup"], n), pa.string()),
+            "ts": pa.array(np.repeat(ts, 2), pa.timestamp("us")),
+        }
+    )
+    base = f"/tmp/graft_kg_planted_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base, exist_ok=True)
+    path = f"{base}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return build_triples(path, conv_aggregates=False)
+
+
+KG_TRIPLES_PLANTED_SQL = """
+WITH o AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv,
+         'R' || CAST(o_orderkey % 7 AS VARCHAR) AS code,
+         -- pyarrow strftime's %S includes fractional seconds for
+         -- microsecond-unit timestamps; DuckDB needs explicit .%f
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS st
+  FROM orders
+), turns AS (
+  SELECT conv, code, st, 0 AS i, 'user' AS role,
+         'please check region isoCode:' || code AS txt,
+         NULL AS tool FROM o
+  UNION ALL
+  SELECT conv, code, st, 1, 'agent', 'done', 'lookup' FROM o
+), subj AS (
+  SELECT 'conv/' || conv || '/t' || CAST(i AS VARCHAR) AS s, * FROM turns
+)
+SELECT s AS subject_id, 'typeOf' AS predicate,
+       'ConversationTurn' AS object_id, NULL AS object_value,
+       'transcripts' AS provenance FROM subj
+UNION ALL SELECT s, 'partOf', 'conv/' || conv, NULL, 'transcripts' FROM subj
+UNION ALL SELECT s, 'turnNumber', NULL, CAST(i AS VARCHAR), 'transcripts' FROM subj
+UNION ALL SELECT s, 'role', NULL, role, 'transcripts' FROM subj
+UNION ALL SELECT s, 'text', NULL, txt, 'transcripts' FROM subj
+UNION ALL SELECT s, 'startTime', NULL, st, 'transcripts' FROM subj
+UNION ALL SELECT s, 'tool', NULL, tool, 'transcripts' FROM subj WHERE tool IS NOT NULL
+UNION ALL SELECT s, 'mentionsPlace', 'iso/' || code, NULL, 'transcripts'
+  FROM subj WHERE i = 0
+UNION ALL SELECT DISTINCT 'iso/' || code, 'typeOf', 'Place', NULL, 'transcripts'
+  FROM o
+UNION ALL SELECT DISTINCT 'iso/' || code, 'isoCode', NULL, code, 'transcripts'
+  FROM o
+"""
+
+
 def _pack_docs_conservation(sf_dir: str):
     """Conservation invariants of the FFD packer as a hash-checkable
     query: packing must keep every doc exactly once (Σ n_docs = corpus
@@ -2092,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn_planted": _pq_knn_planted,
         "pack_docs_conservation": _pack_docs_conservation,
         "knn_int8_planted": _knn_int8_planted,
+        "kg_triples_planted": _kg_triples_planted,
         "pca_invariants": _pca_invariants,
         "random_projection_invariants": _random_projection_invariants,
         "pq_knn": _pq_knn,
@@ -2308,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
             "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
         ),
+        "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
         "pca_invariants": "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id",
         "random_projection_invariants": (
             "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id"

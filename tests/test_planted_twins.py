@@ -108,3 +108,20 @@ def test_embedding_twin_oracles(ray_session, sf_small, name, table):
     want = _oracle(sf_small, table, e.oracle_sql()[name])
     want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kg_triples_planted_oracle(ray_session, sf_small):
+    """The FLAGSHIP transcripts→triples pipeline, hash-checked: an
+    orders-derived transcript fixture through the real distributed
+    extraction+dedup must equal the SQL-regenerated triple set."""
+    import __ray_entry__ as e
+
+    got = e.queries()["kg_triples_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(sf_small, "orders", e.oracle_sql()["kg_triples_planted"])
+    ks = ["subject_id", "predicate", "object_id", "object_value"]
+    got = got.sort_values(ks).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(ks).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["provenance"] == "transcripts").all()
