@@ -1362,6 +1362,122 @@ UNION ALL SELECT DISTINCT 'iso/' || code, 'isoCode', NULL, code, 'transcripts'
 """
 
 
+def _kg_graph_planted(sf_dir: str):
+    """Closed-form ground truth for the distributed graph stack: a
+    transcript fixture whose conversations each mention places
+    {R_i, R_i+1, R_i+2} (i = orderkey mod 7) yields the circulant
+    co-mention graph C7(1,2) — 7 nodes, 14 edges, 4-regular, exactly
+    7 triangles, one component, a full 2-core, and a UNIFORM PageRank
+    fixed point (1/7 per node, exact for any regular graph). The real
+    pipelines run end-to-end (extraction → dedup → co-mention clique
+    expansion → triangles / components / k-core / PageRank over keyed
+    exchanges); the oracle states the closed-form values."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.graph import (
+        co_mention_edges,
+        component_sizes,
+        k_core,
+        pagerank,
+        triangle_count,
+    )
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False)
+    a, b, c = keys % 7, (keys + 1) % 7, (keys + 2) % 7
+    text = np.array(
+        [
+            f"see isoCode:R{x} isoCode:R{y} isoCode:R{z}"
+            for x, y, z in zip(a, b, c)
+        ],
+        dtype=object,
+    )
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.char.add("g", keys.astype(str)), pa.string()),
+            "turn_idx": pa.array(np.zeros(len(keys), np.int32), pa.int32()),
+            "role": pa.array(np.full(len(keys), "user", object), pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(np.full(len(keys), "", object), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    base = f"/tmp/graft_kg_graph_planted_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base, exist_ok=True)
+    path = f"{base}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+
+    triples = build_triples(path, conv_aggregates=False)
+    raw = co_mention_edges(triples)  # per-block unique; not global
+
+    def edge_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    from import_ray.core.context import data_nparts
+
+    edges = (
+        raw.repartition(data_nparts(raw), keys=["doc_lo", "doc_hi"])
+        .map_batches(edge_distinct, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    n_edges = edges.count()
+    nodes = set()
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        nodes.update(batch["doc_lo"].to_pylist())
+        nodes.update(batch["doc_hi"].to_pylist())
+    tri = triangle_count(edges)
+    comps = component_sizes(edges).to_pandas()
+    core = k_core(edges, k=2).count()
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_lo": batch["doc_hi"], "doc_hi": batch["doc_lo"]})
+
+    sym = edges.union(edges.map_batches(swap, batch_format="pyarrow"))
+    ranks = pagerank(sym, iterations=5).to_pandas()
+    import math
+
+    rx = [int(math.floor(r * 1e6)) for r in ranks["rank"]]
+    rows = [
+        ("n_nodes", len(nodes)),
+        ("n_edges", n_edges),
+        ("triangles", tri),
+        ("n_components", len(comps)),
+        ("largest_component", int(comps["size"].max())),
+        ("core2_nodes", core),
+        ("pagerank_min_x1e6", min(rx)),
+        ("pagerank_max_x1e6", max(rx)),
+    ]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["value"] = out["value"].astype("int64")
+    return out
+
+
+KG_GRAPH_PLANTED_SQL = """
+SELECT 'n_nodes' AS metric, CAST(7 AS BIGINT) AS value
+UNION ALL SELECT 'n_edges', 14
+UNION ALL SELECT 'triangles', 7
+UNION ALL SELECT 'n_components', 1
+UNION ALL SELECT 'largest_component', 7
+UNION ALL SELECT 'core2_nodes', 7
+UNION ALL SELECT 'pagerank_min_x1e6', 142857
+UNION ALL SELECT 'pagerank_max_x1e6', 142857
+"""
+
+
 def _pack_docs_conservation(sf_dir: str):
     """Conservation invariants of the FFD packer as a hash-checkable
     query: packing must keep every doc exactly once (Σ n_docs = corpus
@@ -2179,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs_conservation": _pack_docs_conservation,
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
+        "kg_graph_planted": _kg_graph_planted,
         "pca_invariants": _pca_invariants,
         "random_projection_invariants": _random_projection_invariants,
         "pq_knn": _pq_knn,
@@ -2396,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
         ),
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
+        "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "pca_invariants": "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id",
         "random_projection_invariants": (
             "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id"

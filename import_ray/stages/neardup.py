@@ -360,9 +360,28 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
 
     Returns a Dataset (node:int64, label:int64).
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from import_ray.core.context import npartitions
+
+    def label_checksum(labels_ds) -> int:
+        """EXACT Σ label over int64 hash labels at any scale: per-block
+        numpy split-sums (low 32 bits unsigned + arithmetic high 32) as
+        decimal strings, folded driver-side in Python ints. Avoids
+        Ray's Sum aggregator overflowing int64 on hash-valued labels
+        (which silently falls back to pickled-object blocks)."""
+        def part(b: pa.Table) -> pa.Table:
+            arr = b["label"].to_numpy(zero_copy_only=False)
+            lo = int((arr & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+            hi = int((arr >> np.int64(32)).sum(dtype=np.int64))
+            return pa.table(
+                {"lo": pa.array([str(lo)]), "hi": pa.array([str(hi)])}
+            )
+
+        parts = labels_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        return sum(int(v) for v in parts["lo"]) + (
+            sum(int(v) for v in parts["hi"]) << 32
+        )
 
     def both_dirs(b: pa.Table) -> pa.Table:
         lo = b["doc_lo"].to_numpy(zero_copy_only=False)
@@ -402,7 +421,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             batch_format="pyarrow",
         )
     ).materialize()
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    prev_sum = label_checksum(labels)
 
     for _ in range(max_rounds):
         nbr_labels = edges.join(
@@ -418,7 +437,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             .groupby("node", num_partitions=npartitions())
             .aggregate(Min("label", alias_name="label"))
         ).materialize()
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        cur_sum = label_checksum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -125,3 +125,17 @@ def test_kg_triples_planted_oracle(ray_session, sf_small):
     want = want.sort_values(ks).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["provenance"] == "transcripts").all()
+
+
+def test_kg_graph_planted_oracle(ray_session, sf_small):
+    """Distributed triangles/components/k-core/PageRank on the planted
+    circulant co-mention graph must hit the closed-form values."""
+    import duckdb as _d
+
+    import __ray_entry__ as e
+
+    got = e.queries()["kg_graph_planted"](sf_small)
+    want = _d.connect().execute(e.oracle_sql()["kg_graph_planted"]).df()
+    got = got.sort_values("metric").reset_index(drop=True)
+    want = want.sort_values("metric").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
