@@ -1478,6 +1478,126 @@ UNION ALL SELECT 'pagerank_max_x1e6', 142857
 """
 
 
+def _planted_conv_fixture(sf_dir: str) -> str:
+    """Shared conversation fixture for the conv-family oracles, derived
+    deterministically from ``orders``: one 4-turn conversation
+    ``p<orderkey>`` per order (roles user/agent/user/agent, tools
+    ''/search/''/calc, texts ``t<i> o<k>``, ts = o_orderdate + 60 s per
+    turn) plus, for every 10th order, a byte-identical duplicate
+    conversation ``q<k>`` (same role/text sequence; 'p' < 'q' so the
+    original always wins dedup). Every per-conv quantity is
+    SQL-regenerable from orders."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts0 = orders["o_orderdate"].to_numpy(zero_copy_only=False)
+
+    def conv_rows(prefix: str, ks: np.ndarray, t0: np.ndarray):
+        n = len(ks)
+        conv = np.char.add(prefix, ks.astype(str)).astype(object)
+        texts = np.empty((n, 4), object)
+        for i in range(4):
+            texts[:, i] = np.char.add(f"t{i} o", ks.astype(str)).astype(object)
+        ts = (t0[:, None] + (np.arange(4) * np.timedelta64(60, "s"))).ravel()
+        return pa.table(
+            {
+                "conv_id": pa.array(np.repeat(conv, 4), pa.string()),
+                "turn_idx": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "role": pa.array(
+                    np.tile(["user", "agent", "user", "agent"], n), pa.string()
+                ),
+                "text": pa.array(texts.ravel(), pa.string()),
+                "tool": pa.array(np.tile(["", "search", "", "calc"], n), pa.string()),
+                "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            }
+        )
+
+    dup = keys % 10 == 0
+    tx = pa.concat_tables(
+        [conv_rows("p", keys, ts0), conv_rows("q", keys[dup], ts0[dup])]
+    )
+    base = f"/tmp/graft_conv_planted_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base, exist_ok=True)
+    path = f"{base}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _conv_reconstruct_planted(sf_dir: str):
+    from import_ray.pipelines.kg import reconstruct_conversations
+
+    return reconstruct_conversations(_planted_conv_fixture(sf_dir)).sort("conv_id")
+
+
+def _conv_dedup_planted(sf_dir: str):
+    from import_ray.pipelines.kg import conv_dedup_exact
+
+    return conv_dedup_exact(_planted_conv_fixture(sf_dir)).sort("conv_id")
+
+
+def _tool_transitions_planted(sf_dir: str):
+    from import_ray.pipelines.kg import tool_transitions
+
+    return tool_transitions(_planted_conv_fixture(sf_dir))
+
+
+def _turn_latency_planted(sf_dir: str):
+    from import_ray.pipelines.kg import turn_latency_stats
+
+    return turn_latency_stats(_planted_conv_fixture(sf_dir))
+
+
+CONV_RECONSTRUCT_PLANTED_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderkey % 10 = 0 AS dup
+  FROM orders
+), convs AS (
+  SELECT 'p' || k AS conv_id, k FROM o
+  UNION ALL SELECT 'q' || k, k FROM o WHERE dup
+)
+SELECT conv_id, CAST(4 AS BIGINT) AS n_turns,
+       't0 o' || k || chr(10) || 't1 o' || k || chr(10)
+       || 't2 o' || k || chr(10) || 't3 o' || k AS full_text
+FROM convs ORDER BY conv_id
+"""
+
+CONV_DEDUP_PLANTED_SQL = """
+SELECT 'p' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_dups
+FROM orders ORDER BY conv_id
+"""
+
+TOOL_TRANSITIONS_PLANTED_SQL = """
+WITH n AS (
+  SELECT COUNT(*) + SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS c
+  FROM orders
+)
+SELECT 'search' AS prev_tool, 'calc' AS next_tool, CAST(c AS BIGINT) AS n FROM n
+"""
+
+TURN_LATENCY_PLANTED_SQL = """
+WITH n AS (
+  SELECT COUNT(*) + SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS c
+  FROM orders
+)
+SELECT 'agent' AS role, CAST(2 * c AS BIGINT) AS n_turns,
+       CAST(2 * c * 60000 AS BIGINT) AS sum_latency_ms,
+       CAST(60000 AS BIGINT) AS max_latency_ms FROM n
+UNION ALL
+SELECT 'user', CAST(c AS BIGINT), CAST(c * 60000 AS BIGINT), 60000 FROM n
+ORDER BY role
+"""
+
+
 def _pack_docs_conservation(sf_dir: str):
     """Conservation invariants of the FFD packer as a hash-checkable
     query: packing must keep every doc exactly once (Σ n_docs = corpus
@@ -2296,6 +2416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
         "kg_graph_planted": _kg_graph_planted,
+        "conv_reconstruct_planted": _conv_reconstruct_planted,
+        "conv_dedup_planted": _conv_dedup_planted,
+        "tool_transitions_planted": _tool_transitions_planted,
+        "turn_latency_planted": _turn_latency_planted,
         "pca_invariants": _pca_invariants,
         "random_projection_invariants": _random_projection_invariants,
         "pq_knn": _pq_knn,
@@ -2514,6 +2638,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
+        "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
+        "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
+        "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,
+        "turn_latency_planted": TURN_LATENCY_PLANTED_SQL,
         "pca_invariants": "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id",
         "random_projection_invariants": (
             "SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id"

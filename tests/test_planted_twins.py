@@ -139,3 +139,25 @@ def test_kg_graph_planted_oracle(ray_session, sf_small):
     got = got.sort_values("metric").reset_index(drop=True)
     want = want.sort_values("metric").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "conv_reconstruct_planted",
+        "conv_dedup_planted",
+        "tool_transitions_planted",
+        "turn_latency_planted",
+    ],
+)
+def test_conv_family_planted_oracles(ray_session, sf_small, name):
+    import __ray_entry__ as e
+
+    got = e.queries()[name](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    key = list(got.columns)[0]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = _oracle(sf_small, "orders", e.oracle_sql()[name])
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
