@@ -1446,9 +1446,19 @@ def _kg_graph_planted(sf_dir: str):
     def swap(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_lo": batch["doc_hi"], "doc_hi": batch["doc_lo"]})
 
-    sym = edges.union(edges.map_batches(swap, batch_format="pyarrow"))
+    sym = edges.union(edges.map_batches(swap, batch_format="pyarrow")).materialize()
     ranks = pagerank(sym, iterations=5).to_pandas()
     import math
+
+    from import_ray.stages.graph import hits, k_hop_reach
+
+    hs = hits(sym, iterations=5).to_pandas()  # regular graph → uniform 1/sqrt(7)
+    hub = [int(math.floor(v * 1e6)) for v in hs["hub"]]
+    auth = [int(math.floor(v * 1e6)) for v in hs["authority"]]
+    # all 7 nodes are seeds (n_seeds > |V|); diameter 2 → per seed the
+    # cumulative reach is 1, 5, 7, 7 across hops 0..3
+    reach = k_hop_reach(edges, n_seeds=8, max_hops=3)
+    reach_tot = reach.groupby("hop", sort=True)["n_reached"].sum()
 
     rx = [int(math.floor(r * 1e6)) for r in ranks["rank"]]
     rows = [
@@ -1460,6 +1470,14 @@ def _kg_graph_planted(sf_dir: str):
         ("core2_nodes", core),
         ("pagerank_min_x1e6", min(rx)),
         ("pagerank_max_x1e6", max(rx)),
+        ("hub_min_x1e6", min(hub)),
+        ("hub_max_x1e6", max(hub)),
+        ("auth_min_x1e6", min(auth)),
+        ("auth_max_x1e6", max(auth)),
+        ("reach_hop0_total", int(reach_tot.get(0, 0))),
+        ("reach_hop1_total", int(reach_tot.get(1, 0))),
+        ("reach_hop2_total", int(reach_tot.get(2, 0))),
+        ("reach_hop3_total", int(reach_tot.get(3, 0))),
     ]
     out = pd.DataFrame(rows, columns=["metric", "value"])
     out["value"] = out["value"].astype("int64")
@@ -1475,6 +1493,14 @@ UNION ALL SELECT 'largest_component', 7
 UNION ALL SELECT 'core2_nodes', 7
 UNION ALL SELECT 'pagerank_min_x1e6', 142857
 UNION ALL SELECT 'pagerank_max_x1e6', 142857
+UNION ALL SELECT 'hub_min_x1e6', 377964
+UNION ALL SELECT 'hub_max_x1e6', 377964
+UNION ALL SELECT 'auth_min_x1e6', 377964
+UNION ALL SELECT 'auth_max_x1e6', 377964
+UNION ALL SELECT 'reach_hop0_total', 7
+UNION ALL SELECT 'reach_hop1_total', 35
+UNION ALL SELECT 'reach_hop2_total', 49
+UNION ALL SELECT 'reach_hop3_total', 49
 """
 
 
