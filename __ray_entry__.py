@@ -1276,24 +1276,18 @@ def _random_projection_invariants(sf_dir: str):
     return proj.map_batches(verdict, batch_format="pyarrow").sort("vec_id")
 
 
-def _kg_triples_planted(sf_dir: str):
-    """Hash-checkable fixture for the FLAGSHIP transcripts→triples
-    extraction: a transcript corpus derived deterministically from the
-    ``orders`` view (one 2-turn conversation per order; turn 0 mentions
-    a place ``isoCode:R<orderkey mod 7>``, turn 1 is a tool turn) runs
-    through the REAL distributed pipeline (fused extractor semantics +
-    exact triple dedup), and the oracle regenerates every expected
-    triple — structural, mention, and the DISTINCT place nodes — in
-    SQL. Conversation aggregates are off (their checksum triple is
-    intentionally not SQL-expressible; they're covered by
-    kg_conv_stats' pytest parity)."""
+def _kg_planted_fixture(sf_dir: str) -> str:
+    """Transcript corpus derived deterministically from the ``orders``
+    view (one 2-turn conversation per order; turn 0 mentions a place
+    ``isoCode:R<orderkey mod 7>``, turn 1 is a tool turn) — every
+    emitted triple is SQL-regenerable from orders. Shared by
+    kg_triples_planted (full extraction parity) and
+    kg_snapshot_planted (as-of rebuild parity)."""
     import os
 
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from import_ray.pipelines.kg import build_triples
 
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
@@ -1324,7 +1318,42 @@ def _kg_triples_planted(sf_dir: str):
     tmp = path + ".tmp"
     pq.write_table(tx, tmp, row_group_size=25_000)
     os.replace(tmp, path)
-    return build_triples(path, conv_aggregates=False)
+    return path
+
+
+def _kg_triples_planted(sf_dir: str):
+    """Hash-checkable fixture for the FLAGSHIP transcripts→triples
+    extraction (see _kg_planted_fixture): the real distributed
+    extraction + exact triple dedup over the orders-derived corpus,
+    compared against a full SQL regeneration."""
+    from import_ray.pipelines.kg import build_triples
+
+    return build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
+
+
+def _kg_snapshot_planted(sf_dir: str):
+    """Time-travel snapshot, hash-checked: the as-of rebuild over the
+    planted fixture at a mid-corpus cutoff must equal the SQL
+    regeneration restricted to orders at or before the cutoff —
+    including the conversation-level aggregates (turnCount, start/end,
+    lastTurnNumber), whose 2-turn values the oracle can state. Only the
+    ``turnChecksum`` triple is filtered (a 64-bit content hash, not
+    SQL-expressible; its semantics are pinned by pytest parity in
+    test_kg_pipeline.py)."""
+    import pyarrow as pa
+
+    from import_ray.pipelines.kg import kg_snapshot_asof
+
+    snap = kg_snapshot_asof(
+        _kg_planted_fixture(sf_dir), cutoff="1995-06-15T00:00:00"
+    )
+
+    def drop_checksum(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b["predicate"], "turnChecksum"))
+
+    return snap.map_batches(drop_checksum, batch_format="pyarrow")
 
 
 KG_TRIPLES_PLANTED_SQL = """
@@ -1482,6 +1511,47 @@ def _kg_graph_planted(sf_dir: str):
     out = pd.DataFrame(rows, columns=["metric", "value"])
     out["value"] = out["value"].astype("int64")
     return out
+
+
+KG_SNAPSHOT_PLANTED_SQL = """
+WITH o AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv,
+         'R' || CAST(o_orderkey % 7 AS VARCHAR) AS code,
+         -- turn triples: pyarrow strftime prints fractional seconds
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS st,
+         -- conversation aggregates: pandas strftime does not
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS stc
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-15 00:00:00'
+), turns AS (
+  SELECT conv, code, st, 0 AS i, 'user' AS role,
+         'please check region isoCode:' || code AS txt,
+         NULL AS tool FROM o
+  UNION ALL
+  SELECT conv, code, st, 1, 'agent', 'done', 'lookup' FROM o
+), subj AS (
+  SELECT 'conv/' || conv || '/t' || CAST(i AS VARCHAR) AS s, * FROM turns
+)
+SELECT s AS subject_id, 'typeOf' AS predicate,
+       'ConversationTurn' AS object_id, NULL AS object_value,
+       'transcripts' AS provenance FROM subj
+UNION ALL SELECT s, 'partOf', 'conv/' || conv, NULL, 'transcripts' FROM subj
+UNION ALL SELECT s, 'turnNumber', NULL, CAST(i AS VARCHAR), 'transcripts' FROM subj
+UNION ALL SELECT s, 'role', NULL, role, 'transcripts' FROM subj
+UNION ALL SELECT s, 'text', NULL, txt, 'transcripts' FROM subj
+UNION ALL SELECT s, 'startTime', NULL, st, 'transcripts' FROM subj
+UNION ALL SELECT s, 'tool', NULL, tool, 'transcripts' FROM subj WHERE tool IS NOT NULL
+UNION ALL SELECT s, 'mentionsPlace', 'iso/' || code, NULL, 'transcripts'
+  FROM subj WHERE i = 0
+UNION ALL SELECT DISTINCT 'iso/' || code, 'typeOf', 'Place', NULL, 'transcripts'
+  FROM o
+UNION ALL SELECT DISTINCT 'iso/' || code, 'isoCode', NULL, code, 'transcripts'
+  FROM o
+UNION ALL SELECT 'conv/' || conv, 'typeOf', 'Conversation', NULL, 'transcripts' FROM o
+UNION ALL SELECT 'conv/' || conv, 'turnCount', NULL, '2', 'transcripts' FROM o
+UNION ALL SELECT 'conv/' || conv, 'startTime', NULL, stc, 'transcripts' FROM o
+UNION ALL SELECT 'conv/' || conv, 'endTime', NULL, stc, 'transcripts' FROM o
+UNION ALL SELECT 'conv/' || conv, 'lastTurnNumber', NULL, '1', 'transcripts' FROM o
+"""
 
 
 KG_GRAPH_PLANTED_SQL = """
@@ -2442,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
         "kg_graph_planted": _kg_graph_planted,
+        "kg_snapshot_planted": _kg_snapshot_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2664,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
+        "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "user_activity_trend",
     "user_event_paths",
     "conv_dedup_exact",
+    "source_token_cosine",
+    "vocab_stats_by_source",
+    "mixture_weights_by_source",
+    "regr_orders_by_priority",
+    "user_skew_profile",
+    "kg_triples_planted",
 ]
 
 

@@ -161,3 +161,18 @@ def test_conv_family_planted_oracles(ray_session, sf_small, name):
     want = _oracle(sf_small, "orders", e.oracle_sql()[name])
     want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kg_snapshot_planted_oracle(ray_session, sf_small):
+    """As-of rebuild over the planted fixture == SQL regeneration of
+    the cutoff-filtered corpus (incl. conversation aggregates)."""
+    import __ray_entry__ as e
+
+    got = e.queries()["kg_snapshot_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(sf_small, "orders", e.oracle_sql()["kg_snapshot_planted"])
+    ks = ["subject_id", "predicate", "object_id", "object_value"]
+    got = got.sort_values(ks).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(ks).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
