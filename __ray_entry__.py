@@ -1628,6 +1628,58 @@ def _planted_conv_fixture(sf_dir: str) -> str:
     return path
 
 
+def _kg_diff_planted(sf_dir: str):
+    """Incremental-delta oracle: previous snapshot drops conversations
+    of EVEN orderkeys (SQL-expressible, unlike the default hash-mod
+    subset), so the delta is exactly the even-order convs' turn-level
+    triples, all ADDED. Place nodes appear in both snapshots (odd keys
+    cover every residue mod 7) and cancel. Runs the real two-build
+    keyed-diff pipeline with conversation aggregates off."""
+    import pyarrow as pa
+
+    from import_ray.pipelines.kg import kg_triple_diff
+
+    def drop_even(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["conv_id"].to_pandas().str[1:].astype(np.int64)
+        return batch.filter(pa.array((ids % 2 != 0).to_numpy()))
+
+    return kg_triple_diff(
+        _kg_planted_fixture(sf_dir),
+        prev_filter=drop_even,
+        conv_aggregates=False,
+    )
+
+
+KG_DIFF_PLANTED_SQL = """
+WITH o AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv,
+         'R' || CAST(o_orderkey % 7 AS VARCHAR) AS code,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS st
+  FROM orders WHERE o_orderkey % 2 = 0
+), turns AS (
+  SELECT conv, code, st, 0 AS i, 'user' AS role,
+         'please check region isoCode:' || code AS txt,
+         NULL AS tool FROM o
+  UNION ALL
+  SELECT conv, code, st, 1, 'agent', 'done', 'lookup' FROM o
+), subj AS (
+  SELECT 'conv/' || conv || '/t' || CAST(i AS VARCHAR) AS s, * FROM turns
+), keys AS (
+  SELECT s || '|typeOf|ConversationTurn|' AS key FROM subj
+  UNION ALL SELECT s || '|partOf|conv/' || conv || '|' FROM subj
+  UNION ALL SELECT s || '|turnNumber||' || CAST(i AS VARCHAR) FROM subj
+  UNION ALL SELECT s || '|role||' || role FROM subj
+  UNION ALL SELECT s || '|text||' || txt FROM subj
+  UNION ALL SELECT s || '|startTime||' || st FROM subj
+  UNION ALL SELECT s || '|tool||' || tool FROM subj WHERE tool IS NOT NULL
+  UNION ALL SELECT s || '|mentionsPlace|iso/' || code || '|' FROM subj WHERE i = 0
+)
+SELECT key, 'x' AS value_current, '' AS value_previous, 'ADDED' AS diff FROM keys
+"""
+
+
 def _conv_reconstruct_planted(sf_dir: str):
     from import_ray.pipelines.kg import reconstruct_conversations
 
@@ -2513,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_planted": _kg_triples_planted,
         "kg_graph_planted": _kg_graph_planted,
         "kg_snapshot_planted": _kg_snapshot_planted,
+        "kg_diff_planted": _kg_diff_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2736,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
+        "kg_diff_planted": KG_DIFF_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

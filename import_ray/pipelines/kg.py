@@ -243,15 +243,25 @@ def _drop_mod_convs(mod: int = 10, residue: int = 0):
     return f
 
 
-def kg_triple_diff(transcripts_path: str | list[str], mod: int = 10):
+def kg_triple_diff(
+    transcripts_path: str | list[str],
+    mod: int = 10,
+    prev_filter=None,
+    conv_aggregates: bool = True,
+):
     """Incremental KG update delta (the reference differ's shape,
     pipeline/differ/DifferUtils.java:97-139, over our triples): build
     canonical triples for the CURRENT snapshot and for a PREVIOUS
-    snapshot (deterministically missing 1/``mod`` of conversations),
-    then a distributed keyed diff. The key is the full canonical
-    4-tuple, so rows are ADDED/DELETED only — exactly the incremental
-    ingest delta a 100 TB refresh would ship. Both builds stream; the
-    diff is one keyed exchange on a 4-tuple string key."""
+    snapshot (deterministically missing 1/``mod`` of conversations, or
+    a caller-supplied ``prev_filter``), then a distributed keyed diff.
+    The key is the full canonical 4-tuple, so rows are ADDED/DELETED
+    only — exactly the incremental ingest delta a 100 TB refresh would
+    ship. The diff VALUE is a constant presence marker: the differ's
+    getOnly(default="") convention would otherwise classify a triple
+    with an empty object_value (typeOf/partOf/mention rows) as absent
+    and drop its addition/deletion from the delta entirely. Both
+    builds stream; the diff is one keyed exchange on a 4-tuple string
+    key."""
     from import_ray.stages.diff import diff_datasets
 
     def to_kv(batch: pa.Table) -> pa.Table:
@@ -264,13 +274,19 @@ def kg_triple_diff(transcripts_path: str | list[str], mod: int = 10):
             s("subject_id"), s("predicate"), s("object_id"), s("object_value"), "|"
         )
         return pa.table(
-            {"key": key, "value": pc.cast(s("object_value"), pa.large_string())}
+            {
+                "key": key,
+                "value": pa.array(np.full(len(batch), "x", object), pa.large_string()),
+            }
         )
 
-    cur = build_triples(transcripts_path).map_batches(to_kv, batch_format="pyarrow")
-    prev = build_triples(transcripts_path, conv_filter=_drop_mod_convs(mod)).map_batches(
-        to_kv, batch_format="pyarrow"
-    )
+    prev_f = prev_filter if prev_filter is not None else _drop_mod_convs(mod)
+    cur = build_triples(
+        transcripts_path, conv_aggregates=conv_aggregates
+    ).map_batches(to_kv, batch_format="pyarrow")
+    prev = build_triples(
+        transcripts_path, conv_filter=prev_f, conv_aggregates=conv_aggregates
+    ).map_batches(to_kv, batch_format="pyarrow")
     return diff_datasets(cur, prev)
 
 

@@ -176,3 +176,19 @@ def test_kg_snapshot_planted_oracle(ray_session, sf_small):
     got = got.sort_values(ks).reset_index(drop=True)[sorted(got.columns)]
     want = want.sort_values(ks).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kg_diff_planted_oracle(ray_session, sf_small):
+    """Incremental delta vs an even-orderkey previous snapshot: the
+    ADDED set is exactly the even convs' turn triples — including the
+    empty-object_value rows the presence-marker fix preserves."""
+    import __ray_entry__ as e
+
+    got = e.queries()["kg_diff_planted"](sf_small)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(sf_small, "orders", e.oracle_sql()["kg_diff_planted"])
+    got = got.sort_values("key").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("key").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["diff"] == "ADDED").all()
