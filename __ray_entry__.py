@@ -1680,6 +1680,50 @@ SELECT key, 'x' AS value_current, '' AS value_previous, 'ADDED' AS diff FROM key
 """
 
 
+def _kg_predicate_counts_planted(sf_dir: str):
+    """Predicate fanout over the planted fixture — every count is an
+    exact function of COUNT(orders)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.graph import predicate_counts
+
+    return predicate_counts(
+        build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
+    ).sort("predicate")
+
+
+KG_PRED_COUNTS_PLANTED_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+SELECT 'typeOf' AS predicate, 2*c + 7 AS n_triples FROM n
+UNION ALL SELECT 'partOf', 2*c FROM n
+UNION ALL SELECT 'turnNumber', 2*c FROM n
+UNION ALL SELECT 'role', 2*c FROM n
+UNION ALL SELECT 'text', 2*c FROM n
+UNION ALL SELECT 'startTime', 2*c FROM n
+UNION ALL SELECT 'tool', c FROM n
+UNION ALL SELECT 'mentionsPlace', c FROM n
+UNION ALL SELECT 'isoCode', CAST(7 AS BIGINT) FROM n
+ORDER BY predicate
+"""
+
+
+def _kg_conv_stats_planted(sf_dir: str):
+    """Per-conversation KG yield over the planted fixture: every conv
+    emits exactly 20 triples (14 turn-level + 6 conversation
+    aggregates), 6 entity links, 4 distinct linked entities."""
+    from import_ray.pipelines.kg import conv_kg_stats
+
+    return conv_kg_stats(_kg_planted_fixture(sf_dir)).sort("conv_id")
+
+
+KG_CONV_STATS_PLANTED_SQL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(20 AS BIGINT) AS n_triples,
+       CAST(6 AS BIGINT) AS n_entity_links,
+       CAST(4 AS BIGINT) AS n_distinct_entities
+FROM orders ORDER BY conv_id
+"""
+
+
 def _conv_reconstruct_planted(sf_dir: str):
     from import_ray.pipelines.kg import reconstruct_conversations
 
@@ -2566,6 +2610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_planted": _kg_graph_planted,
         "kg_snapshot_planted": _kg_snapshot_planted,
         "kg_diff_planted": _kg_diff_planted,
+        "kg_predicate_counts_planted": _kg_predicate_counts_planted,
+        "kg_conv_stats_planted": _kg_conv_stats_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2790,6 +2836,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
+        "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,
+        "kg_conv_stats_planted": KG_CONV_STATS_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

@@ -379,18 +379,22 @@ def conv_kg_stats(transcripts_path: str | list[str]):
     def partials(batch: pa.Table) -> pa.Table:
         subj = batch["subject_id"].to_pandas().astype(str)
         conv = subj.str.extract(r"^conv/([^/]+)", expand=False)
-        obj = batch["object_id"].to_pandas().astype(str)
+        # NB: keep nulls as nulls — astype(str) would turn a null
+        # object_id into the literal 'None' and count value triples
+        # as entity links.
+        obj = batch["object_id"].to_pandas()
         df = pd.DataFrame({"conv_id": conv, "object_id": obj}).dropna(
             subset=["conv_id"]
         )
+        is_link = df["object_id"].notna() & (df["object_id"] != "")
         scal = (
-            df.assign(is_link=(df["object_id"] != "").astype("int64"))
+            df.assign(is_link=is_link.astype("int64"))
             .groupby("conv_id", sort=False)["is_link"]
             .agg(n_triples="size", n_entity_links="sum")
             .reset_index()
         )
         scal["object_id"] = None
-        pairs = df[df["object_id"] != ""].drop_duplicates()
+        pairs = df[is_link].drop_duplicates()
         pairs = pairs.assign(n_triples=0, n_entity_links=0)
         out = pd.concat([scal, pairs], ignore_index=True)[
             ["conv_id", "object_id", "n_triples", "n_entity_links"]

@@ -148,7 +148,7 @@ def test_conv_kg_stats_matches_pandas(ray_session, transcripts_path):
     tri = build_triples(transcripts_path).to_pandas()
     tri["conv_id"] = tri["subject_id"].str.extract(r"^conv/([^/]+)", expand=False)
     tri = tri[tri["conv_id"].notna()]
-    links = tri[tri["object_id"] != ""]
+    links = tri[tri["object_id"].notna() & (tri["object_id"] != "")]
     want = (
         tri.groupby("conv_id")
         .size()
