@@ -1724,6 +1724,27 @@ FROM orders ORDER BY conv_id
 """
 
 
+def _kg_type_profile_planted(sf_dir: str):
+    """Induced ontology (predicate → subject-type × object-type counts)
+    over the planted fixture: partOf links every turn (ConversationTurn)
+    to its conversation (Conversation), mentionsPlace links turn 0 to a
+    Place — both closed-form in COUNT(orders)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.graph import predicate_type_profile
+
+    return predicate_type_profile(build_triples(_kg_planted_fixture(sf_dir)))
+
+
+KG_TYPE_PROFILE_PLANTED_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+SELECT 'mentionsPlace' AS predicate, 'ConversationTurn' AS subject_type,
+       'Place' AS object_type, c AS n_triples FROM n
+UNION ALL
+SELECT 'partOf', 'ConversationTurn', 'Conversation', 2*c FROM n
+ORDER BY predicate
+"""
+
+
 def _conv_reconstruct_planted(sf_dir: str):
     from import_ray.pipelines.kg import reconstruct_conversations
 
@@ -2612,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_diff_planted": _kg_diff_planted,
         "kg_predicate_counts_planted": _kg_predicate_counts_planted,
         "kg_conv_stats_planted": _kg_conv_stats_planted,
+        "kg_type_profile_planted": _kg_type_profile_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2838,6 +2860,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
         "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,
         "kg_conv_stats_planted": KG_CONV_STATS_PLANTED_SQL,
+        "kg_type_profile_planted": KG_TYPE_PROFILE_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

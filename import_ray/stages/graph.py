@@ -1536,3 +1536,128 @@ def hits(edges_ds, iterations: int = 10):
         right_on=("node",),
     )
     return join_safe(out)
+
+
+def predicate_type_profile(triples_ds, type_predicate: str = "typeOf"):
+    """KG schema induction: the (predicate, subject type, object type)
+    distribution over entity-link triples — the domain/range profile a
+    schema registry would derive from the materialized graph (the
+    reference checks per-node domain placement in ``McfChecker``
+    Class/Property checks, util/.../McfChecker.java:605-679; at corpus
+    scale the aggregate profile IS the induced ontology).
+
+    ONE input scan emits both row kinds into a shared narrow schema —
+    type rows (node → its ``typeOf`` value) and fact rows (subject,
+    predicate, object for non-type entity links) — then two keyed
+    exchanges attach the subject type and the object type (per-block
+    pandas merges; multi-typed nodes multiply, exactly like the SQL
+    join), and schema-scale per-block partial counts fold on the
+    driver. Untyped endpoints profile as 'unknown' (left joins).
+
+    Returns pandas (predicate, subject_type, object_type, n_triples).
+    """
+    from import_ray.core.arrowutil import from_pandas_clean
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    n = data_nparts(triples_ds)
+
+    def tagged_rows(batch: pa.Table) -> pa.Table:
+        obj = pc.fill_null(batch["object_id"], "")
+        is_type = pc.and_(
+            pc.equal(batch["predicate"], type_predicate), pc.not_equal(obj, "")
+        )
+        t = batch.filter(is_type)
+        is_fact = pc.and_(
+            pc.not_equal(batch["predicate"], type_predicate), pc.not_equal(obj, "")
+        )
+        f = batch.filter(is_fact)
+        nulls_t = pa.nulls(t.num_rows, pa.string())
+        nulls_f = pa.nulls(f.num_rows, pa.string())
+        return pa.table(
+            {
+                "k": pa.concat_arrays(
+                    [c.combine_chunks() for c in (t["subject_id"], f["subject_id"])]
+                ),
+                "node_type": pa.concat_arrays(
+                    [t["object_id"].combine_chunks(), nulls_f]
+                ),
+                "predicate": pa.concat_arrays(
+                    [nulls_t, f["predicate"].combine_chunks()]
+                ),
+                "f_object": pa.concat_arrays([nulls_t, f["object_id"].combine_chunks()]),
+            }
+        )
+
+    def attach_subject_type(batch: pa.Table) -> pa.Table:
+        """Per-block merge: fact rows gain subject_type; type rows are
+        re-emitted keyed by their node for the object-side exchange."""
+        df = batch.to_pandas()
+        is_type = df["node_type"].notna()
+        types = df.loc[is_type, ["k", "node_type"]]
+        facts = df.loc[~is_type, ["k", "predicate", "f_object"]]
+        enriched = facts.merge(
+            types.rename(columns={"node_type": "subject_type"}), on="k", how="left"
+        )
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "k": enriched["f_object"],
+                        "node_type": None,
+                        "predicate": enriched["predicate"],
+                        "subject_type": enriched["subject_type"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": types["k"],
+                        "node_type": types["node_type"],
+                        "predicate": None,
+                        "subject_type": None,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        for c in out.columns:
+            out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return from_pandas_clean(out, preserve_index=False)
+
+    def attach_object_type(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_type = df["node_type"].notna()
+        types = df.loc[is_type, ["k", "node_type"]]
+        facts = df.loc[~is_type, ["k", "predicate", "subject_type"]]
+        enriched = facts.merge(
+            types.rename(columns={"node_type": "object_type"}), on="k", how="left"
+        )
+        enriched["subject_type"] = enriched["subject_type"].fillna("unknown")
+        enriched["object_type"] = enriched["object_type"].fillna("unknown")
+        g = (
+            enriched.groupby(
+                ["predicate", "subject_type", "object_type"], sort=False
+            )
+            .size()
+            .reset_index(name="n_triples")
+        )
+        g["n_triples"] = g["n_triples"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    tagged = triples_ds.map_batches(tagged_rows, batch_format="pyarrow")
+    ensure_hash_shuffle(tagged)
+    partials = (
+        tagged.repartition(n, keys=["k"])
+        .map_batches(attach_subject_type, batch_format="pyarrow", batch_size=None)
+        .repartition(n, keys=["k"])
+        .map_batches(attach_object_type, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["predicate", "subject_type", "object_type"], sort=True)[
+            "n_triples"
+        ]
+        .sum()
+        .reset_index()
+    )
+    out["n_triples"] = out["n_triples"].astype("int64")
+    return out

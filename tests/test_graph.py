@@ -591,3 +591,72 @@ def test_hits_entity_graph(kg_triples):
     assert hn == pytest.approx(1.0, abs=1e-9)
     assert an == pytest.approx(1.0, abs=1e-9)
     assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in scores)
+
+
+def test_predicate_type_profile_synthetic(ray_session):
+    """Multi-typed nodes multiply (join semantics); untyped endpoints
+    profile as 'unknown'; value triples and typeOf itself are excluded."""
+    import ray.data
+
+    from import_ray.stages.graph import predicate_type_profile
+
+    tri = pa.table(
+        {
+            "subject_id": ["a", "a", "b", "c", "a", "b", "c", "x"],
+            "predicate": [
+                "typeOf", "typeOf", "typeOf", "typeOf",
+                "knows", "knows", "name", "knows",
+            ],
+            "object_id": ["Person", "Agent", "Person", "Org", "b", "c", None, "a"],
+            "object_value": [None] * 6 + ["Carol", None],
+        }
+    )
+    got = predicate_type_profile(ray.data.from_arrow(tri))
+    # a(Person,Agent) knows b(Person) -> 2 rows; b(Person) knows c(Org);
+    # x(untyped) knows a(Person, Agent) -> 2 rows; name is a value triple.
+    want = pd.DataFrame(
+        [
+            ("knows", "Agent", "Person", 1),
+            ("knows", "Person", "Org", 1),
+            ("knows", "Person", "Person", 1),
+            ("knows", "unknown", "Agent", 1),
+            ("knows", "unknown", "Person", 1),
+        ],
+        columns=["predicate", "subject_type", "object_type", "n_triples"],
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_predicate_type_profile_matches_pandas(kg_triples):
+    from import_ray.stages.graph import predicate_type_profile
+
+    ds, df = kg_triples
+    got = predicate_type_profile(ds).reset_index(drop=True)
+
+    types = df[(df["predicate"] == "typeOf") & df["object_id"].notna()][
+        ["subject_id", "object_id"]
+    ].rename(columns={"subject_id": "k", "object_id": "t"})
+    facts = df[
+        (df["predicate"] != "typeOf")
+        & df["object_id"].notna()
+        & (df["object_id"] != "")
+    ][["subject_id", "predicate", "object_id"]]
+    w = facts.merge(
+        types.rename(columns={"k": "subject_id", "t": "subject_type"}),
+        on="subject_id",
+        how="left",
+    ).merge(
+        types.rename(columns={"k": "object_id", "t": "object_type"}),
+        on="object_id",
+        how="left",
+    )
+    w["subject_type"] = w["subject_type"].fillna("unknown")
+    w["object_type"] = w["object_type"].fillna("unknown")
+    want = (
+        w.groupby(["predicate", "subject_type", "object_type"], sort=True)
+        .size()
+        .reset_index(name="n_triples")
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
