@@ -2543,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": R.lineitem_rollup,
         "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
         "sessionize_events": R.sessionize_events,
+        "events_trailing_interval": R.events_trailing_interval,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
         "q13_customer_distribution": R.q13_customer_distribution,
@@ -2733,6 +2734,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": R.ROLLUP_SQL,
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,
+        "events_trailing_interval": R.TRAILING_INTERVAL_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
         "customer_order_gaps": R.ORDER_GAPS_SQL,
         "q13_customer_distribution": R.Q13_SQL,

@@ -5470,3 +5470,63 @@ SELECT user_id, n AS n_events,
          AS hhi_x1e9
 FROM c, tot ORDER BY n DESC, user_id LIMIT 10
 """
+
+
+# --- time-interval RANGE window over irregular event times -------------------
+
+
+def events_trailing_interval(sf_dir: str, minutes: int = 60):
+    """Per event: count and exact cent-sum of the same user's events in
+    the trailing time interval [ts - minutes, ts] — the RANGE-frame
+    window (SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
+    ROW``) over an IRREGULAR series, complementing the dense-calendar
+    ROWS-frame ops (events_moving_7d_sum). One user-keyed exchange;
+    per block: mergesort by (user, ts, event_id), then per user segment
+    two vectorized searchsorted calls + a cumsum-difference — O(rows)
+    work, no per-row loop. Peer rows (equal ts) are included like the
+    SQL RANGE frame. Values sum as int64 cents, bit-equal to the
+    oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    delta_us = np.int64(minutes) * 60_000_000
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        pre = np.concatenate([[0], np.cumsum(cents)])
+        uid = df["user_id"].to_numpy()
+        seg_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[seg_starts, len(uid)]
+        lo = np.empty(len(uid), np.int64)
+        hi = np.empty(len(uid), np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - delta_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "n_window": hi - lo,
+                "sum_cents_window": pre[hi] - pre[lo],
+            }
+        )
+        return from_pandas_clean(out, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(_np_for(ds), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+TRAILING_INTERVAL_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

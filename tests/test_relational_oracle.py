@@ -87,6 +87,7 @@ NEW_QUERIES = [
     "quantity_moments_by_flag",
     "order_part_jaccard",
     "percent_rank_orders",
+    "events_trailing_interval",
 ]
 
 
@@ -209,3 +210,52 @@ def test_q21_join_fallback_matches_broadcast(ray_session, sf_small):
     a = _canon(_to_pandas(q21_sole_return_suppliers(sf_small)))
     b = _canon(_to_pandas(q21_sole_return_suppliers(sf_small, broadcast_limit=0)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_trailing_interval_peer_rows(ray_session, tmp_path):
+    """RANGE frame must include peer rows (equal ts) AFTER the current
+    row, and the boundary ts-1h row inclusively — planted ties exercise
+    both."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from import_ray.pipelines.relational import (
+        TRAILING_INTERVAL_SQL,
+        events_trailing_interval,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    ts = [
+        base, base, base,                # 3 peers at t0
+        base + h,                        # exactly 1h later (inclusive bound)
+        base + h + np.timedelta64(1, "us"),  # just outside for t0 peers
+        base + 3 * h,
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "event_type": pa.array(["click"] * 6),
+            "value": pa.array([1.11, 2.22, 3.33, 4.44, 5.55, 6.66]),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    got = _canon(events_trailing_interval(str(d)).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = _canon(con.sql(TRAILING_INTERVAL_SQL).df())
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the three t0 peers each see all three peers
+    assert (
+        got.set_index("event_id").loc[[0, 1, 2], "n_window"] == 3
+    ).all()
