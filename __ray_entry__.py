@@ -1745,6 +1745,29 @@ ORDER BY predicate
 """
 
 
+def _kg_two_hop_planted(sf_dir: str):
+    """SPARQL-BGP 2-hop self-join over the planted fixture: which
+    conversations mention which places, via the shared turn subject
+    (?t partOf ?conv . ?t mentionsPlace ?place) — exactly one pair per
+    order, regenerable by SQL."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.graph import two_hop_pattern
+
+    return two_hop_pattern(
+        build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False),
+        "partOf",
+        "mentionsPlace",
+    )
+
+
+KG_TWO_HOP_PLANTED_SQL = """
+SELECT 'conv/o' || CAST(o_orderkey AS VARCHAR) AS left_object,
+       'iso/R' || CAST(o_orderkey % 7 AS VARCHAR) AS right_object,
+       CAST(1 AS BIGINT) AS n_pairs
+FROM orders
+"""
+
+
 def _conv_reconstruct_planted(sf_dir: str):
     from import_ray.pipelines.kg import reconstruct_conversations
 
@@ -2635,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts_planted": _kg_predicate_counts_planted,
         "kg_conv_stats_planted": _kg_conv_stats_planted,
         "kg_type_profile_planted": _kg_type_profile_planted,
+        "kg_two_hop_planted": _kg_two_hop_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2863,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,
         "kg_conv_stats_planted": KG_CONV_STATS_PLANTED_SQL,
         "kg_type_profile_planted": KG_TYPE_PROFILE_PLANTED_SQL,
+        "kg_two_hop_planted": KG_TWO_HOP_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

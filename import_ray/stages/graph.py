@@ -1661,3 +1661,77 @@ def predicate_type_profile(triples_ds, type_predicate: str = "typeOf"):
     )
     out["n_triples"] = out["n_triples"].astype("int64")
     return out
+
+
+def two_hop_pattern(triples_ds, left_predicate: str, right_predicate: str):
+    """Basic-graph-pattern self-join: count subjects linking each
+    (left object, right object) pair via the two predicates —
+    ``?s left_predicate ?x . ?s right_predicate ?y`` → (x, y, n). The
+    SPARQL-BGP building block over the materialized triple store (the
+    reference queries its triples tables exactly this way through SQL;
+    simple/stats/db.py tables are the analog surface).
+
+    ONE input scan tags both pattern sides into a shared narrow schema;
+    a subject-keyed exchange co-locates the self-join (per-block pandas
+    merge), then a pair-keyed exchange folds block-local counts. Output
+    stays a Dataset (pair cardinality is data-scale, not schema-scale).
+    """
+    from import_ray.core.arrowutil import from_pandas_clean
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    n = data_nparts(triples_ds)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        obj = pc.fill_null(batch["object_id"], "")
+        linked = pc.not_equal(obj, "")
+        out = []
+        for side, pred in ((0, left_predicate), (1, right_predicate)):
+            t = batch.filter(
+                pc.and_(pc.equal(batch["predicate"], pred), linked)
+            )
+            out.append(
+                pa.table(
+                    {
+                        "k": t["subject_id"].combine_chunks(),
+                        "side": pa.array(
+                            np.full(t.num_rows, side, np.int8), pa.int8()
+                        ),
+                        "obj": t["object_id"].combine_chunks(),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def block_join(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        left = df[df["side"] == 0][["k", "obj"]].rename(columns={"obj": "left_object"})
+        right = df[df["side"] == 1][["k", "obj"]].rename(
+            columns={"obj": "right_object"}
+        )
+        m = left.merge(right, on="k")
+        g = (
+            m.groupby(["left_object", "right_object"], sort=False)
+            .size()
+            .reset_index(name="n_pairs")
+        )
+        g["n_pairs"] = g["n_pairs"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["left_object", "right_object"], sort=False)["n_pairs"]
+            .sum()
+            .reset_index()
+        )
+        g["n_pairs"] = g["n_pairs"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    rows = triples_ds.map_batches(tagged, batch_format="pyarrow")
+    ensure_hash_shuffle(rows)
+    return (
+        rows.repartition(n, keys=["k"])
+        .map_batches(block_join, batch_format="pyarrow", batch_size=None)
+        .repartition(n, keys=["left_object", "right_object"])
+        .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+    )

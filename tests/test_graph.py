@@ -660,3 +660,64 @@ def test_predicate_type_profile_matches_pandas(kg_triples):
         .reset_index(name="n_triples")
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_two_hop_pattern_multiplicity(ray_session):
+    """A subject with 2 left objects and 3 right objects contributes all
+    6 combinations; pairs repeated across subjects sum."""
+    import ray.data
+
+    from import_ray.stages.graph import two_hop_pattern
+
+    tri = pa.table(
+        {
+            "subject_id": ["s1", "s1", "s1", "s1", "s1", "s2", "s2", "s3"],
+            "predicate": ["p", "p", "q", "q", "q", "p", "q", "p"],
+            "object_id": ["a", "b", "x", "y", "z", "a", "x", "lonely"],
+            "object_value": [None] * 8,
+        }
+    )
+    got = (
+        two_hop_pattern(ray.data.from_arrow(tri), "p", "q")
+        .to_pandas()
+        .sort_values(["left_object", "right_object"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            ("a", "x", 2),  # s1 and s2
+            ("a", "y", 1),
+            ("a", "z", 1),
+            ("b", "x", 1),
+            ("b", "y", 1),
+            ("b", "z", 1),
+        ],
+        columns=["left_object", "right_object", "n_pairs"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_two_hop_pattern_matches_pandas(kg_triples):
+    from import_ray.stages.graph import two_hop_pattern
+
+    ds, df = kg_triples
+    got = (
+        two_hop_pattern(ds, "partOf", "mentionsPlace")
+        .to_pandas()
+        .sort_values(["left_object", "right_object"])
+        .reset_index(drop=True)
+    )
+    links = df[df["object_id"].notna() & (df["object_id"] != "")]
+    left = links[links["predicate"] == "partOf"][["subject_id", "object_id"]].rename(
+        columns={"object_id": "left_object"}
+    )
+    right = links[links["predicate"] == "mentionsPlace"][
+        ["subject_id", "object_id"]
+    ].rename(columns={"object_id": "right_object"})
+    want = (
+        left.merge(right, on="subject_id")
+        .groupby(["left_object", "right_object"], sort=True)
+        .size()
+        .reset_index(name="n_pairs")
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
