@@ -1768,6 +1768,74 @@ FROM orders
 """
 
 
+def _editdist_names_fixture(sf_dir: str) -> str:
+    """Names table derived from orders: groups of 4 ids share an
+    md5-derived 12-hex base (pairwise far apart with overwhelming
+    probability), with planted suffix/prefix mutations at distance
+    1-3 within each group. Capped at id < 2400 so the oracle's full
+    quadratic levenshtein join stays cheap."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    keys = np.sort(keys[keys < 2400])
+    base = np.array(
+        [hashlib.md5(str(k // 4).encode()).hexdigest()[:12] for k in keys],
+        dtype=object,
+    )
+    m = keys % 4
+    name = base.copy()
+    name[m == 1] = base[m == 1] + "x"
+    name[m == 2] = base[m == 2] + "xy"
+    name[m == 3] = "q" + base[m == 3]
+    tbl = pa.table(
+        {"id": pa.array(keys, pa.int64()), "name": pa.array(name, pa.string())}
+    )
+    d = f"/tmp/graft_editdist_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/names.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _editdist_pairs_planted(sf_dir: str):
+    """Distance-bounded string similarity self-join (q-gram inverted
+    index → pair dedup → blob joins → vectorized Levenshtein verify)
+    vs the oracle's full quadratic levenshtein() join on the same
+    regenerated names."""
+    import ray.data
+
+    from import_ray.stages.editdist import edit_distance_pairs
+
+    ds = ray.data.read_parquet(_editdist_names_fixture(sf_dir))
+    return edit_distance_pairs(ds, max_dist=2, q=2)
+
+
+EDITDIST_PLANTED_SQL = """
+WITH names AS (
+  SELECT o_orderkey AS id,
+         CASE o_orderkey % 4
+           WHEN 0 THEN substr(md5(CAST(o_orderkey//4 AS VARCHAR)), 1, 12)
+           WHEN 1 THEN substr(md5(CAST(o_orderkey//4 AS VARCHAR)), 1, 12) || 'x'
+           WHEN 2 THEN substr(md5(CAST(o_orderkey//4 AS VARCHAR)), 1, 12) || 'xy'
+           ELSE 'q' || substr(md5(CAST(o_orderkey//4 AS VARCHAR)), 1, 12)
+         END AS name
+  FROM orders WHERE o_orderkey < 2400
+)
+SELECT a.id AS id_lo, b.id AS id_hi,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
 def _conv_reconstruct_planted(sf_dir: str):
     from import_ray.pipelines.kg import reconstruct_conversations
 
@@ -2659,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_stats_planted": _kg_conv_stats_planted,
         "kg_type_profile_planted": _kg_type_profile_planted,
         "kg_two_hop_planted": _kg_two_hop_planted,
+        "editdist_pairs_planted": _editdist_pairs_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2888,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_stats_planted": KG_CONV_STATS_PLANTED_SQL,
         "kg_type_profile_planted": KG_TYPE_PROFILE_PLANTED_SQL,
         "kg_two_hop_planted": KG_TWO_HOP_PLANTED_SQL,
+        "editdist_pairs_planted": EDITDIST_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

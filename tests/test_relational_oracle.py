@@ -88,6 +88,7 @@ NEW_QUERIES = [
     "order_part_jaccard",
     "percent_rank_orders",
     "events_trailing_interval",
+    "editdist_pairs_planted",
 ]
 
 
