@@ -1768,6 +1768,37 @@ FROM orders
 """
 
 
+def _kg_shapes_planted(sf_dir: str):
+    """Cardinality shape validation over the planted fixture: tool is
+    present on exactly one of each conversation's two turns, and
+    mentionsPlace on the other — so requiring each on every turn yields
+    exactly COUNT(orders) missing subjects; role/turnCount/isoCode
+    shapes hold everywhere."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.graph import shape_violations
+
+    shapes = [
+        {"type": "ConversationTurn", "predicate": "tool", "min_count": 1, "max_count": 1},
+        {"type": "ConversationTurn", "predicate": "mentionsPlace", "min_count": 1, "max_count": 1},
+        {"type": "ConversationTurn", "predicate": "role", "min_count": 1, "max_count": 1},
+        {"type": "Conversation", "predicate": "turnCount", "min_count": 1, "max_count": 1},
+        {"type": "Place", "predicate": "isoCode", "min_count": 1, "max_count": 1},
+    ]
+    return shape_violations(build_triples(_kg_planted_fixture(sf_dir)), shapes)
+
+
+KG_SHAPES_PLANTED_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+SELECT 'Conversation' AS target_type, 'turnCount' AS predicate,
+       CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_excess FROM n
+UNION ALL SELECT 'ConversationTurn', 'mentionsPlace', c, 0 FROM n
+UNION ALL SELECT 'ConversationTurn', 'role', 0, 0 FROM n
+UNION ALL SELECT 'ConversationTurn', 'tool', c, 0 FROM n
+UNION ALL SELECT 'Place', 'isoCode', 0, 0 FROM n
+ORDER BY target_type, predicate
+"""
+
+
 def _editdist_names_fixture(sf_dir: str) -> str:
     """Names table derived from orders: groups of 4 ids share an
     md5-derived 12-hex base (pairwise far apart with overwhelming
@@ -2635,6 +2666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_customers_1995_1996": R.repeat_customers_1995_1996,
         "sessionize_events": R.sessionize_events,
         "events_trailing_interval": R.events_trailing_interval,
+        "fd_profile_orders": R.fd_profile_orders,
         "pivot_user_event_counts": R.pivot_user_event_counts,
         "customer_order_gaps": R.customer_order_gaps,
         "q13_customer_distribution": R.q13_customer_distribution,
@@ -2728,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_profile_planted": _kg_type_profile_planted,
         "kg_two_hop_planted": _kg_two_hop_planted,
         "editdist_pairs_planted": _editdist_pairs_planted,
+        "kg_shapes_planted": _kg_shapes_planted,
         "conv_reconstruct_planted": _conv_reconstruct_planted,
         "conv_dedup_planted": _conv_dedup_planted,
         "tool_transitions_planted": _tool_transitions_planted,
@@ -2828,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,
         "events_trailing_interval": R.TRAILING_INTERVAL_SQL,
+        "fd_profile_orders": R.FD_PROFILE_SQL,
         "pivot_user_event_counts": R.PIVOT_SQL,
         "customer_order_gaps": R.ORDER_GAPS_SQL,
         "q13_customer_distribution": R.Q13_SQL,
@@ -2958,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_profile_planted": KG_TYPE_PROFILE_PLANTED_SQL,
         "kg_two_hop_planted": KG_TWO_HOP_PLANTED_SQL,
         "editdist_pairs_planted": EDITDIST_PLANTED_SQL,
+        "kg_shapes_planted": KG_SHAPES_PLANTED_SQL,
         "conv_reconstruct_planted": CONV_RECONSTRUCT_PLANTED_SQL,
         "conv_dedup_planted": CONV_DEDUP_PLANTED_SQL,
         "tool_transitions_planted": TOOL_TRANSITIONS_PLANTED_SQL,

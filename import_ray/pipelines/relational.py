@@ -5530,3 +5530,100 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+# --- functional-dependency profiling ------------------------------------------
+
+
+FD_PAIRS = (
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+def fd_profile_orders(sf_dir: str, pairs=FD_PAIRS):
+    """Functional-dependency validation: for each candidate lhs→rhs
+    column pair, how many distinct lhs values exist and how many of
+    them map to MORE than one distinct rhs (FD violations) — the
+    data-profiling analog of the reference's two-sided uniqueness
+    checks (StatVarState bimap collision detection, SURVEY §2.5).
+
+    ONE scan over the union of needed columns emits per-block-distinct
+    (pair_id, lhs, rhs) rows; ONE (pair_id, lhs)-keyed exchange
+    co-locates each lhs group; per-block distinct-rhs counting emits
+    pair-scale partials folded on the driver."""
+    cols = sorted({c for p in pairs for c in p})
+    ds = _read(sf_dir, "orders", cols)
+    n = _np_for(ds)
+    pair_list = list(pairs)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for i, (lhs, rhs) in enumerate(pair_list):
+            d = df[[lhs, rhs]].astype(str).drop_duplicates()
+            outs.append(
+                pd.DataFrame(
+                    {"pair_id": np.int64(i), "lhs": d[lhs], "rhs": d[rhs]}
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return from_pandas_clean(out, preserve_index=False)
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = df.groupby(["pair_id", "lhs"], sort=False)["rhs"].nunique()
+        per_pair = g.reset_index().groupby("pair_id", sort=False)["rhs"].agg(
+            n_groups="size", n_violations=lambda s: int((s > 1).sum())
+        )
+        out = per_pair.reset_index()
+        for c in ("n_groups", "n_violations"):
+            out[c] = out[c].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
+
+    from import_ray.core.context import ensure_hash_shuffle
+
+    t = ds.map_batches(tagged, batch_format="pyarrow")
+    ensure_hash_shuffle(t)
+    partials = (
+        t.repartition(n, keys=["pair_id", "lhs"])
+        .map_batches(count_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    agg = (
+        partials.groupby("pair_id", sort=True)[["n_groups", "n_violations"]]
+        .sum()
+        .reset_index()
+    )
+    agg["lhs_col"] = [pair_list[i][0] for i in agg["pair_id"]]
+    agg["rhs_col"] = [pair_list[i][1] for i in agg["pair_id"]]
+    out = agg[["lhs_col", "rhs_col", "n_groups", "n_violations"]].copy()
+    for c in ("n_groups", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lhs_col", "rhs_col"]).reset_index(drop=True)
+
+
+FD_PROFILE_SQL = """
+WITH p AS (
+  SELECT 'o_custkey' AS lhs_col, 'o_orderstatus' AS rhs_col,
+         CAST(o_custkey AS VARCHAR) AS lhs, CAST(o_orderstatus AS VARCHAR) AS rhs
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', 'o_orderpriority',
+         CAST(o_orderdate AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', 'o_orderstatus',
+         CAST(o_orderpriority AS VARCHAR), CAST(o_orderstatus AS VARCHAR)
+  FROM orders
+), g AS (
+  SELECT lhs_col, rhs_col, lhs, COUNT(DISTINCT rhs) AS k
+  FROM p GROUP BY lhs_col, rhs_col, lhs
+)
+SELECT lhs_col, rhs_col,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM g GROUP BY lhs_col, rhs_col
+ORDER BY lhs_col, rhs_col
+"""

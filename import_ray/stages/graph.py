@@ -1735,3 +1735,111 @@ def two_hop_pattern(triples_ds, left_predicate: str, right_predicate: str):
         .repartition(n, keys=["left_object", "right_object"])
         .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
     )
+
+
+def shape_violations(triples_ds, shapes, type_predicate: str = "typeOf"):
+    """SHACL-style cardinality shape validation over the materialized
+    graph: for each shape {type, predicate, min_count, max_count},
+    count the subjects of that type whose triple count for the
+    predicate falls below min_count (missing) or above max_count
+    (excess). The aggregate form of the reference's per-node required-
+    property checks (``McfChecker.check`` required-prop errors,
+    util/.../McfChecker.java:282-340) — at corpus scale the counts ARE
+    the validation report.
+
+    ONE input scan emits type rows and per-block (subject, predicate)
+    count partials into a shared schema; ONE subject-keyed exchange
+    co-locates them; per-block evaluation emits shape-scale partials
+    folded on the driver. max_count=None means unbounded.
+
+    Returns pandas (target_type, predicate, n_missing, n_excess)
+    sorted by (target_type, predicate).
+    """
+    from import_ray.core.arrowutil import from_pandas_clean
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    shapes = [dict(s) for s in shapes]
+    preds = sorted({s["predicate"] for s in shapes})
+    types = sorted({s["type"] for s in shapes})
+    n = data_nparts(triples_ds)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        is_type = pc.and_(
+            pc.equal(batch["predicate"], type_predicate),
+            pc.is_in(pc.fill_null(batch["object_id"], ""), value_set=pa.array(types)),
+        )
+        t = batch.filter(is_type)
+        f = batch.filter(pc.is_in(batch["predicate"], value_set=pa.array(preds)))
+        fdf = pd.DataFrame(
+            {
+                "k": f["subject_id"].to_pandas(),
+                "predicate": f["predicate"].to_pandas(),
+            }
+        )
+        cnt = (
+            fdf.groupby(["k", "predicate"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "k": t["subject_id"].to_pandas(),
+                        "node_type": t["object_id"].to_pandas(),
+                        "predicate": None,
+                        "cnt": 0,
+                    }
+                ),
+                cnt.assign(node_type=None)[["k", "node_type", "predicate", "cnt"]],
+            ],
+            ignore_index=True,
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
+
+    def evaluate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_type = df["node_type"].notna()
+        tdf = df.loc[is_type, ["k", "node_type"]]
+        counts = (
+            df.loc[~is_type, ["k", "predicate", "cnt"]]
+            .groupby(["k", "predicate"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        rows = []
+        for s in shapes:
+            subj = tdf.loc[tdf["node_type"] == s["type"], ["k"]]
+            c = subj.merge(
+                counts[counts["predicate"] == s["predicate"]], on="k", how="left"
+            )
+            got = c["cnt"].fillna(0)
+            n_missing = int((got < s.get("min_count", 0)).sum())
+            mx = s.get("max_count")
+            n_excess = int((got > mx).sum()) if mx is not None else 0
+            rows.append((s["type"], s["predicate"], n_missing, n_excess))
+        out = pd.DataFrame(
+            rows, columns=["target_type", "predicate", "n_missing", "n_excess"]
+        )
+        for c in ("n_missing", "n_excess"):
+            out[c] = out[c].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
+
+    tagged_ds = triples_ds.map_batches(tagged, batch_format="pyarrow")
+    ensure_hash_shuffle(tagged_ds)
+    partials = (
+        tagged_ds.repartition(n, keys=["k"])
+        .map_batches(evaluate, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["target_type", "predicate"], sort=True)[
+            ["n_missing", "n_excess"]
+        ]
+        .sum()
+        .reset_index()
+    )
+    for c in ("n_missing", "n_excess"):
+        out[c] = out[c].astype("int64")
+    return out

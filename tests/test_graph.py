@@ -721,3 +721,60 @@ def test_two_hop_pattern_matches_pandas(kg_triples):
         .reset_index(name="n_pairs")
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_shape_violations_synthetic(ray_session):
+    """min/max cardinality violations: missing predicate counts as 0
+    (violates min), repeated predicate violates max; untyped subjects
+    are ignored."""
+    import ray.data
+
+    from import_ray.stages.graph import shape_violations
+
+    tri = pa.table(
+        {
+            "subject_id": ["a", "b", "c", "a", "b", "b", "x"],
+            "predicate": ["typeOf", "typeOf", "typeOf", "name", "name", "name", "name"],
+            "object_id": ["T", "T", "T", None, None, None, None],
+            "object_value": [None, None, None, "A", "B1", "B2", "X"],
+        }
+    )
+    got = shape_violations(
+        ray.data.from_arrow(tri),
+        [{"type": "T", "predicate": "name", "min_count": 1, "max_count": 1}],
+    )
+    # a: 1 name (ok), b: 2 names (excess), c: 0 names (missing); x untyped
+    assert got.iloc[0].tolist() == ["T", "name", 1, 1]
+
+
+def test_shape_violations_matches_pandas(kg_triples):
+    from import_ray.stages.graph import shape_violations
+
+    ds, df = kg_triples
+    shapes = [
+        {"type": "ConversationTurn", "predicate": "tool", "min_count": 1, "max_count": 1},
+        {"type": "ConversationTurn", "predicate": "mentionsPlace", "min_count": 1},
+    ]
+    got = shape_violations(ds, shapes)
+
+    types = df[df["predicate"] == "typeOf"][["subject_id", "object_id"]]
+    rows = []
+    for s in shapes:
+        subj = types[types["object_id"] == s["type"]]["subject_id"]
+        cnt = (
+            df[df["predicate"] == s["predicate"]]
+            .groupby("subject_id")
+            .size()
+            .reindex(subj)
+            .fillna(0)
+        )
+        miss = int((cnt < s.get("min_count", 0)).sum())
+        mx = s.get("max_count")
+        exc = int((cnt > mx).sum()) if mx is not None else 0
+        rows.append((s["type"], s["predicate"], miss, exc))
+    want = (
+        pd.DataFrame(rows, columns=["target_type", "predicate", "n_missing", "n_excess"])
+        .sort_values(["target_type", "predicate"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -89,6 +89,7 @@ NEW_QUERIES = [
     "percent_rank_orders",
     "events_trailing_interval",
     "editdist_pairs_planted",
+    "fd_profile_orders",
 ]
 
 
