@@ -1331,6 +1331,19 @@ def _kg_triples_planted(sf_dir: str):
     return build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
 
 
+def _kg_ntriples_roundtrip(sf_dir: str):
+    """Hash-checkable N-Quads interchange: the flagship extraction over
+    the planted fixture, SERIALIZED to W3C N-Quads lines and PARSED
+    back (sources/ntriples.py) — the roundtrip must reproduce the SQL
+    regeneration byte-exactly, which pins the escape/IRI-encoding
+    bijection end-to-end on real pipeline output."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.ntriples import parse_lines, serialize_triples
+
+    triples = build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
+    return parse_lines(serialize_triples(triples))
+
+
 def _kg_snapshot_planted(sf_dir: str):
     """Time-travel snapshot, hash-checked: the as-of rebuild over the
     planted fixture at a mid-corpus cutoff must equal the SQL
@@ -2753,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
         "kg_graph_planted": _kg_graph_planted,
+        "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "kg_snapshot_planted": _kg_snapshot_planted,
         "kg_diff_planted": _kg_diff_planted,
         "kg_predicate_counts_planted": _kg_predicate_counts_planted,
@@ -2984,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
         ),
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
+        "kg_ntriples_roundtrip": KG_TRIPLES_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
