@@ -1344,6 +1344,93 @@ def _kg_ntriples_roundtrip(sf_dir: str):
     return parse_lines(serialize_triples(triples))
 
 
+def _kg_upsert_delta(sf_dir: str, mod: int = 5):
+    """SQL-regenerable delta over the planted fixture: every conv whose
+    orderkey % mod == 0 gets a REVISED turn-0 text (replace) and a new
+    revisedBy statement (insert)."""
+    import ray.data
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keys = keys[keys % mod == 0]
+        subj = np.char.add(
+            np.char.add("conv/o", keys.astype(str)), "/t0"
+        ).astype(object)
+        n = len(keys)
+        return pa.table(
+            {
+                "subject_id": pa.array(np.repeat(subj, 2), pa.string()),
+                "predicate": pa.array(np.tile(["text", "revisedBy"], n), pa.string()),
+                "object_id": pa.array([None] * (2 * n), pa.string()),
+                "object_value": pa.array(
+                    np.tile(["REVISED", "editor"], n).astype(object), pa.large_string()
+                ),
+                "provenance": pa.array(np.full(2 * n, "delta", object), pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+
+
+def _kg_upsert_planted(sf_dir: str):
+    """Hash-checkable triple-store upsert: the flagship extraction as
+    the BASE store, a SQL-regenerable delta (text replaces + revisedBy
+    inserts on orderkey%5==0 convs) applied with statement-level
+    (subject, predicate) replace semantics
+    (stages/triplestore.upsert_triples)."""
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.triplestore import upsert_triples
+
+    base = build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
+    return upsert_triples(base, _kg_upsert_delta(sf_dir))
+
+
+def _kg_conflicts_planted(sf_dir: str):
+    """Hash-checkable functional-predicate conflict detection: plant a
+    second distinct 'role' object on orderkey%4==0 turn-0 subjects and
+    assert exactly those (subject, role) pairs flag with n_objects=2
+    (stages/triplestore.functional_conflicts)."""
+    import ray.data
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.triplestore import functional_conflicts
+
+    def extra(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keys = keys[keys % 4 == 0]
+        subj = np.char.add(
+            np.char.add("conv/o", keys.astype(str)), "/t0"
+        ).astype(object)
+        n = len(keys)
+        return pa.table(
+            {
+                "subject_id": pa.array(subj, pa.string()),
+                "predicate": pa.array(np.full(n, "role", object), pa.string()),
+                "object_id": pa.array([None] * n, pa.string()),
+                "object_value": pa.array(
+                    np.full(n, "moderator", object), pa.large_string()
+                ),
+                "provenance": pa.array(np.full(n, "extra", object), pa.string()),
+            }
+        )
+
+    base = build_triples(_kg_planted_fixture(sf_dir), conv_aggregates=False)
+    planted = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(extra, batch_format="pyarrow")
+    return functional_conflicts(
+        base.union(planted), ["role", "text", "turnNumber", "typeOf"]
+    )
+
+
 def _kg_snapshot_planted(sf_dir: str):
     """Time-travel snapshot, hash-checked: the as-of rebuild over the
     planted fixture at a mid-corpus cutoff must equal the SQL
@@ -1401,6 +1488,28 @@ UNION ALL SELECT DISTINCT 'iso/' || code, 'typeOf', 'Place', NULL, 'transcripts'
   FROM o
 UNION ALL SELECT DISTINCT 'iso/' || code, 'isoCode', NULL, code, 'transcripts'
   FROM o
+"""
+
+KG_UPSERT_PLANTED_SQL = f"""
+WITH base AS ({KG_TRIPLES_PLANTED_SQL}),
+touched AS (
+  SELECT 'conv/o' || CAST(o_orderkey AS VARCHAR) || '/t0' AS s
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT b.subject_id, b.predicate, b.object_id,
+       CASE WHEN b.predicate = 'text' AND t.s IS NOT NULL
+            THEN 'REVISED' ELSE b.object_value END AS object_value,
+       CASE WHEN b.predicate = 'text' AND t.s IS NOT NULL
+            THEN 'delta' ELSE b.provenance END AS provenance
+FROM base b LEFT JOIN touched t ON b.subject_id = t.s
+UNION ALL
+SELECT s, 'revisedBy', NULL, 'editor', 'delta' FROM touched
+"""
+
+KG_CONFLICTS_PLANTED_SQL = """
+SELECT 'conv/o' || CAST(o_orderkey AS VARCHAR) || '/t0' AS subject_id,
+       'role' AS predicate, CAST(2 AS BIGINT) AS n_objects
+FROM orders WHERE o_orderkey % 4 = 0
 """
 
 
@@ -2767,6 +2876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_planted": _kg_triples_planted,
         "kg_graph_planted": _kg_graph_planted,
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
+        "kg_upsert_planted": _kg_upsert_planted,
+        "kg_conflicts_planted": _kg_conflicts_planted,
         "kg_snapshot_planted": _kg_snapshot_planted,
         "kg_diff_planted": _kg_diff_planted,
         "kg_predicate_counts_planted": _kg_predicate_counts_planted,
@@ -2999,6 +3110,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_triples_planted": KG_TRIPLES_PLANTED_SQL,
         "kg_ntriples_roundtrip": KG_TRIPLES_PLANTED_SQL,
+        "kg_upsert_planted": KG_UPSERT_PLANTED_SQL,
+        "kg_conflicts_planted": KG_CONFLICTS_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

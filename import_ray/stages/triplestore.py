@@ -1,0 +1,143 @@
+"""Triple-store maintenance operators: keyed upsert and functional-
+predicate conflict detection.
+
+The reference's import lifecycle re-ingests whole snapshots and diffs
+them (pipeline/differ/DifferUtils.java:97-139); a 100 TB refresh wants
+the complementary WRITE-side primitive — apply a (much smaller) delta
+to the standing triple store with statement-level replace semantics —
+plus the consistency check its resolver applies per node
+(util McfChecker's singular-value rules, generalized to the whole
+store): a FUNCTIONAL predicate must not carry two distinct objects for
+one subject.
+
+Both operators are one keyed exchange each; only (subject, predicate)
+key hashes plus the payload columns ever move, and every per-block
+kernel is vectorized pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from import_ray.core.arrowutil import from_pandas_clean
+from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+_TRIPLE_COLS = ["subject_id", "predicate", "object_id", "object_value", "provenance"]
+
+
+def _with_sp_key(batch: pa.Table, src: int) -> pa.Table:
+    """Tag rows with their source (0=base, 1=delta) and an int64
+    (subject, predicate) hash — the exchange ships an 8-byte key, not
+    the concatenated strings."""
+    n = len(batch)
+    s = pc.fill_null(pc.cast(batch["subject_id"], pa.large_string()), "")
+    p = pc.fill_null(pc.cast(batch["predicate"], pa.large_string()), "")
+    sp = pc.binary_join_element_wise(s, p, pa.scalar("\x1f", pa.large_string()))
+    h = pd.util.hash_array(sp.to_pandas().to_numpy(dtype=object)).view(np.int64)
+    out = {c: batch[c] if c in batch.column_names else pa.nulls(n, pa.large_string() if c == "object_value" else pa.string()) for c in _TRIPLE_COLS}
+    out["sp_hash"] = pa.array(h, pa.int64())
+    out["src"] = pa.array(np.full(n, src, np.int8), pa.int8())
+    return pa.table(out)
+
+
+def upsert_triples(base_ds, delta_ds):
+    """Statement-level upsert: for every (subject, predicate) that the
+    delta mentions, the delta's triples REPLACE all base triples for
+    that pair; untouched pairs pass through. One keyed exchange on the
+    8-byte (s,p) hash; the per-block winner rule is a vectorized
+    groupby-max + mask (no row loops). Returns a canonical-triple
+    Dataset."""
+    tagged = base_ds.map_batches(
+        lambda b: _with_sp_key(b, 0), batch_format="pyarrow"
+    ).union(
+        delta_ds.map_batches(lambda b: _with_sp_key(b, 1), batch_format="pyarrow")
+    )
+    n = data_nparts(tagged)
+    ensure_hash_shuffle(tagged)
+
+    def winners(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df):
+            # a pair's winning source = max(src) over the pair; hash
+            # ties across distinct (s,p) strings break on the true pair
+            key = df["subject_id"].astype(str) + "\x1f" + df["predicate"].astype(str)
+            win = df["src"].groupby(key, sort=False).transform("max")
+            df = df[df["src"] == win]
+        return pa.table(
+            {
+                "subject_id": pa.array(df["subject_id"].to_numpy(dtype=object), pa.string(), from_pandas=True),
+                "predicate": pa.array(df["predicate"].to_numpy(dtype=object), pa.string(), from_pandas=True),
+                "object_id": pa.array(df["object_id"].to_numpy(dtype=object), pa.string(), from_pandas=True),
+                "object_value": pa.array(
+                    df["object_value"].to_numpy(dtype=object), pa.large_string(), from_pandas=True
+                ),
+                "provenance": pa.array(df["provenance"].to_numpy(dtype=object), pa.string(), from_pandas=True),
+            }
+        )
+
+    return tagged.repartition(n, keys=["sp_hash"]).map_batches(
+        winners, batch_format="pyarrow", batch_size=None
+    )
+
+
+def functional_conflicts(triples_ds, functional_preds: list[str]):
+    """Consistency check: (subject, predicate) pairs among the declared
+    FUNCTIONAL predicates that carry more than one distinct object
+    (object = object_id if set, else object_value). Returns
+    (subject_id, predicate, n_objects) — one row per violation.
+
+    Shape: predicate filter at the scan (tiny broadcast set inside the
+    closure), in-batch distinct (s,p,o) partials, ONE keyed exchange on
+    the (s,p) hash, per-block distinct-count + HAVING>1 filter."""
+    preds = sorted(set(functional_preds))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["predicate"], value_set=pa.array(preds, pa.string()))
+        sub = batch.filter(mask)
+        df = sub.to_pandas()
+        obj = df["object_id"].where(
+            df["object_id"].notna() & (df["object_id"] != ""), df["object_value"]
+        )
+        df = pd.DataFrame(
+            {
+                "subject_id": df["subject_id"],
+                "predicate": df["predicate"],
+                "obj": obj.fillna(""),
+            }
+        ).drop_duplicates()
+        sp = (df["subject_id"].astype(str) + "\x1f" + df["predicate"].astype(str)).to_numpy(
+            dtype=object
+        )
+        df["sp_hash"] = pd.util.hash_array(sp).view(np.int64)
+        return from_pandas_clean(df, preserve_index=False)
+
+    dp = triples_ds.map_batches(partials, batch_format="pyarrow")
+    n = data_nparts(dp)
+    ensure_hash_shuffle(dp)
+
+    def conflicts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "subject_id": pa.array([], pa.string()),
+                    "predicate": pa.array([], pa.string()),
+                    "n_objects": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            df.drop_duplicates()
+            .groupby(["subject_id", "predicate"], sort=False)["obj"]
+            .nunique()
+            .reset_index(name="n_objects")
+        )
+        g = g[g["n_objects"] > 1]
+        g["n_objects"] = g["n_objects"].astype("int64")
+        return from_pandas_clean(g, preserve_index=False)
+
+    return dp.repartition(n, keys=["sp_hash"]).map_batches(
+        conflicts, batch_format="pyarrow", batch_size=None
+    )
