@@ -1431,6 +1431,156 @@ def _kg_conflicts_planted(sf_dir: str):
     )
 
 
+def _conv_sessions_fixture(sf_dir: str) -> str:
+    """Transcript fixture for sessionization: one 5-turn conversation
+    per order, inter-turn spacing (orderkey mod 4) HOURS — so the
+    90-minute session gap splits exactly the mod∈{2,3} conversations.
+    Every ts is SQL-regenerable from orders."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    base = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    n, t = len(keys), 5
+    step_h = (keys % 4).astype(np.int64)
+    i = np.tile(np.arange(t, dtype=np.int64), n)
+    ts = np.repeat(base, t) + (i * np.repeat(step_h, t)) * np.timedelta64(3600, "s")
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.repeat(conv, t), pa.string()),
+            "turn_idx": pa.array(i.astype(np.int32), pa.int32()),
+            "role": pa.array(
+                np.tile(["user", "agent", "user", "agent", "user"], n), pa.string()
+            ),
+            "text": pa.array(np.full(n * t, "x", object), pa.string()),
+            "tool": pa.array(np.full(n * t, "", object), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_sessions_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _conv_sessions_planted(sf_dir: str):
+    """Hash-checkable sessionization: gap-split session counts over the
+    hour-spaced fixture must match the SQL LAG-window regeneration."""
+    from import_ray.pipelines.kg import conv_sessions
+
+    return conv_sessions(_conv_sessions_fixture(sf_dir), gap_minutes=90)
+
+
+CONV_SESSIONS_PLANTED_SQL = """
+WITH o AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+         o_orderkey % 4 AS m, CAST(o_orderdate AS TIMESTAMP) AS d
+  FROM orders
+), turns AS (
+  SELECT conv_id, r.i AS i, d + (r.i * m) * INTERVAL 1 HOUR AS ts
+  FROM o, range(5) r(i)
+), gaps AS (
+  SELECT conv_id,
+         date_diff('minute', LAG(ts) OVER (PARTITION BY conv_id ORDER BY i), ts)
+           AS gm
+  FROM turns
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(1 + SUM(CASE WHEN gm > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(MAX(gm), 0) AS BIGINT) AS max_gap_minutes
+FROM gaps GROUP BY conv_id
+"""
+
+
+def _conv_structure_fixture(sf_dir: str) -> str:
+    """Transcript fixture with PLANTED structure faults: 4-turn
+    conversations; orderkey%6==0 duplicates a turn_idx (3→2),
+    orderkey%6==3 breaks role alternation (turn 2 user→agent)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    base = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    n, t = len(keys), 4
+    i = np.tile(np.arange(t, dtype=np.int64), n)
+    idx = i.copy()
+    dup = np.repeat(keys % 6 == 0, t) & (i == 3)
+    idx[dup] = 2
+    role = np.tile(["user", "agent", "user", "agent"], n).astype(object)
+    brk = np.repeat(keys % 6 == 3, t) & (i == 2)
+    role[brk] = "agent"
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.repeat(conv, t), pa.string()),
+            "turn_idx": pa.array(idx.astype(np.int32), pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(np.full(n * t, "x", object), pa.string()),
+            "tool": pa.array(np.full(n * t, "", object), pa.string()),
+            "ts": pa.array(np.repeat(base, t), pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_structure_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _conv_structure_planted(sf_dir: str):
+    """Hash-checkable dialogue-structure lint: exactly the planted
+    turn-index faults (orderkey%6==0) and alternation faults
+    (orderkey%6==3) must flag."""
+    from import_ray.pipelines.kg import conv_structure_check
+
+    return conv_structure_check(_conv_structure_fixture(sf_dir))
+
+
+CONV_STRUCTURE_PLANTED_SQL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(4 AS BIGINT) AS n_turns,
+       o_orderkey % 6 <> 0 AS idx_ok,
+       o_orderkey % 6 <> 3 AS alternation_ok
+FROM orders
+"""
+
+
+def _conv_sessions_bulk(sf_dir: str):
+    """Sessionization over the real synthesized transcript corpus
+    (rows-only: corpus ts patterns aren't SQL-visible)."""
+    from import_ray.pipelines.kg import conv_sessions
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return conv_sessions(ensure_transcripts(sf_dir), gap_minutes=90)
+
+
+def _conv_structure_bulk(sf_dir: str):
+    """Structure lint over the real synthesized transcript corpus
+    (rows-only)."""
+    from import_ray.pipelines.kg import conv_structure_check
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    return conv_structure_check(ensure_transcripts(sf_dir))
+
+
 def _kg_snapshot_planted(sf_dir: str):
     """Time-travel snapshot, hash-checked: the as-of rebuild over the
     planted fixture at a mid-corpus cutoff must equal the SQL
@@ -2878,6 +3028,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "kg_upsert_planted": _kg_upsert_planted,
         "kg_conflicts_planted": _kg_conflicts_planted,
+        "conv_sessions_planted": _conv_sessions_planted,
+        "conv_structure_planted": _conv_structure_planted,
+        "conv_sessions": _conv_sessions_bulk,
+        "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
         "kg_diff_planted": _kg_diff_planted,
         "kg_predicate_counts_planted": _kg_predicate_counts_planted,
@@ -3112,6 +3266,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples_roundtrip": KG_TRIPLES_PLANTED_SQL,
         "kg_upsert_planted": KG_UPSERT_PLANTED_SQL,
         "kg_conflicts_planted": KG_CONFLICTS_PLANTED_SQL,
+        "conv_sessions_planted": CONV_SESSIONS_PLANTED_SQL,
+        "conv_structure_planted": CONV_STRUCTURE_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

@@ -601,6 +601,148 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
     )
 
 
+def conv_sessions(transcripts_path: str | list[str], gap_minutes: int = 90):
+    """Conversation sessionization: split each conversation's turn
+    sequence (exact turn_idx order) wherever the inter-turn time gap
+    exceeds ``gap_minutes`` — the transcripts-surface twin of
+    ``relational.sessionize_events``, at conversation grain. A
+    long-running agent conversation that idles overnight becomes
+    multiple training sessions.
+
+    Shape: ONE conv-keyed exchange (conv hash + int64 ts + turn idx;
+    text never ships), per-block mergesort + vectorized diff, run-length
+    segment count. Returns (conv_id, n_turns, n_sessions,
+    max_gap_minutes) as a Dataset.
+    """
+    import ray.data
+
+    from import_ray.core.context import (
+        configure_data_context,
+        data_nparts,
+        ensure_hash_shuffle,
+    )
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "ts"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "max_gap_minutes": pa.array([], pa.int64()),
+            }
+        )
+        if not len(df):
+            return empty
+        conv = df["conv_id"].to_numpy(dtype=object)
+        ts = df["ts"].astype("int64").to_numpy()  # microseconds
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        gap = np.zeros(len(df), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[~same] = 0
+        starts = np.flatnonzero(~same)
+        counts = np.diff(np.append(starts, len(df)))
+        split = (gap > gap_us).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(split)))
+        n_sessions = 1 + (cum[np.append(starts[1:], len(df))] - cum[starts])
+        gmax = np.maximum.reduceat(gap, starts)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
+                "max_gap_minutes": pa.array(gmax // 60_000_000, pa.int64()),
+            }
+        )
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(n, keys=["conv_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def conv_structure_check(transcripts_path: str | list[str]):
+    """Dialogue-structure validation — the McfChecker-style lint pass
+    (util/.../McfChecker.java check counters) applied to raw transcript
+    structure instead of MCF nodes: per conversation, is the turn_idx
+    sequence exactly 0..n-1 (no gaps, no duplicates) and do roles
+    strictly alternate between consecutive turns?
+
+    Returns (conv_id, n_turns, idx_ok, alternation_ok) — the corpus
+    gate a training pipeline runs before trusting turn ordering.
+    Shape: ONE conv-keyed exchange; per-block mergesort + vectorized
+    run-segmented checks.
+    """
+    import ray.data
+
+    from import_ray.core.context import (
+        configure_data_context,
+        data_nparts,
+        ensure_hash_shuffle,
+    )
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "idx_ok": pa.array([], pa.bool_()),
+                "alternation_ok": pa.array([], pa.bool_()),
+            }
+        )
+        if not len(df):
+            return empty
+        conv = df["conv_id"].to_numpy(dtype=object)
+        idx = df["turn_idx"].to_numpy().astype(np.int64)
+        role = df["role"].to_numpy(dtype=object)
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        starts = np.flatnonzero(~same)
+        counts = np.diff(np.append(starts, len(df)))
+        # idx_ok: within each run the sorted idx must be start-relative
+        # 0,1,2,... — i.e. idx - (position within run) == 0 everywhere
+        pos = np.arange(len(df)) - np.repeat(starts, counts)
+        idx_bad = idx != pos
+        # alternation: consecutive turns in a conv must change role
+        alt_bad = same & (role == np.concatenate(([None], role[:-1])))
+        # per-run "any bad" via segment sums
+        def seg_any(bad):
+            c = np.concatenate(([0], np.cumsum(bad.astype(np.int64))))
+            ends = np.append(starts[1:], len(df))
+            return (c[ends] - c[starts]) > 0
+
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(counts.astype(np.int64), pa.int64()),
+                "idx_ok": pa.array(~seg_any(idx_bad), pa.bool_()),
+                "alternation_ok": pa.array(~seg_any(alt_bad), pa.bool_()),
+            }
+        )
+
+    ensure_hash_shuffle(ds)
+    return ds.repartition(n, keys=["conv_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def tool_transitions(transcripts_path: str | list[str]):
     """Agent tool-call chain mining: first-order transition counts over
     each conversation's SEQUENCE of tool invocations in exact turn_idx

@@ -264,3 +264,73 @@ def test_tool_transitions_bulk_matches_pandas(ray_session, sf_small):
     assert got.reset_index(drop=True).astype(str).equals(
         want.astype({"n": "int64"}).reset_index(drop=True).astype(str)
     )
+
+
+def _write_tx(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array(
+                [np.datetime64("2025-01-01T00:00:00", "us") + np.timedelta64(r[3], "m")
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    p = str(tmp_path / "tx.parquet")
+    pq.write_table(tbl, p)
+    return p
+
+
+def test_conv_sessions_gap_split(ray_session, tmp_path):
+    from import_ray.pipelines.kg import conv_sessions
+
+    # c1: gaps 30m, 200m, 10m -> 2 sessions; c2: single turn -> 1
+    p = _write_tx(
+        tmp_path,
+        [
+            ("c1", 0, "user", 0),
+            ("c1", 1, "agent", 30),
+            ("c1", 2, "user", 230),
+            ("c1", 3, "agent", 240),
+            ("c2", 0, "user", 0),
+        ],
+    )
+    got = {r["conv_id"]: r for r in conv_sessions(p, gap_minutes=90).take_all()}
+    assert got["c1"]["n_turns"] == 4
+    assert got["c1"]["n_sessions"] == 2
+    assert got["c1"]["max_gap_minutes"] == 200
+    assert got["c2"] == {
+        "conv_id": "c2", "n_turns": 1, "n_sessions": 1, "max_gap_minutes": 0
+    }
+
+
+def test_conv_sessions_gap_exactly_at_threshold_does_not_split(ray_session, tmp_path):
+    from import_ray.pipelines.kg import conv_sessions
+
+    p = _write_tx(tmp_path, [("c1", 0, "user", 0), ("c1", 1, "agent", 90)])
+    (row,) = conv_sessions(p, gap_minutes=90).take_all()
+    assert row["n_sessions"] == 1
+
+
+def test_conv_structure_check(ray_session, tmp_path):
+    from import_ray.pipelines.kg import conv_structure_check
+
+    p = _write_tx(
+        tmp_path,
+        [
+            ("ok", 0, "user", 0), ("ok", 1, "agent", 1), ("ok", 2, "user", 2),
+            ("gap", 0, "user", 0), ("gap", 2, "agent", 1),      # idx gap
+            ("dup", 0, "user", 0), ("dup", 1, "agent", 1), ("dup", 1, "user", 2),
+            ("alt", 0, "user", 0), ("alt", 1, "user", 1),       # role repeat
+        ],
+    )
+    got = {r["conv_id"]: r for r in conv_structure_check(p).take_all()}
+    assert got["ok"]["idx_ok"] and got["ok"]["alternation_ok"]
+    assert not got["gap"]["idx_ok"]
+    assert not got["dup"]["idx_ok"]
+    assert got["alt"]["idx_ok"] and not got["alt"]["alternation_ok"]
