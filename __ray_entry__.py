@@ -1581,6 +1581,100 @@ def _conv_structure_bulk(sf_dir: str):
     return conv_structure_check(ensure_transcripts(sf_dir))
 
 
+def _tq_fixture(sf_dir: str, kind: str) -> str:
+    """Transcript fixtures for the transcript-quality operators.
+    kind='echo': agent turn repeats the user turn verbatim for
+    orderkey%5==0 convs, disjoint vocab otherwise. kind='boiler':
+    agent turn is one fixed template string for orderkey%3==0 convs,
+    a per-conv unique string otherwise."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    n = len(keys)
+    user = np.char.add("alpha beta u", keys.astype(str)).astype(object)
+    if kind == "echo":
+        uniq = np.char.add(np.char.add("gamma", keys.astype(str)), " delta").astype(
+            object
+        )
+        agent = np.where(keys % 5 == 0, user, uniq)
+    else:
+        uniq = np.char.add("resp ", keys.astype(str)).astype(object)
+        agent = np.where(
+            keys % 3 == 0,
+            np.full(n, "Thank you for contacting support.", object),
+            uniq,
+        )
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.repeat(conv, 2), pa.string()),
+            "turn_idx": pa.array(np.tile([0, 1], n).astype(np.int32), pa.int32()),
+            "role": pa.array(np.tile(["user", "agent"], n), pa.string()),
+            "text": pa.array(
+                np.column_stack([user, agent]).ravel().astype(object), pa.string()
+            ),
+            "tool": pa.array(np.full(2 * n, "", object), pa.string()),
+            "ts": pa.array(np.repeat(ts, 2), pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_tq_{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _echo_rate_planted(sf_dir: str):
+    """Hash-checkable echo detection: exactly the orderkey%5==0
+    conversations (agent turn == user turn) score echo_rate 1.0, all
+    others 0.0 (stages/transcript_quality.turn_echo_rate)."""
+    from import_ray.stages.transcript_quality import turn_echo_rate
+
+    return turn_echo_rate(_tq_fixture(sf_dir, "echo"))
+
+
+ECHO_RATE_PLANTED_SQL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(1 AS BIGINT) AS n_pairs,
+       CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS echo_rate
+FROM orders
+"""
+
+
+def _boilerplate_planted(sf_dir: str):
+    """Hash-checkable boilerplate mining: only the planted template
+    string repeats across ≥10 distinct conversations
+    (stages/transcript_quality.boilerplate_turns)."""
+    from import_ray.stages.transcript_quality import boilerplate_turns
+
+    return boilerplate_turns(_tq_fixture(sf_dir, "boiler"), min_convs=10)
+
+
+BOILERPLATE_PLANTED_SQL = """
+SELECT 'Thank you for contacting support.' AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+def _echo_rate_bulk(sf_dir: str):
+    """Echo rate over the real synthesized corpus (rows-only)."""
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.transcript_quality import turn_echo_rate
+
+    return turn_echo_rate(ensure_transcripts(sf_dir))
+
+
 def _kg_snapshot_planted(sf_dir: str):
     """Time-travel snapshot, hash-checked: the as-of rebuild over the
     planted fixture at a mid-corpus cutoff must equal the SQL
@@ -3030,6 +3124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conflicts_planted": _kg_conflicts_planted,
         "conv_sessions_planted": _conv_sessions_planted,
         "conv_structure_planted": _conv_structure_planted,
+        "echo_rate_planted": _echo_rate_planted,
+        "boilerplate_planted": _boilerplate_planted,
+        "echo_rate_convs": _echo_rate_bulk,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3268,6 +3365,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_conflicts_planted": KG_CONFLICTS_PLANTED_SQL,
         "conv_sessions_planted": CONV_SESSIONS_PLANTED_SQL,
         "conv_structure_planted": CONV_STRUCTURE_PLANTED_SQL,
+        "echo_rate_planted": ECHO_RATE_PLANTED_SQL,
+        "boilerplate_planted": BOILERPLATE_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
