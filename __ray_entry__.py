@@ -1581,6 +1581,69 @@ def _conv_structure_bulk(sf_dir: str):
     return conv_structure_check(ensure_transcripts(sf_dir))
 
 
+def _alignment_side(sf_dir: str, side: int):
+    """Synthetic triple snapshot for predicate alignment: side A carries
+    predicates p0..p3 with object sets {obj<j>_0..99} (orderkey mod
+    100); side B carries the SAME object sets under renamed predicates
+    q0..q3, plus qh — a half-width subset of p0's objects (mod 50) →
+    Jaccard exactly 0.5."""
+    import ray.data
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        preds, objs = [], []
+        base = "p" if side == 0 else "q"
+        for j in range(4):
+            preds.append(np.full(len(keys), f"{base}{j}", object))
+            objs.append(
+                np.char.add(f"obj{j}_", (keys % 100).astype(str)).astype(object)
+            )
+        if side == 1:
+            preds.append(np.full(len(keys), "qh", object))
+            objs.append(
+                np.char.add("obj0_", (keys % 50).astype(str)).astype(object)
+            )
+        p = np.concatenate(preds)
+        o = np.concatenate(objs)
+        n = len(p)
+        return pa.table(
+            {
+                "subject_id": pa.array(np.full(n, "s", object), pa.string()),
+                "predicate": pa.array(p, pa.string()),
+                "object_id": pa.array([None] * n, pa.string()),
+                "object_value": pa.array(o, pa.large_string()),
+                "provenance": pa.array(np.full(n, "x", object), pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+
+
+def _kg_alignment_planted(sf_dir: str):
+    """Hash-checkable predicate alignment: renamed predicates recover
+    their originals at Jaccard 1.0, and the planted half-subset
+    predicate matches at exactly 0.5
+    (stages/triplestore.predicate_alignment)."""
+    from import_ray.stages.triplestore import predicate_alignment
+
+    return predicate_alignment(
+        _alignment_side(sf_dir, 0), _alignment_side(sf_dir, 1), min_jaccard=0.5
+    )
+
+
+KG_ALIGNMENT_PLANTED_SQL = """
+SELECT 'q' || CAST(r.i AS VARCHAR) AS pred_b,
+       'p' || CAST(r.i AS VARCHAR) AS pred_a, 1.0 AS jaccard
+FROM range(4) r(i)
+UNION ALL SELECT 'qh', 'p0', 0.5
+"""
+
+
 def _tq_fixture(sf_dir: str, kind: str) -> str:
     """Transcript fixtures for the transcript-quality operators.
     kind='echo': agent turn repeats the user turn verbatim for
@@ -3127,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "echo_rate_planted": _echo_rate_planted,
         "boilerplate_planted": _boilerplate_planted,
         "echo_rate_convs": _echo_rate_bulk,
+        "kg_alignment_planted": _kg_alignment_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3367,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_structure_planted": CONV_STRUCTURE_PLANTED_SQL,
         "echo_rate_planted": ECHO_RATE_PLANTED_SQL,
         "boilerplate_planted": BOILERPLATE_PLANTED_SQL,
+        "kg_alignment_planted": KG_ALIGNMENT_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

@@ -83,6 +83,97 @@ def upsert_triples(base_ds, delta_ds):
     )
 
 
+def predicate_alignment(a_ds, b_ds, min_jaccard: float = 0.5):
+    """Schema/ontology alignment between two triple snapshots: for
+    every predicate in B, the predicate in A whose DISTINCT object set
+    has the highest Jaccard overlap (co-occurrence on identical
+    objects), with |A∩B| / (|A|+|B|−|A∩B|) ≥ ``min_jaccard``. The
+    cross-version predicate-matching step of a KG schema migration
+    (the reference handles renames via hand-written MCF schema updates;
+    this recovers the mapping from data).
+
+    Shape: per-side distinct (predicate, object-hash) partials, ONE
+    keyed exchange on the object hash (so in-block drop_duplicates IS
+    global distinct), per-block vectorized A⋈B pair counts + per-side
+    per-predicate counts, driver merge of the #preds² co-occurrence
+    matrix (schema-scale). Returns pandas
+    (pred_b, pred_a, jaccard:double)."""
+
+    def side_pairs(src: int):
+        def f(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            obj = df["object_id"].where(
+                df["object_id"].notna() & (df["object_id"] != ""), df["object_value"]
+            )
+            out = pd.DataFrame(
+                {"pred": df["predicate"], "obj": obj.fillna("")}
+            ).drop_duplicates()
+            out["h"] = pd.util.hash_array(
+                out["obj"].to_numpy(dtype=object)
+            ).view(np.int64)
+            out = out[["pred", "h"]]
+            out["src"] = np.int8(src)
+            return from_pandas_clean(out, preserve_index=False)
+
+        return f
+
+    tagged = a_ds.map_batches(side_pairs(0), batch_format="pyarrow").union(
+        b_ds.map_batches(side_pairs(1), batch_format="pyarrow")
+    )
+    n = data_nparts(tagged)
+    ensure_hash_shuffle(tagged)
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        a = df[df["src"] == 0][["pred", "h"]]
+        b = df[df["src"] == 1][["pred", "h"]]
+        co = (
+            a.merge(b, on="h", suffixes=("_a", "_b"))
+            .groupby(["pred_a", "pred_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        sa = a.groupby("pred", sort=False).size().reset_index(name="n")
+        sb = b.groupby("pred", sort=False).size().reset_index(name="n")
+        sa = sa.rename(columns={"pred": "pred_a"}).assign(pred_b=None)
+        sb = sb.rename(columns={"pred": "pred_b"}).assign(pred_a=None)
+        out = pd.concat([co, sa, sb], ignore_index=True)[
+            ["pred_a", "pred_b", "n"]
+        ]
+        out["n"] = out["n"].astype("int64")
+        return from_pandas_clean(out, preserve_index=False)
+
+    parts = (
+        tagged.repartition(n, keys=["h"])
+        .map_batches(block_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    co = (
+        parts[parts["pred_a"].notna() & parts["pred_b"].notna()]
+        .groupby(["pred_a", "pred_b"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    na = (
+        parts[parts["pred_b"].isna()].groupby("pred_a", sort=False)["n"].sum()
+    )
+    nb = (
+        parts[parts["pred_a"].isna()].groupby("pred_b", sort=False)["n"].sum()
+    )
+    if not len(co):
+        return pd.DataFrame({"pred_b": [], "pred_a": [], "jaccard": []})
+    co["jaccard"] = co["n"] / (
+        co["pred_a"].map(na).to_numpy()
+        + co["pred_b"].map(nb).to_numpy()
+        - co["n"].to_numpy()
+    )
+    co = co[co["jaccard"] >= min_jaccard]
+    best = co.sort_values(
+        ["pred_b", "jaccard", "pred_a"], ascending=[True, False, True]
+    ).drop_duplicates("pred_b", keep="first")
+    return best[["pred_b", "pred_a", "jaccard"]].reset_index(drop=True)
+
+
 def functional_conflicts(triples_ds, functional_preds: list[str]):
     """Consistency check: (subject, predicate) pairs among the declared
     FUNCTIONAL predicates that carry more than one distinct object

@@ -91,3 +91,41 @@ def test_functional_conflicts(ray_session):
     ).take_all()
     got = sorted((r["subject_id"], r["predicate"], r["n_objects"]) for r in out)
     assert got == [("b", "role", 3), ("c", "linksTo", 2)]
+
+
+def test_predicate_alignment(ray_session):
+    import ray.data
+
+    from import_ray.stages.triplestore import predicate_alignment
+
+    a = _triples(
+        [("s", "name", None, v, "x") for v in ("a", "b", "c", "d")]
+        + [("s", "label", None, v, "x") for v in ("a", "b")]
+        + [("s", "other", None, v, "x") for v in ("z1", "z2")]
+    )
+    b = _triples(
+        # fullName == name exactly; also overlaps label (jac 2/4=0.5)
+        [("s", "fullName", None, v, "x") for v in ("a", "b", "c", "d")]
+        # tag overlaps nothing above min_jaccard
+        + [("s", "tag", None, v, "x") for v in ("a", "q1", "q2", "q3", "q4")]
+    )
+    out = predicate_alignment(
+        ray.data.from_arrow(a), ray.data.from_arrow(b), min_jaccard=0.5
+    )
+    got = sorted(zip(out["pred_b"], out["pred_a"], out["jaccard"]))
+    # fullName argmax is name (1.0) not label (0.5); tag filtered (1/8)
+    assert got == [("fullName", "name", 1.0)]
+
+
+def test_predicate_alignment_dedups_instance_counts(ray_session):
+    import ray.data
+
+    from import_ray.stages.triplestore import predicate_alignment
+
+    # 100 repeats of one value must count as ONE distinct object
+    a = _triples([("s", "p", None, "v", "x")] * 100 + [("s", "p", None, "w", "x")])
+    b = _triples([("s", "q", None, "v", "x")] * 3 + [("s", "q", None, "w", "x")])
+    out = predicate_alignment(
+        ray.data.from_arrow(a), ray.data.from_arrow(b), min_jaccard=0.9
+    )
+    assert list(out["jaccard"]) == [1.0]
