@@ -1581,6 +1581,65 @@ def _conv_structure_bulk(sf_dir: str):
     return conv_structure_check(ensure_transcripts(sf_dir))
 
 
+def _prefix_fixture(sf_dir: str) -> str:
+    """Transcript fixture for prefix grouping: turn 0 is one of four
+    shared system prompts (orderkey mod 4); later turns are per-conv
+    unique."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    n, t = len(keys), 3
+    t0 = np.char.add("sys v", (keys % 4).astype(str)).astype(object)
+    t1 = np.char.add("u", keys.astype(str)).astype(object)
+    t2 = np.char.add("r", keys.astype(str)).astype(object)
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.repeat(conv, t), pa.string()),
+            "turn_idx": pa.array(
+                np.tile(np.arange(t, dtype=np.int32), n), pa.int32()
+            ),
+            "role": pa.array(np.tile(["system", "user", "agent"], n), pa.string()),
+            "text": pa.array(
+                np.column_stack([t0, t1, t2]).ravel().astype(object), pa.string()
+            ),
+            "tool": pa.array(np.full(n * t, "", object), pa.string()),
+            "ts": pa.array(np.repeat(ts, t), pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_prefix_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _conv_prefix_planted(sf_dir: str):
+    """Hash-checkable prefix grouping: conversations sharing a first
+    turn collapse into exactly the four planted system-prompt groups
+    (pipelines/kg.conv_prefix_groups)."""
+    from import_ray.pipelines.kg import conv_prefix_groups
+
+    return conv_prefix_groups(_prefix_fixture(sf_dir), k_turns=1, min_convs=2)
+
+
+CONV_PREFIX_PLANTED_SQL = """
+SELECT MIN('o' || CAST(o_orderkey AS VARCHAR)) AS conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM orders GROUP BY o_orderkey % 4
+"""
+
+
 def _alignment_side(sf_dir: str, side: int):
     """Synthetic triple snapshot for predicate alignment: side A carries
     predicates p0..p3 with object sets {obj<j>_0..99} (orderkey mod
@@ -3191,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_planted": _boilerplate_planted,
         "echo_rate_convs": _echo_rate_bulk,
         "kg_alignment_planted": _kg_alignment_planted,
+        "conv_prefix_planted": _conv_prefix_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3432,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "echo_rate_planted": ECHO_RATE_PLANTED_SQL,
         "boilerplate_planted": BOILERPLATE_PLANTED_SQL,
         "kg_alignment_planted": KG_ALIGNMENT_PLANTED_SQL,
+        "conv_prefix_planted": CONV_PREFIX_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

@@ -513,11 +513,31 @@ def reconstruct_conversations(transcripts_path: str | list[str], sep: str = "\n"
     )
 
 
-def conv_dedup_exact(transcripts_path: str | list[str]):
+def conv_prefix_groups(
+    transcripts_path: str | list[str], k_turns: int = 1, min_convs: int = 2
+):
+    """Template-conversation detection: group conversations whose first
+    ``k_turns`` ordered (role, text) turns are byte-identical (shared
+    system prompt / scripted opening) and report groups with at least
+    ``min_convs`` members. Returns (conv_id=min of group, n_dups=group
+    size) — the prefix-restricted variant of ``conv_dedup_exact``,
+    sharing its rows-not-bytes two-exchange shape."""
+    return conv_dedup_exact(
+        transcripts_path, first_k_turns=k_turns, min_group=min_convs
+    )
+
+
+def conv_dedup_exact(
+    transcripts_path: str | list[str],
+    first_k_turns: int | None = None,
+    min_group: int = 1,
+):
     """Conversation-level exact dedup: conversations whose FULL ordered
     (role, text) turn sequence is byte-identical collapse to one winner
     (min conv_id) — node canonicalization at conversation grain, the
-    corpus-level twin of the triple dedup.
+    corpus-level twin of the triple dedup. With ``first_k_turns`` set,
+    only the first k turns form the content key (prefix grouping); with
+    ``min_group`` > 1, only groups of at least that size survive.
 
     Shape: reconstruct per-conv canonical strings (conv-keyed exchange,
     vectorized join of ``role␟text`` turn units), hash each to a
@@ -547,6 +567,8 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
         df = batch.to_pandas().sort_values(
             ["conv_id", "turn_idx"], kind="mergesort"
         )
+        if first_k_turns is not None:
+            df = df[df["turn_idx"] < first_k_turns]
         if not len(df):
             return pa.table(
                 {
@@ -587,9 +609,18 @@ def conv_dedup_exact(transcripts_path: str | list[str]):
             .agg(conv_id="min", n_dups="size")
             .reset_index(drop=True)
         )
+        if min_group > 1:
+            g = g[g["n_dups"] >= min_group]
         g["n_dups"] = g["n_dups"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    if first_k_turns is not None:
+        # prune BEFORE the exchange: non-prefix turn bodies never shuffle
+        k = int(first_k_turns)
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.less(b["turn_idx"], k)),
+            batch_format="pyarrow",
+        )
     ensure_hash_shuffle(ds)
     keys = ds.repartition(n, keys=["conv_id"]).map_batches(
         content_keys, batch_format="pyarrow", batch_size=None

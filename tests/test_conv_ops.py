@@ -334,3 +334,39 @@ def test_conv_structure_check(ray_session, tmp_path):
     assert not got["gap"]["idx_ok"]
     assert not got["dup"]["idx_ok"]
     assert got["alt"]["idx_ok"] and not got["alt"]["alternation_ok"]
+
+
+def test_conv_prefix_groups(ray_session, tmp_path):
+    from import_ray.pipelines.kg import conv_prefix_groups
+
+    rows = []
+    # a,b share a 2-turn prefix; c shares only turn 0 with them;
+    # d is a singleton prefix (filtered by min_convs=2)
+    for c in ("a", "b", "c"):
+        rows += [(c, 0, "system", 0), (c, 1, "user", 1), (c, 2, "agent", 2)]
+    rows += [("d", 0, "user", 0)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(
+                [
+                    {"a": ["sys", "common follow", "ua"],
+                     "b": ["sys", "common follow", "ub"],
+                     "c": ["sys", "diff", "uc"], "d": ["solo"]}[r[0]][r[1]]
+                    for r in rows
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    p = str(tmp_path / "tx.parquet")
+    pq.write_table(tbl, p)
+
+    # k=1: a,b,c share turn-0 prefix -> one group of 3
+    out1 = conv_prefix_groups(p, k_turns=1, min_convs=2).take_all()
+    assert [(r["conv_id"], r["n_dups"]) for r in out1] == [("a", 3)]
+    # k=2: only a,b still match
+    out2 = conv_prefix_groups(p, k_turns=2, min_convs=2).take_all()
+    assert [(r["conv_id"], r["n_dups"]) for r in out2] == [("a", 2)]
