@@ -1640,6 +1640,35 @@ FROM orders GROUP BY o_orderkey % 4
 """
 
 
+def _sft_pairs_planted(sf_dir: str):
+    """Hash-checkable SFT pair extraction: over the 3-turn prefix
+    fixture, each conversation yields exactly one (prompt, response)
+    pair whose prompt is the role-prefixed join of the two preceding
+    turns (stages/sft.sft_pairs)."""
+    from import_ray.stages.sft import sft_pairs
+
+    return sft_pairs(_prefix_fixture(sf_dir), context_turns=2)
+
+
+SFT_PAIRS_PLANTED_SQL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(2 AS BIGINT) AS turn_idx,
+       'system: sys v' || CAST(o_orderkey % 4 AS VARCHAR) || chr(10) ||
+         'user: u' || CAST(o_orderkey AS VARCHAR) AS prompt,
+       'r' || CAST(o_orderkey AS VARCHAR) AS response
+FROM orders
+"""
+
+
+def _sft_pairs_bulk(sf_dir: str):
+    """SFT pair extraction over the real synthesized corpus (rows-only;
+    the corpus's responding role is 'assistant')."""
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.sft import sft_pairs
+
+    return sft_pairs(ensure_transcripts(sf_dir), response_role="assistant")
+
+
 def _alignment_side(sf_dir: str, side: int):
     """Synthetic triple snapshot for predicate alignment: side A carries
     predicates p0..p3 with object sets {obj<j>_0..99} (orderkey mod
@@ -3251,6 +3280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "echo_rate_convs": _echo_rate_bulk,
         "kg_alignment_planted": _kg_alignment_planted,
         "conv_prefix_planted": _conv_prefix_planted,
+        "sft_pairs_planted": _sft_pairs_planted,
+        "sft_pairs": _sft_pairs_bulk,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3493,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_planted": BOILERPLATE_PLANTED_SQL,
         "kg_alignment_planted": KG_ALIGNMENT_PLANTED_SQL,
         "conv_prefix_planted": CONV_PREFIX_PLANTED_SQL,
+        "sft_pairs_planted": SFT_PAIRS_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
