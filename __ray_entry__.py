@@ -1669,6 +1669,77 @@ def _sft_pairs_bulk(sf_dir: str):
     return sft_pairs(ensure_transcripts(sf_dir), response_role="assistant")
 
 
+def _kge_triple_fixture(sf_dir: str):
+    """SQL-regenerable triple store for KGE negative sampling: subject
+    's'||(k%5), predicate 'p'||((k//5)%3), object 'e'||((k//15) %
+    (2+k%5)) — the per-subject object modulus varies, so different
+    (s,p) pairs have DIFFERENT true-object sets and the filtered
+    negatives genuinely exercise the NOT EXISTS."""
+    import ray.data
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.char.add("s", (k % 5).astype(str)).astype(object)
+        p = np.char.add("p", ((k // 5) % 3).astype(str)).astype(object)
+        o = np.char.add("e", ((k // 15) % (2 + k % 5)).astype(str)).astype(object)
+        return pa.table(
+            {
+                "subject_id": pa.array(s, pa.string()),
+                "predicate": pa.array(p, pa.string()),
+                "object_id": pa.array(o, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+
+
+_KGE_VOCAB = [f"e{i}" for i in range(9)]
+
+
+def _kge_negatives_planted(sf_dir: str):
+    """Hash-checkable filtered KGE negatives, exhaustive mode: distinct
+    (s,p) × a fixed 9-entity vocab minus true statements
+    (stages/kge.kge_negatives_exhaustive) vs a SQL CROSS JOIN + NOT
+    EXISTS regeneration."""
+    from import_ray.stages.kge import kge_negatives_exhaustive
+
+    return kge_negatives_exhaustive(_kge_triple_fixture(sf_dir), _KGE_VOCAB)
+
+
+KGE_NEGATIVES_PLANTED_SQL = """
+WITH T AS (
+  SELECT DISTINCT 's' || CAST(o_orderkey % 5 AS VARCHAR) AS s,
+                  'p' || CAST((o_orderkey // 5) % 3 AS VARCHAR) AS p,
+                  'e' || CAST((o_orderkey // 15) % (2 + o_orderkey % 5) AS VARCHAR) AS o
+  FROM orders
+),
+SP AS (SELECT DISTINCT s, p FROM T),
+V AS (SELECT * FROM (VALUES ('e0'),('e1'),('e2'),('e3'),('e4'),('e5'),('e6'),('e7'),('e8')) AS vv(e))
+SELECT SP.s AS subject_id, SP.p AS predicate, V.e AS neg_object
+FROM SP CROSS JOIN V
+WHERE NOT EXISTS (
+  SELECT 1 FROM T WHERE T.s = SP.s AND T.p = SP.p AND T.o = V.e
+)
+"""
+
+
+def _kge_negatives_sampled_bulk(sf_dir: str):
+    """Sampled filtered KGE negatives over the same planted store
+    (rows-only: the splitmix64 corruption draw is not SQL-expressible;
+    determinism and the filtered property are pinned in
+    tests/test_kge.py)."""
+    from import_ray.stages.kge import kge_negatives_sampled
+
+    return kge_negatives_sampled(
+        _kge_triple_fixture(sf_dir), _KGE_VOCAB, k=3, seed=7
+    )
+
+
 def _alignment_side(sf_dir: str, side: int):
     """Synthetic triple snapshot for predicate alignment: side A carries
     predicates p0..p3 with object sets {obj<j>_0..99} (orderkey mod
@@ -3282,6 +3353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_prefix_planted": _conv_prefix_planted,
         "sft_pairs_planted": _sft_pairs_planted,
         "sft_pairs": _sft_pairs_bulk,
+        "kge_negatives_planted": _kge_negatives_planted,
+        "kge_negatives_sampled": _kge_negatives_sampled_bulk,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3525,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_alignment_planted": KG_ALIGNMENT_PLANTED_SQL,
         "conv_prefix_planted": CONV_PREFIX_PLANTED_SQL,
         "sft_pairs_planted": SFT_PAIRS_PLANTED_SQL,
+        "kge_negatives_planted": KGE_NEGATIVES_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
