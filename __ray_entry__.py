@@ -1740,6 +1740,91 @@ def _kge_negatives_sampled_bulk(sf_dir: str):
     )
 
 
+def _random_walks_planted(sf_dir: str):
+    """Hash-checkable DeepWalk corpus: over a FUNCTIONAL graph (each
+    node exactly one out-edge: n_i → n_{(7i+3) mod 40}) the walk is
+    deterministic regardless of the RNG draw, so the corpus equals 3
+    chained SQL self-joins (stages/graph.random_walks; multi-neighbor
+    draws are pinned against a pure-Python walker in
+    tests/test_random_walks.py)."""
+    import ray.data
+
+    from import_ray.stages.graph import random_walks
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = k % 40
+        return pa.table(
+            {
+                "src": pa.array(np.char.add("n", i.astype(str)).astype(object), pa.string()),
+                "dst": pa.array(
+                    np.char.add("n", ((i * 7 + 3) % 40).astype(str)).astype(object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+    return random_walks(edges, walk_length=3, walks_per_node=1, seed=0)
+
+
+RANDOM_WALKS_PLANTED_SQL = """
+WITH E AS (
+  SELECT DISTINCT 'n' || CAST(o_orderkey % 40 AS VARCHAR) AS src,
+                  'n' || CAST(((o_orderkey % 40) * 7 + 3) % 40 AS VARCHAR) AS dst
+  FROM orders
+),
+S AS (SELECT DISTINCT src FROM E)
+SELECT src || '#0' AS walk_key, CAST(0 AS BIGINT) AS step, src AS node FROM S
+UNION ALL
+SELECT e1.src || '#0', CAST(1 AS BIGINT), e1.dst FROM E e1
+UNION ALL
+SELECT e1.src || '#0', CAST(2 AS BIGINT), e2.dst
+FROM E e1 JOIN E e2 ON e2.src = e1.dst
+UNION ALL
+SELECT e1.src || '#0', CAST(3 AS BIGINT), e3.dst
+FROM E e1 JOIN E e2 ON e2.src = e1.dst JOIN E e3 ON e3.src = e2.dst
+"""
+
+
+def _random_walks_kg(sf_dir: str):
+    """DeepWalk corpus over the REAL transcripts KG entity-reference
+    graph (rows-only: multi-neighbor draws aren't SQL-expressible;
+    determinism pinned in tests). The skip-gram training input for
+    graph embeddings over this engine's own output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.graph import random_walks
+
+    def to_edges(batch):
+        obj = batch["object_id"]
+        if isinstance(obj, pa.ChunkedArray):
+            obj = obj.combine_chunks()
+        keep = pc.and_(
+            pc.and_(obj.is_valid(), pc.not_equal(obj, "")),
+            pc.not_equal(obj, batch["subject_id"]),
+        )
+        t = batch.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "src": pc.cast(t["subject_id"], pa.large_string()),
+                "dst": pc.cast(t["object_id"], pa.large_string()),
+            }
+        )
+
+    triples = build_triples(ensure_transcripts(sf_dir))
+    edges = triples.map_batches(to_edges, batch_format="pyarrow")
+    return random_walks(edges, walk_length=4, walks_per_node=1, seed=0)
+
+
 def _alignment_side(sf_dir: str, side: int):
     """Synthetic triple snapshot for predicate alignment: side A carries
     predicates p0..p3 with object sets {obj<j>_0..99} (orderkey mod
@@ -3355,6 +3440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pairs": _sft_pairs_bulk,
         "kge_negatives_planted": _kge_negatives_planted,
         "kge_negatives_sampled": _kge_negatives_sampled_bulk,
+        "random_walks_planted": _random_walks_planted,
+        "random_walks_kg": _random_walks_kg,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3599,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_prefix_planted": CONV_PREFIX_PLANTED_SQL,
         "sft_pairs_planted": SFT_PAIRS_PLANTED_SQL,
         "kge_negatives_planted": KGE_NEGATIVES_PLANTED_SQL,
+        "random_walks_planted": RANDOM_WALKS_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

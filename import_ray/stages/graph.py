@@ -1843,3 +1843,177 @@ def shape_violations(triples_ds, shapes, type_predicate: str = "typeOf"):
     for c in ("n_missing", "n_excess"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def _walk_mix(x: np.ndarray) -> np.ndarray:
+    """Public-domain splitmix64 finalizer, vectorized — the walk's
+    per-(walk, step) neighbor draw."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def random_walks(
+    edges_ds,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 0,
+):
+    """DeepWalk-style corpus generation (Perozzi et al., KDD'14) over
+    directed string edges ``(src, dst)``: ``walks_per_node``
+    fixed-length uniform random walks from every source node, emitted
+    as ``(walk_key, step, node)`` rows — the skip-gram training corpus
+    for graph embeddings over a KG this engine built.
+
+    The draw is DETERMINISTIC and block-independent: step t of walk w
+    picks sorted-neighbor index ``splitmix64(hash64(walk_key) ⊕ mix(t)
+    ⊕ seed) mod degree``, so reruns and different parallelism produce
+    byte-identical corpora (the property every other sampler in this
+    repo pins). Walks stop early at sink nodes.
+
+    Scale shape: ONE keyed exchange builds the ranked adjacency
+    (src, dst, rank, deg); each of the L rounds is two hash joins on
+    the CONSTANT-size frontier (walks × 1 row) — degree lookup first,
+    so picking a neighbor never fans out frontier rows by degree. The
+    frontier is materialized per round (semi-naive, like
+    ``ancestor_closure``); adjacency is materialized once and
+    re-consumed from the object store.
+    """
+    from import_ray.core.context import (
+        data_nparts,
+        ensure_hash_shuffle,
+        join_safe,
+    )
+
+    ensure_hash_shuffle(edges_ds)
+    n = data_nparts(edges_ds)
+    r = int(walks_per_node)
+    length = int(walk_length)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b["src"], pa.large_string()),
+                "dst": pc.cast(b["dst"], pa.large_string()),
+            }
+        )
+
+    def rank_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0 or b.num_columns == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.large_string()),
+                    "dst": pa.array([], pa.large_string()),
+                    "rank": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            b.to_pandas()
+            .drop_duplicates()
+            .sort_values(["src", "dst"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        src = df["src"].to_numpy(dtype=object)
+        new = np.r_[True, src[1:] != src[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(df)))
+        rank = np.arange(len(df)) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.large_string()),
+                "dst": pa.array(df["dst"].to_numpy(dtype=object), pa.large_string()),
+                "rank": pa.array(rank.astype(np.int64), pa.int64()),
+                "deg": pa.array(np.repeat(counts, counts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    adj = join_safe(
+        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+        .repartition(n, keys=["src"])
+        .map_batches(rank_block, batch_format="pyarrow", batch_size=None)
+    ).materialize()
+    deg = adj.filter(expr="rank == 0").select_columns(["src", "deg"]).materialize()
+
+    def start_rows(b: pa.Table) -> pa.Table:
+        starts = b["src"].to_pandas().to_numpy(dtype=object)
+        # one walk key per (start, walk index)
+        s = np.repeat(starts, r)
+        w = np.tile(np.arange(r), len(starts)).astype(str)
+        k = np.char.add(np.char.add(s.astype(str), "#"), w).astype(object)
+        return pa.table(
+            {
+                "walk_key": pa.array(k, pa.large_string()),
+                "node": pa.array(s, pa.large_string()),
+            }
+        )
+
+    frontier = deg.map_batches(start_rows, batch_format="pyarrow").materialize()
+
+    def out_rows(step):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_key": pc.cast(b["walk_key"], pa.large_string()),
+                    "step": pa.array(np.full(len(b), step, np.int64), pa.int64()),
+                    "node": pc.cast(b["node"], pa.large_string()),
+                }
+            )
+
+        return f
+
+    corpus = frontier.map_batches(out_rows(0), batch_format="pyarrow")
+    for t in range(1, length + 1):
+        with_deg = join_safe(
+            frontier.join(
+                deg,
+                join_type="inner",
+                num_partitions=n,
+                on=("node",),
+                right_on=("src",),
+            )
+        )
+
+        def pick(b: pa.Table, _t=t) -> pa.Table:
+            keys = b["walk_key"].to_pandas().to_numpy(dtype=object)
+            h = pd.util.hash_array(keys).view(np.uint64)
+            d = b["deg"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            step_mix = np.uint64((_t * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFFFFFF)
+            idx = _walk_mix(h ^ step_mix ^ np.uint64(seed)) % np.maximum(
+                d, np.uint64(1)
+            )
+            return pa.table(
+                {
+                    "walk_key": pc.cast(b["walk_key"], pa.large_string()),
+                    "node": pc.cast(b["node"], pa.large_string()),
+                    "pick": pa.array(idx.astype(np.int64), pa.int64()),
+                }
+            )
+
+        picked = with_deg.map_batches(pick, batch_format="pyarrow").materialize()
+        if picked.count() == 0:
+            # every surviving walk sits on a sink — nothing to extend
+            break
+        chosen = join_safe(
+            picked.join(
+                adj,
+                join_type="inner",
+                num_partitions=n,
+                on=("node", "pick"),
+                right_on=("src", "rank"),
+            )
+        )
+        frontier = chosen.map_batches(
+            lambda b: pa.table(
+                {
+                    "walk_key": pc.cast(b["walk_key"], pa.large_string()),
+                    "node": pc.cast(b["dst"], pa.large_string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        corpus = corpus.union(frontier.map_batches(out_rows(t), batch_format="pyarrow"))
+        if frontier.count() == 0:
+            break
+    return corpus
