@@ -1740,6 +1740,42 @@ def _kge_negatives_sampled_bulk(sf_dir: str):
     )
 
 
+def _preference_pairs_planted(sf_dir: str):
+    """Hash-checkable DPO preference-pair extraction: over the shared
+    system-prompt fixture, each of the four prompt groups yields one
+    (chosen, rejected) pair by response length with deterministic
+    conv_id tie-breaks (stages/sft.preference_pairs) — vs a SQL
+    ROW_NUMBER window regeneration."""
+    from import_ray.stages.sft import preference_pairs
+
+    return preference_pairs(_prefix_fixture(sf_dir), k_turns=1)
+
+
+PREFERENCE_PAIRS_PLANTED_SQL = """
+WITH C AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+         'system: sys v' || CAST(o_orderkey % 4 AS VARCHAR) AS prompt,
+         'r' || CAST(o_orderkey AS VARCHAR) AS response
+  FROM orders
+),
+R AS (
+  SELECT *, LENGTH(response) AS score,
+         ROW_NUMBER() OVER (PARTITION BY prompt
+                            ORDER BY LENGTH(response) DESC, conv_id ASC) AS rn_hi,
+         ROW_NUMBER() OVER (PARTITION BY prompt
+                            ORDER BY LENGTH(response) ASC, conv_id DESC) AS rn_lo,
+         COUNT(*) OVER (PARTITION BY prompt) AS n_candidates
+  FROM C
+)
+SELECT hi.prompt AS prompt, hi.response AS chosen, lo.response AS rejected,
+       CAST(hi.score AS BIGINT) AS chosen_score,
+       CAST(lo.score AS BIGINT) AS rejected_score,
+       CAST(hi.n_candidates AS BIGINT) AS n_candidates
+FROM R hi JOIN R lo ON hi.prompt = lo.prompt
+WHERE hi.rn_hi = 1 AND lo.rn_lo = 1 AND hi.n_candidates >= 2
+"""
+
+
 def _random_walks_planted(sf_dir: str):
     """Hash-checkable DeepWalk corpus: over a FUNCTIONAL graph (each
     node exactly one out-edge: n_i → n_{(7i+3) mod 40}) the walk is
@@ -3442,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kge_negatives_sampled": _kge_negatives_sampled_bulk,
         "random_walks_planted": _random_walks_planted,
         "random_walks_kg": _random_walks_kg,
+        "preference_pairs_planted": _preference_pairs_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3687,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs_planted": SFT_PAIRS_PLANTED_SQL,
         "kge_negatives_planted": KGE_NEGATIVES_PLANTED_SQL,
         "random_walks_planted": RANDOM_WALKS_PLANTED_SQL,
+        "preference_pairs_planted": PREFERENCE_PAIRS_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

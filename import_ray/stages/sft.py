@@ -110,3 +110,152 @@ def sft_pairs(
     return ds.repartition(n, keys=["conv_id"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def preference_pairs(
+    transcripts_path: str | list[str],
+    k_turns: int = 1,
+    response_role: str = "agent",
+    sep: str = "\n",
+):
+    """DPO/RLHF preference-pair extraction: conversations that share
+    the same ``k_turns``-turn prompt prefix form a candidate group;
+    within each group the highest-scoring response is ``chosen`` and
+    the lowest-scoring is ``rejected`` (score = response length in
+    characters; ties broken by conv_id — ascending for chosen,
+    descending for rejected — so the pair is total-order deterministic
+    and SQL-reproducible). Groups with fewer than 2 candidates drop.
+
+    Returns (prompt, chosen, rejected, chosen_score, rejected_score,
+    n_candidates).
+
+    Two keyed exchanges: conv_id (assemble prompt + first
+    ``response_role`` response per conversation — same vectorized
+    gather as ``sft_pairs``), then an 8-byte prompt hash (co-locate
+    each candidate group; the block kernel is ONE lexsort — first row
+    of a group is chosen, last is rejected). A viral prompt shared by
+    millions of conversations lands in one partition — the same
+    co-location contract as conv_prefix_groups; the kernel stays
+    vectorized, so hot groups cost memory, not Python loops.
+    """
+    import pandas as pd
+    import ray.data
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(lambda b: b.replace_schema_metadata(None), batch_format="pyarrow")
+    n = data_nparts(ds)
+    k = int(k_turns)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        empty = pa.table(
+            {
+                "ph": pa.array([], pa.int64()),
+                "prompt": pa.array([], pa.large_string()),
+                "conv_id": pa.array([], pa.string()),
+                "response": pa.array([], pa.large_string()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if not len(df):
+            return empty
+        conv = df["conv_id"].to_numpy(dtype=object)
+        role = df["role"].to_numpy(dtype=object)
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        run_starts = np.flatnonzero(~same)
+        counts = np.diff(np.append(run_starts, len(df)))
+        run_id = np.repeat(np.arange(len(run_starts)), counts)
+        pos = np.arange(len(df)) - np.repeat(run_starts, counts)
+        # first response_role turn at/after the prefix, per conversation
+        m = (pos >= k) & (role == response_role)
+        midx = np.flatnonzero(m)
+        if not len(midx):
+            return empty
+        _, first = np.unique(run_id[midx], return_index=True)
+        ridx = midx[first]  # one response row per responding conv
+        # responding convs necessarily have >= k prefix turns
+        starts = run_starts[run_id[ridx]]
+        flat = (np.repeat(starts, k) + np.tile(np.arange(k), len(ridx))).astype(
+            np.int64
+        )
+        lines = pc.binary_join_element_wise(
+            pc.cast(pa.array(role), pa.large_string()),
+            pc.cast(
+                pa.array(df["text"].to_numpy(dtype=object), from_pandas=True),
+                pa.large_string(),
+            ),
+            pa.scalar(": ", pa.large_string()),
+        )
+        vals = lines.take(pa.array(flat, pa.int64()))
+        offsets = pa.array(np.arange(len(ridx) + 1, dtype=np.int64) * k, pa.int64())
+        prompt = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, vals),
+            pa.scalar(sep, pa.large_string()),
+        )
+        response = pc.cast(
+            pa.array(df["text"].to_numpy(dtype=object)[ridx], from_pandas=True),
+            pa.large_string(),
+        )
+        ph = pd.util.hash_array(
+            np.asarray(prompt.to_pandas().to_numpy(dtype=object))
+        ).view(np.int64)
+        return pa.table(
+            {
+                "ph": pa.array(ph, pa.int64()),
+                "prompt": prompt,
+                "conv_id": pa.array(conv[ridx], pa.string()),
+                "response": response,
+                "score": pc.cast(pc.utf8_length(response), pa.int64()),
+            }
+        )
+
+    def pick_pair(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prompt": pa.array([], pa.large_string()),
+                "chosen": pa.array([], pa.large_string()),
+                "rejected": pa.array([], pa.large_string()),
+                "chosen_score": pa.array([], pa.int64()),
+                "rejected_score": pa.array([], pa.int64()),
+                "n_candidates": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0 or batch.num_columns == 0:
+            return empty
+        prompt = batch["prompt"].to_pandas().to_numpy(dtype=object)
+        conv = batch["conv_id"].to_pandas().to_numpy(dtype=object)
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        # one sort: (prompt, score DESC, conv ASC); within each prompt
+        # run the FIRST row is chosen and the LAST is rejected (the
+        # reverse order is exactly score ASC, conv DESC)
+        order = np.lexsort((conv, -score, prompt))
+        P = prompt[order]
+        new = np.r_[True, P[1:] != P[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(P)))
+        keep = counts >= 2
+        hi = order[starts[keep]]
+        lo = order[(starts + counts - 1)[keep]]
+        resp = batch["response"].to_pandas().to_numpy(dtype=object)
+        return pa.table(
+            {
+                "prompt": pa.array(prompt[hi], pa.large_string()),
+                "chosen": pa.array(resp[hi], pa.large_string()),
+                "rejected": pa.array(resp[lo], pa.large_string()),
+                "chosen_score": pa.array(score[hi].astype(np.int64), pa.int64()),
+                "rejected_score": pa.array(score[lo].astype(np.int64), pa.int64()),
+                "n_candidates": pa.array(counts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    ensure_hash_shuffle(ds)
+    cands = ds.repartition(n, keys=["conv_id"]).map_batches(
+        candidates, batch_format="pyarrow", batch_size=None
+    )
+    return cands.repartition(n, keys=["ph"]).map_batches(
+        pick_pair, batch_format="pyarrow", batch_size=None
+    )
