@@ -3362,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "version_diff_orders": R.version_diff_orders,
         "customers_without_orders": R.customers_without_orders,
         "orders_running_total": R.orders_running_total,
+        "coalesce_order_intervals": R.coalesce_order_intervals,
         "purchase_last_signup": R.purchase_last_signup,
         "q6_discount_revenue": R.q6_discount_revenue,
         "q4_order_priority": R.q4_order_priority,
@@ -3576,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
         "version_diff_orders": R.VERSION_DIFF_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "orders_running_total": R.RUNNING_TOTAL_SQL,
+        "coalesce_order_intervals": R.COALESCE_INTERVALS_SQL,
         "purchase_last_signup": R.ASOF_JOIN_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q4_order_priority": R.Q4_SQL,

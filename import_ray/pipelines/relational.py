@@ -5627,3 +5627,112 @@ SELECT lhs_col, rhs_col,
 FROM g GROUP BY lhs_col, rhs_col
 ORDER BY lhs_col, rhs_col
 """
+
+
+def coalesce_intervals(ds, key_col="key", start_col="start", end_col="end"):
+    """Gaps-and-islands interval coalescing: merge overlapping or
+    touching ``[start, end]`` intervals per key into maximal islands,
+    returning (key, start, end, n_merged). The SQL running-MAX window
+    island construction, distributed: ONE keyed exchange on ``key``
+    co-locates each key's intervals; the block kernel is a mergesort +
+    grouped cummax (islands break where a start exceeds the running
+    max end of everything before it). Key cardinality partitions the
+    work; a single hot key lands in one partition but stays vectorized.
+    """
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    n = data_nparts(ds)
+
+    def merge_block(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "start": pa.array([], pa.timestamp("us")),
+                "end": pa.array([], pa.timestamp("us")),
+                "n_merged": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0 or b.num_columns == 0:
+            return empty
+        df = b.to_pandas().rename(
+            columns={key_col: "key", start_col: "start", end_col: "end"}
+        )
+        df = df.sort_values(["key", "start", "end"], kind="mergesort").reset_index(
+            drop=True
+        )
+        prev_max = df.groupby("key", sort=False)["end"].cummax().shift(1)
+        new_key = df["key"].ne(df["key"].shift(1))
+        brk = new_key | (df["start"] > prev_max)
+        grp = brk.cumsum()
+        out = (
+            df.groupby(["key", grp], sort=False)
+            .agg(
+                key=("key", "first"),
+                start=("start", "min"),
+                end=("end", "max"),
+                n_merged=("end", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return ds.repartition(n, keys=[key_col]).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def coalesce_order_intervals(sf_dir: str):
+    """Per-customer-bucket activity windows: each order opens an
+    interval [o_orderdate, o_orderdate + (o_orderkey%20) days]; buckets
+    are o_custkey % 50. Overlapping windows coalesce into maximal
+    activity islands (coalesce_intervals)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        end = start + ((k % 20) * np.timedelta64(1, "D")).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "key": pa.array(
+                    b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 50,
+                    pa.int64(),
+                ),
+                "start": pa.array(start, pa.timestamp("us")),
+                "end": pa.array(end, pa.timestamp("us")),
+            }
+        )
+
+    return coalesce_intervals(ds.map_batches(to_intervals, batch_format="pyarrow"))
+
+
+COALESCE_INTERVALS_SQL = """
+WITH I AS (
+  SELECT o_custkey % 50 AS key,
+         o_orderdate AS s,
+         o_orderdate + (o_orderkey % 20) * INTERVAL 1 DAY AS e
+  FROM orders
+),
+X AS (
+  SELECT key, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM I
+),
+G AS (
+  SELECT key, s, e,
+         SUM(brk) OVER (PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM X
+)
+SELECT key, MIN(s) AS start, MAX(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM G GROUP BY key, grp
+"""
