@@ -1776,6 +1776,75 @@ WHERE hi.rn_hi = 1 AND lo.rn_lo = 1 AND hi.n_candidates >= 2
 """
 
 
+def _kg_predicate_history_planted(sf_dir: str):
+    """Hash-checkable temporal statement history (SCD2): per-(subject,
+    predicate) value streams collapse into validity intervals
+    (stages/triplestore.predicate_history) vs a SQL LAG/LEAD window
+    regeneration. Subjects 'e'||(k%30) observe value 'v'||((k//30)%3)
+    at ts o_orderdate — real runs, real ties."""
+    import ray.data
+
+    from import_ray.stages.triplestore import predicate_history
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "subject_id": pa.array(
+                    np.char.add("e", (k % 30).astype(str)).astype(object), pa.string()
+                ),
+                "predicate": pa.array(np.full(len(k), "status", object), pa.string()),
+                "object_value": pa.array(
+                    np.char.add("v", ((k // 30) % 3).astype(str)).astype(object),
+                    pa.string(),
+                ),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+
+    stmts = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(emit, batch_format="pyarrow")
+    return predicate_history(stmts)
+
+
+KG_PREDICATE_HISTORY_PLANTED_SQL = """
+WITH T AS (
+  SELECT 'e' || CAST(o_orderkey % 30 AS VARCHAR) AS s,
+         'status' AS p,
+         'v' || CAST((o_orderkey // 30) % 3 AS VARCHAR) AS v,
+         o_orderdate AS ts,
+         o_orderkey AS okey
+  FROM orders
+),
+-- okey makes the window order TOTAL: duplicate (ts, v) rows would
+-- otherwise be permuted independently by the LAG and SUM passes,
+-- splitting runs nondeterministically
+S AS (SELECT *, LAG(v) OVER (PARTITION BY s, p ORDER BY ts, v, okey) AS pv FROM T),
+C AS (SELECT *, CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END AS chg FROM S),
+G AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY s, p ORDER BY ts, v, okey
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM C
+),
+R AS (
+  SELECT s AS subject_id, p AS predicate, MIN(v) AS value,
+         MIN(ts) AS valid_from
+  FROM G GROUP BY s, p, grp
+)
+SELECT subject_id, predicate, value, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY subject_id, predicate
+                              ORDER BY valid_from, value) AS valid_to
+FROM R
+"""
+
+
 def _random_walks_planted(sf_dir: str):
     """Hash-checkable DeepWalk corpus: over a FUNCTIONAL graph (each
     node exactly one out-edge: n_i → n_{(7i+3) mod 40}) the walk is
@@ -3480,6 +3549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_planted": _random_walks_planted,
         "random_walks_kg": _random_walks_kg,
         "preference_pairs_planted": _preference_pairs_planted,
+        "kg_predicate_history_planted": _kg_predicate_history_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3727,6 +3797,7 @@ def oracle_sql() -> dict[str, str]:
         "kge_negatives_planted": KGE_NEGATIVES_PLANTED_SQL,
         "random_walks_planted": RANDOM_WALKS_PLANTED_SQL,
         "preference_pairs_planted": PREFERENCE_PAIRS_PLANTED_SQL,
+        "kg_predicate_history_planted": KG_PREDICATE_HISTORY_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
