@@ -1776,6 +1776,74 @@ WHERE hi.rn_hi = 1 AND lo.rn_lo = 1 AND hi.n_candidates >= 2
 """
 
 
+def _alias_fixture(sf_dir: str) -> str:
+    """Transcript fixture for alias mining: each conv's single turn
+    mentions 'see geoId:<k%7> (Place<k%5>)' — all 35 (entity, alias)
+    combos appear with SQL-regenerable counts."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    conv = np.char.add("o", keys.astype(str)).astype(object)
+    text = np.char.add(
+        np.char.add("see geoId:", (keys % 7).astype(str)),
+        np.char.add(" (Place", np.char.add((keys % 5).astype(str), ")")),
+    ).astype(object)
+    n = len(keys)
+    tx = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "role": pa.array(np.full(n, "user", object), pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(np.full(n, "", object), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_alias_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _alias_table_planted(sf_dir: str):
+    """Hash-checkable entity alias-table mining: grouped (entity,
+    surface form) mention counts over the planted fixture
+    (stages/alias.alias_table) vs direct SQL regeneration."""
+    from import_ray.stages.alias import alias_table
+
+    return alias_table(_alias_fixture(sf_dir))
+
+
+ALIAS_TABLE_PLANTED_SQL = """
+SELECT 'geoId/' || CAST(o_orderkey % 7 AS VARCHAR) AS entity_id,
+       'Place' || CAST(o_orderkey % 5 AS VARCHAR) AS alias,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def _alias_table_bulk(sf_dir: str):
+    """Alias table over the REAL synthesized corpus (rows-only): the
+    gazetteer surface forms embedded in transcript texts surface as
+    (dcid, name, count) rows."""
+    from import_ray.sources.transcripts import ensure_transcripts
+    from import_ray.stages.alias import alias_table
+
+    return alias_table(ensure_transcripts(sf_dir))
+
+
 def _kg_predicate_history_planted(sf_dir: str):
     """Hash-checkable temporal statement history (SCD2): per-(subject,
     predicate) value streams collapse into validity intervals
@@ -3550,6 +3618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_kg": _random_walks_kg,
         "preference_pairs_planted": _preference_pairs_planted,
         "kg_predicate_history_planted": _kg_predicate_history_planted,
+        "alias_table_planted": _alias_table_planted,
+        "alias_table": _alias_table_bulk,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3798,6 +3868,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_planted": RANDOM_WALKS_PLANTED_SQL,
         "preference_pairs_planted": PREFERENCE_PAIRS_PLANTED_SQL,
         "kg_predicate_history_planted": KG_PREDICATE_HISTORY_PLANTED_SQL,
+        "alias_table_planted": ALIAS_TABLE_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

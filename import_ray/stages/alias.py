@@ -1,0 +1,129 @@
+"""Entity alias-table mining: surface forms per resolved entity.
+
+The reference resolves names → dcids through its recon/ngram machinery
+(ExternalIdResolver, NgramMatcher — SURVEY §2.5/2.6); this stage mines
+the INVERSE artifact from the transcripts themselves: every textual
+mention ``prop:val (Surface Name)`` contributes (entity dcid, alias)
+evidence, aggregated to an alias table — the input a name-resolution
+index is built FROM at the next refresh.
+
+Scale shape: the regex pass runs ONCE per block over the concatenated
+block text (match offsets map back to rows via searchsorted), so the
+Python loop is over MATCHES, not rows; per-block partial counts
+combine before ONE keyed exchange on an 8-byte (entity, alias) hash.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from import_ray.core.context import data_nparts, ensure_hash_shuffle
+from import_ray.stages.extract import place_dcid
+
+_ALIAS_RE = re.compile(
+    r"(geoId|isoCode|nutsCode|wikidataId):([A-Za-z0-9\-]+)\s+\(([^)]{1,80})\)"
+)
+_SEP = "\x1e"
+
+
+def _block_pairs(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (entity dcid, alias) mention pairs in a block: one regex
+    pass over the join-concatenated text."""
+    if not len(texts):
+        return np.array([], object), np.array([], object)
+    joined = _SEP.join(map(str, texts))
+    ents, aliases = [], []
+    for m in _ALIAS_RE.finditer(joined):
+        prop, val, name = m.group(1), m.group(2), m.group(3)
+        if _SEP in name:  # a paren spanning two rows is not a mention
+            continue
+        ents.append(place_dcid(prop, val))
+        aliases.append(name)
+    return np.asarray(ents, object), np.asarray(aliases, object)
+
+
+def alias_table(transcripts_path: str | list[str], text_col: str = "text"):
+    """Dataset of (entity_id, alias, n_mentions) over a transcripts
+    parquet path — grouped mention counts of every ``prop:val (Name)``
+    surface-form pairing."""
+    import ray.data
+
+    from import_ray.core.context import configure_data_context
+
+    configure_data_context()
+    ds = ray.data.read_parquet(transcripts_path, columns=[text_col]).map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    n = data_nparts(ds)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().to_numpy(dtype=object)
+        ents, aliases = _block_pairs(texts)
+        empty = pa.table(
+            {
+                "kh": pa.array([], pa.int64()),
+                "entity_id": pa.array([], pa.large_string()),
+                "alias": pa.array([], pa.large_string()),
+                "n_mentions": pa.array([], pa.int64()),
+            }
+        )
+        if not len(ents):
+            return empty
+        df = (
+            pd.DataFrame({"entity_id": ents, "alias": aliases})
+            .groupby(["entity_id", "alias"], sort=False)
+            .size()
+            .reset_index(name="n_mentions")
+        )
+        key = (df["entity_id"] + _SEP + df["alias"]).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "kh": pa.array(pd.util.hash_array(key).view(np.int64), pa.int64()),
+                "entity_id": pa.array(
+                    df["entity_id"].to_numpy(dtype=object), pa.large_string()
+                ),
+                "alias": pa.array(df["alias"].to_numpy(dtype=object), pa.large_string()),
+                "n_mentions": pa.array(
+                    df["n_mentions"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "entity_id": pa.array([], pa.large_string()),
+                "alias": pa.array([], pa.large_string()),
+                "n_mentions": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0 or batch.num_columns == 0:
+            return empty
+        df = (
+            batch.select(["entity_id", "alias", "n_mentions"])
+            .to_pandas()
+            .groupby(["entity_id", "alias"], sort=False, as_index=False)["n_mentions"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "entity_id": pa.array(
+                    df["entity_id"].to_numpy(dtype=object), pa.large_string()
+                ),
+                "alias": pa.array(df["alias"].to_numpy(dtype=object), pa.large_string()),
+                "n_mentions": pa.array(
+                    df["n_mentions"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(n, keys=["kh"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
