@@ -1844,6 +1844,49 @@ def _alias_table_bulk(sf_dir: str):
     return alias_table(ensure_transcripts(sf_dir))
 
 
+_RETRIEVAL_TERMS = ["hash", "join", "spark", "window"]
+
+
+def _tf_boolean_topk(sf_dir: str):
+    """Hash-checkable boolean/tf retrieval: top-50 documents by
+    (#distinct query terms matched, total tf, doc_id) — the
+    integer-exact twin of BM25 (stages/retrieval.tf_boolean_topk)."""
+    from import_ray.stages.retrieval import tf_boolean_topk
+
+    return tf_boolean_topk(
+        f"{sf_dir}/documents.parquet", _RETRIEVAL_TERMS, k=50
+    )
+
+
+TF_BOOLEAN_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+  WHERE tok IN ('hash', 'join', 'spark', 'window')
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_hits, SUM(tf) AS total_tf
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM agg
+ORDER BY n_hits DESC, total_tf DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def _bm25_topk_docs(sf_dir: str):
+    """Okapi BM25 top-20 over the documents table (rows-only: float64
+    scores; DuckDB-formula parity pinned in tests/test_retrieval.py)."""
+    from import_ray.stages.retrieval import bm25_topk
+
+    return bm25_topk(f"{sf_dir}/documents.parquet", _RETRIEVAL_TERMS, k=20)
+
+
 def _kg_predicate_history_planted(sf_dir: str):
     """Hash-checkable temporal statement history (SCD2): per-(subject,
     predicate) value streams collapse into validity intervals
@@ -3620,6 +3663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_history_planted": _kg_predicate_history_planted,
         "alias_table_planted": _alias_table_planted,
         "alias_table": _alias_table_bulk,
+        "tf_boolean_topk_docs": _tf_boolean_topk,
+        "bm25_topk_docs": _bm25_topk_docs,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3869,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs_planted": PREFERENCE_PAIRS_PLANTED_SQL,
         "kg_predicate_history_planted": KG_PREDICATE_HISTORY_PLANTED_SQL,
         "alias_table_planted": ALIAS_TABLE_PLANTED_SQL,
+        "tf_boolean_topk_docs": TF_BOOLEAN_TOPK_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
