@@ -1776,6 +1776,51 @@ WHERE hi.rn_hi = 1 AND lo.rn_lo = 1 AND hi.n_candidates >= 2
 """
 
 
+def _kg_scc_planted(sf_dir: str):
+    """Hash-checkable strongly connected components: the permutation
+    graph i → (i+8) mod 40 decomposes into eight 5-cycles, each an SCC
+    labeled by its minimum node (stages/graph.
+    strongly_connected_components) vs a recursive-CTE regeneration
+    (min node reachable within the cycle)."""
+    import ray.data
+
+    from import_ray.stages.graph import strongly_connected_components
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = k % 40
+        return pa.table(
+            {
+                "src": pa.array(i, pa.int64()),
+                "dst": pa.array((i + 8) % 40, pa.int64()),
+            }
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+    return strongly_connected_components(edges)
+
+
+KG_SCC_PLANTED_SQL = """
+WITH RECURSIVE E AS (
+  SELECT DISTINCT o_orderkey % 40 AS src, (o_orderkey % 40 + 8) % 40 AS dst
+  FROM orders
+),
+walk(start, cur, d) AS (
+  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM E)
+  UNION ALL
+  SELECT w.start, e.dst, w.d + 1 FROM walk w JOIN E e ON e.src = w.cur
+  WHERE w.d < 6
+)
+SELECT CAST(start AS BIGINT) AS node, CAST(MIN(cur) AS BIGINT) AS scc_id
+FROM walk GROUP BY start
+"""
+
+
 def _alias_fixture(sf_dir: str) -> str:
     """Transcript fixture for alias mining: each conv's single turn
     mentions 'see geoId:<k%7> (Place<k%5>)' — all 35 (entity, alias)
@@ -3665,6 +3710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": _alias_table_bulk,
         "tf_boolean_topk_docs": _tf_boolean_topk,
         "bm25_topk_docs": _bm25_topk_docs,
+        "kg_scc_planted": _kg_scc_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3915,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_history_planted": KG_PREDICATE_HISTORY_PLANTED_SQL,
         "alias_table_planted": ALIAS_TABLE_PLANTED_SQL,
         "tf_boolean_topk_docs": TF_BOOLEAN_TOPK_SQL,
+        "kg_scc_planted": KG_SCC_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

@@ -2017,3 +2017,278 @@ def random_walks(
         if frontier.count() == 0:
             break
     return corpus
+
+
+def _label_checksum(labels_ds, col: str = "label") -> int:
+    """Exact Σ over int64 labels at any scale (split 32-bit sums folded
+    driver-side as Python ints — same trick as neardup's propagation)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        arr = b[col].to_numpy(zero_copy_only=False)
+        lo = int((arr & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+        hi = int((arr >> np.int64(32)).sum(dtype=np.int64))
+        return pa.table({"lo": pa.array([str(lo)]), "hi": pa.array([str(hi)])})
+
+    parts = labels_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return sum(int(v) for v in parts["lo"]) + (sum(int(v) for v in parts["hi"]) << 32)
+
+
+def _directed_min_prop(edges, nodes, max_rounds: int):
+    """labels(v) = min id over {v} ∪ ancestors(v) along ``edges``
+    (src → dst), by semi-naive min-label rounds to the checksum
+    fixpoint. ``edges`` and ``nodes`` must be materialized Datasets."""
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import join_safe, npartitions
+
+    n = npartitions()
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    prev = _label_checksum(labels)
+    for _ in range(max_rounds):
+        cand = (
+            edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=n,
+                on=("src",),
+                right_on=("node",),
+                right_suffix="_r",
+            )
+            .select_columns(["dst", "label"])
+            .map_batches(
+                lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = join_safe(
+            labels.union(cand)
+            .groupby("node", num_partitions=n)
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        cur = _label_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def strongly_connected_components(
+    edges_ds, max_outer: int = 25, max_prop_rounds: int = 40, max_trim_rounds: int = 8
+):
+    """Distributed strongly connected components over directed int64
+    ``(src, dst)`` edges: one ``(node, scc_id)`` row per edge endpoint,
+    ``scc_id`` = the minimum node id of its SCC.
+
+    Algorithm (the label-intersection variant of distributed FW-BW /
+    coloring SCC — Fleischer-Hendrickson-Pinar 2000 divide-and-conquer,
+    Orzan 2004 coloring): per outer round, (1) TRIM — nodes missing an
+    in- or out-edge in the alive subgraph are singleton SCCs and peel
+    off (bounded rounds; trimming is a shortcut, never needed for
+    correctness); (2) compute F(v) = min over {v}∪ancestors and B(v) =
+    min over {v}∪descendants by directed min-label propagation; F and B
+    are constant on each SCC, and every SCC with F == B (always
+    including the SCC of the globally minimal alive node) FINALIZES
+    exactly — mutual reachability through the shared minimum — so each
+    round peels ≥1 SCC. All steps are hash joins + grouped mins on
+    8-byte keys; raises if ``max_outer`` rounds don't drain the graph
+    (no silent caps).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import join_safe, npartitions
+
+    n = npartitions()
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.int64())
+        d = pc.cast(b["dst"], pa.int64())
+        keep = pc.invert(pc.equal(s, d))
+        t = pa.table({"src": s, "dst": d}).filter(pc.fill_null(keep, False))
+        return t
+
+    def distinct_col(ds, col):
+        return join_safe(
+            ds.map_batches(
+                lambda b, _c=col: pa.table(
+                    {"node": pa.array(np.unique(b[_c].to_numpy(zero_copy_only=False)), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node", num_partitions=n)
+            .aggregate(Min("node", alias_name="_m"))
+        ).select_columns(["node"])
+
+    def self_scc(nodes_ds):
+        return nodes_ds.map_batches(
+            lambda b: pa.table({"node": b["node"], "scc_id": b["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    edges = join_safe(edges_ds.map_batches(canon, batch_format="pyarrow")).materialize()
+    # self-loop-only nodes are their own SCCs but never enter `edges`;
+    # emit them up front (minus any that also carry real edges — the
+    # final union dedups nothing, so subtract via the alive set below)
+    alive = (
+        distinct_col(edges, "src").union(distinct_col(edges, "dst"))
+        .groupby("node", num_partitions=n)
+        .aggregate(Min("node", alias_name="_m"))
+        .select_columns(["node"])
+    )
+    alive = join_safe(alive).materialize()
+
+    def loop_nodes(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.int64())
+        d = pc.cast(b["dst"], pa.int64())
+        t = pa.table({"node": s}).filter(
+            pc.fill_null(pc.equal(s, d), False)
+        )
+        return t
+
+    def keep_null(col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_null(b[col])).select(["node"])
+
+        return f
+
+    loops_only = join_safe(
+        edges_ds.map_batches(loop_nodes, batch_format="pyarrow")
+    )
+    finalized = []
+    if loops_only.count():
+        loop_distinct = join_safe(
+            loops_only.groupby("node", num_partitions=n).aggregate(
+                Min("node", alias_name="_m")
+            )
+        ).select_columns(["node"])
+        only = join_safe(
+            loop_distinct.join(
+                alive.map_batches(
+                    lambda b: pa.table({"node": b["node"], "is_alive": pa.array(np.ones(len(b), bool))}),
+                    batch_format="pyarrow",
+                ),
+                join_type="left_outer",
+                num_partitions=n,
+                on=("node",),
+                right_suffix="_r",
+            )
+        ).map_batches(keep_null("is_alive"), batch_format="pyarrow")
+        if only.count():
+            finalized.append(self_scc(only))
+
+    for _ in range(max_outer):
+        if alive.count() == 0:
+            break
+        if edges.count() == 0:
+            finalized.append(self_scc(alive))
+            alive = None
+            break
+        # ---- trim: peel nodes without both an in- and an out-edge ----
+        for _t in range(max_trim_rounds):
+            srcs = distinct_col(edges, "src").materialize()
+            dsts = distinct_col(edges, "dst").materialize()
+            both = join_safe(
+                srcs.join(dsts, join_type="inner", num_partitions=n, on=("node",), right_suffix="_r")
+            ).select_columns(["node"]).materialize()
+            n_alive, n_both = alive.count(), both.count()
+            if n_both == n_alive:
+                break
+            trimmed = join_safe(
+                alive.join(
+                    both.map_batches(
+                        lambda b: pa.table({"node": b["node"], "is_core": pa.array(np.ones(len(b), bool))}),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="left_outer",
+                    num_partitions=n,
+                    on=("node",),
+                    right_suffix="_r",
+                )
+            ).map_batches(keep_null("is_core"), batch_format="pyarrow")
+            finalized.append(self_scc(trimmed))
+            alive = both
+            # restrict edges to alive endpoints (two semi-joins)
+            mark = join_safe(
+                alive.map_batches(
+                    lambda b: pa.table({"node": b["node"], "ok": pa.array(np.ones(len(b), bool))}),
+                    batch_format="pyarrow",
+                )
+            )
+            edges = join_safe(
+                join_safe(
+                    edges.join(mark, join_type="inner", num_partitions=n, on=("src",), right_on=("node",), right_suffix="_a")
+                )
+                .select_columns(["src", "dst"])
+                .join(mark, join_type="inner", num_partitions=n, on=("dst",), right_on=("node",), right_suffix="_b")
+            ).select_columns(["src", "dst"]).materialize()
+            if edges.count() == 0:
+                break
+        if alive.count() == 0:
+            alive = None
+            break
+        if edges.count() == 0:
+            finalized.append(self_scc(alive))
+            alive = None
+            break
+        # ---- F/B labels and finalize F == B ----
+        fwd = _directed_min_prop(edges, alive, max_prop_rounds)
+        rev_edges = edges.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}), batch_format="pyarrow"
+        ).materialize()
+        bwd = _directed_min_prop(rev_edges, alive, max_prop_rounds)
+        fb = join_safe(
+            fwd.join(bwd, join_type="inner", num_partitions=n, on=("node",), right_suffix="_b")
+        ).materialize()
+        def split_eq(want_eq: bool):
+            def f(b: pa.Table) -> pa.Table:
+                eq = pc.equal(b["label"], b["label_b"])
+                if not want_eq:
+                    eq = pc.invert(eq)
+                t = b.filter(pc.fill_null(eq, False))
+                if want_eq:
+                    return pa.table({"node": t["node"], "scc_id": t["label"]})
+                return t.select(["node"])
+
+            return f
+
+        done = join_safe(fb.map_batches(split_eq(True), batch_format="pyarrow"))
+        if done.count() == 0:
+            raise RuntimeError("SCC peel made no progress (should be impossible)")
+        finalized.append(done)
+        alive = join_safe(fb.map_batches(split_eq(False), batch_format="pyarrow"))
+        if alive.count() == 0:
+            alive = None
+            break
+        mark = join_safe(
+            alive.map_batches(
+                lambda b: pa.table({"node": b["node"], "ok": pa.array(np.ones(len(b), bool))}),
+                batch_format="pyarrow",
+            )
+        )
+        edges = join_safe(
+            join_safe(
+                edges.join(mark, join_type="inner", num_partitions=n, on=("src",), right_on=("node",), right_suffix="_a")
+            )
+            .select_columns(["src", "dst"])
+            .join(mark, join_type="inner", num_partitions=n, on=("dst",), right_on=("node",), right_suffix="_b")
+        ).select_columns(["src", "dst"]).materialize()
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: graph not drained after {max_outer} rounds"
+        )
+
+    if not finalized:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "scc_id": pa.array([], pa.int64())}
+            )
+        )
+    out = finalized[0]
+    for d in finalized[1:]:
+        out = out.union(d)
+    return out
