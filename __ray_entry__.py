@@ -3588,6 +3588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.customers_without_orders,
         "orders_running_total": R.orders_running_total,
         "coalesce_order_intervals": R.coalesce_order_intervals,
+        "order_interval_overlaps": R.order_interval_overlaps,
         "purchase_last_signup": R.purchase_last_signup,
         "q6_discount_revenue": R.q6_discount_revenue,
         "q4_order_priority": R.q4_order_priority,
@@ -3809,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "orders_running_total": R.RUNNING_TOTAL_SQL,
         "coalesce_order_intervals": R.COALESCE_INTERVALS_SQL,
+        "order_interval_overlaps": R.INTERVAL_OVERLAP_SQL,
         "purchase_last_signup": R.ASOF_JOIN_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q4_order_priority": R.Q4_SQL,

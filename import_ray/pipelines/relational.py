@@ -5736,3 +5736,206 @@ SELECT key, MIN(s) AS start, MAX(e) AS "end",
        CAST(COUNT(*) AS BIGINT) AS n_merged
 FROM G GROUP BY key, grp
 """
+
+
+def interval_overlap_join(
+    left_ds,
+    right_ds,
+    bucket_days: int = 16,
+    key_col="key",
+    start_col="start",
+    end_col="end",
+):
+    """Keyed interval×interval overlap join: all (left, right) pairs
+    with the same key whose ``[start, end]`` ranges intersect —
+    returning (key, l_id, r_id, overlap_start, overlap_end). The
+    interval analog of the engine's point-in-range join
+    (purchase_click_window), and the shape a temporal-KG validity
+    cross-reference needs.
+
+    Distributed via time-GRID bucketing (the standard interval-join
+    partitioning, e.g. Flink's window join): every interval replicates
+    to each ``bucket_days`` grid cell it spans, ONE keyed exchange on
+    (key, cell) co-locates candidates, and each pair is emitted exactly
+    once — by its ANCHOR cell, the cell containing max(l.start,
+    r.start) — so no second dedup exchange exists. The per-cell kernel
+    is sort + searchsorted prefix counts (candidate pairs generated by
+    one flat gather), never a Python pair loop. Replication factor =
+    mean interval span / bucket width; pick ``bucket_days`` near the
+    median span.
+    """
+    import pandas as pd
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(left_ds)
+    n = data_nparts(left_ds)
+    width = np.int64(bucket_days * 86_400_000_000)  # grid cell in us
+
+    def explode(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = b[start_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            e = b[end_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            b0 = s // width
+            b1 = e // width
+            reps = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(ids)), reps)
+            offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+            cell = b0[idx] + (np.arange(reps.sum()) - np.repeat(offs, reps))
+            kb = key[idx] * np.int64(1_000_003) + cell  # composite exchange key
+            return pa.table(
+                {
+                    "kb": pa.array(kb, pa.int64()),
+                    "key": pa.array(key[idx], pa.int64()),
+                    "cell": pa.array(cell, pa.int64()),
+                    "side": pa.array(np.full(len(idx), side, np.int8), pa.int8()),
+                    "id": pa.array(ids[idx], pa.int64()),
+                    "s": pa.array(s[idx], pa.int64()),
+                    "e": pa.array(e[idx], pa.int64()),
+                }
+            )
+
+        return f
+
+    both = left_ds.map_batches(explode(0), batch_format="pyarrow").union(
+        right_ds.map_batches(explode(1), batch_format="pyarrow")
+    )
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "l_id": pa.array([], pa.int64()),
+                "r_id": pa.array([], pa.int64()),
+                "overlap_start": pa.array([], pa.timestamp("us")),
+                "overlap_end": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if len(b) == 0 or b.num_columns == 0:
+            return empty
+        df = b.to_pandas().sort_values(["key", "cell", "side", "s"], kind="mergesort")
+        gk = df["key"].to_numpy()
+        gc = df["cell"].to_numpy()
+        side = df["side"].to_numpy()
+        out_l, out_r, out_s, out_e, out_k = [], [], [], [], []
+        # group bounds per (key, cell) — the kb hash is only the
+        # exchange key; boundaries use the real columns so composite
+        # collisions can't merge groups
+        new = np.r_[True, (gk[1:] != gk[:-1]) | (gc[1:] != gc[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(df))
+        S = df["s"].to_numpy()
+        E = df["e"].to_numpy()
+        ID = df["id"].to_numpy()
+        KEY = df["key"].to_numpy()
+        CELL = df["cell"].to_numpy()
+        for g0, g1 in zip(starts, ends):
+            sl = slice(g0, g1)
+            sd = side[sl]
+            nl = int((sd == 0).sum())
+            if nl == 0 or nl == g1 - g0:
+                continue
+            ls, le, lid = S[sl][:nl], E[sl][:nl], ID[sl][:nl]
+            rs, re_, rid = S[sl][nl:], E[sl][nl:], ID[sl][nl:]
+            cell = CELL[g0]
+            key = KEY[g0]
+            # lefts sorted by s; for each right: lefts with s <= r.e
+            cnt = np.searchsorted(ls, re_, side="right")
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            r_idx = np.repeat(np.arange(len(rs)), cnt)
+            offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            l_idx = np.arange(tot) - np.repeat(offs, cnt)
+            keep = le[l_idx] >= rs[r_idx]
+            # anchor: emit only in the cell holding max(l.s, r.s)
+            anchor = np.maximum(ls[l_idx], rs[r_idx]) // width == cell
+            keep &= anchor
+            if not keep.any():
+                continue
+            li, ri = l_idx[keep], r_idx[keep]
+            out_k.append(np.full(len(li), key, np.int64))
+            out_l.append(lid[li])
+            out_r.append(rid[ri])
+            out_s.append(np.maximum(ls[li], rs[ri]))
+            out_e.append(np.minimum(le[li], re_[ri]))
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(out_k), pa.int64()),
+                "l_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "overlap_start": pa.array(
+                    np.concatenate(out_s).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "overlap_end": pa.array(
+                    np.concatenate(out_e).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return both.repartition(n, keys=["kb"]).map_batches(
+        pairs_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def order_interval_overlaps(sf_dir: str):
+    """Overlapping per-customer-bucket activity windows across two
+    derived interval sets: left [o_orderdate, +k%10 d] vs right
+    [o_orderdate+3 d, +3+(k%7) d], keyed by o_custkey % 200
+    (interval_overlap_join)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_iv(shift_days: int, span_mod: int, extra: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = (
+                b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                + np.timedelta64(shift_days, "D").astype("timedelta64[us]")
+            )
+            e = s + ((k % span_mod + extra) * np.timedelta64(1, "D")).astype(
+                "timedelta64[us]"
+            )
+            return pa.table(
+                {
+                    "id": pa.array(k, pa.int64()),
+                    "key": pa.array(
+                        b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        % 200,
+                        pa.int64(),
+                    ),
+                    "start": pa.array(s, pa.timestamp("us")),
+                    "end": pa.array(e, pa.timestamp("us")),
+                }
+            )
+
+        return f
+
+    left = ds.map_batches(to_iv(0, 10, 0), batch_format="pyarrow")
+    right = ds.map_batches(to_iv(3, 7, 0), batch_format="pyarrow")
+    return interval_overlap_join(left, right)
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH L AS (
+  SELECT o_orderkey AS id, o_custkey % 200 AS key,
+         o_orderdate AS s,
+         o_orderdate + (o_orderkey % 10) * INTERVAL 1 DAY AS e
+  FROM orders
+),
+R AS (
+  SELECT o_orderkey AS id, o_custkey % 200 AS key,
+         o_orderdate + 3 * INTERVAL 1 DAY AS s,
+         o_orderdate + (3 + o_orderkey % 7) * INTERVAL 1 DAY AS e
+  FROM orders
+)
+SELECT L.key AS key, L.id AS l_id, R.id AS r_id,
+       GREATEST(L.s, R.s) AS overlap_start,
+       LEAST(L.e, R.e) AS overlap_end
+FROM L JOIN R ON L.key = R.key AND L.s <= R.e AND R.s <= L.e
+"""
