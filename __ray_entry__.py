@@ -1821,6 +1821,51 @@ FROM walk GROUP BY start
 """
 
 
+def _dag_levels_planted(sf_dir: str):
+    """Hash-checkable DAG longest-path levels over the two-stride DAG
+    i → i+5, i → i+7 on nodes 0..39 (stages/graph.dag_levels) vs a
+    recursive-CTE max-depth regeneration."""
+    import ray.data
+
+    from import_ray.stages.graph import dag_levels
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = k % 40
+        src = np.concatenate([i[i + 5 < 40], i[i + 7 < 40]])
+        dst = np.concatenate([i[i + 5 < 40] + 5, i[i + 7 < 40] + 7])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+    return dag_levels(edges)
+
+
+DAG_LEVELS_PLANTED_SQL = """
+WITH RECURSIVE E AS (
+  SELECT DISTINCT o_orderkey % 40 AS src, o_orderkey % 40 + 5 AS dst
+  FROM orders WHERE o_orderkey % 40 + 5 < 40
+  UNION
+  SELECT DISTINCT o_orderkey % 40 AS src, o_orderkey % 40 + 7 AS dst
+  FROM orders WHERE o_orderkey % 40 + 7 < 40
+),
+N AS (SELECT DISTINCT src AS node FROM E UNION SELECT DISTINCT dst FROM E),
+p(node, d) AS (
+  SELECT node, 0 FROM N
+  UNION ALL
+  SELECT e.dst, p.d + 1 FROM p JOIN E e ON e.src = p.node WHERE p.d < 16
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MAX(d) AS BIGINT) AS level
+FROM p GROUP BY node
+"""
+
+
 def _alias_fixture(sf_dir: str) -> str:
     """Transcript fixture for alias mining: each conv's single turn
     mentions 'see geoId:<k%7> (Place<k%5>)' — all 35 (entity, alias)
@@ -3712,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_boolean_topk_docs": _tf_boolean_topk,
         "bm25_topk_docs": _bm25_topk_docs,
         "kg_scc_planted": _kg_scc_planted,
+        "dag_levels_planted": _dag_levels_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -3964,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
         "alias_table_planted": ALIAS_TABLE_PLANTED_SQL,
         "tf_boolean_topk_docs": TF_BOOLEAN_TOPK_SQL,
         "kg_scc_planted": KG_SCC_PLANTED_SQL,
+        "dag_levels_planted": DAG_LEVELS_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,

@@ -2292,3 +2292,87 @@ def strongly_connected_components(
     for d in finalized[1:]:
         out = out.union(d)
     return out
+
+
+def dag_levels(edges_ds, max_rounds: int = 64):
+    """Longest-path level of every node in a DAG of int64 ``(src,
+    dst)`` edges: level(v) = length of the longest directed path ending
+    at v (the scheduling depth / critical-path coordinate a KG
+    build-plan or dependency graph needs). Semi-naive max propagation —
+    per round ONE edges⋈levels hash join + grouped max on 8-byte keys;
+    rounds = DAG depth; raises on ``max_rounds`` without convergence
+    (a cycle — levels would grow forever; no silent caps).
+    """
+    from ray.data.aggregate import Max
+
+    from import_ray.core.context import join_safe, npartitions
+
+    n = npartitions()
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b["src"], pa.int64()),
+                "dst": pc.cast(b["dst"], pa.int64()),
+            }
+        )
+
+    edges = join_safe(edges_ds.map_batches(canon, batch_format="pyarrow")).materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "node": pa.array(vals, pa.int64()),
+                "level": pa.array(np.zeros(len(vals), np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max
+
+    levels = join_safe(
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node", num_partitions=n)
+        .aggregate(_Max("level", alias_name="level"))
+    ).materialize()
+    prev = _label_checksum(levels, col="level")
+    for _ in range(max_rounds):
+        cand = (
+            edges.join(
+                levels,
+                join_type="inner",
+                num_partitions=n,
+                on=("src",),
+                right_on=("node",),
+                right_suffix="_r",
+            )
+            .select_columns(["dst", "level"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["dst"],
+                        "level": pc.add(b["level"], pa.scalar(1, pa.int64())),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        levels = join_safe(
+            levels.union(cand)
+            .groupby("node", num_partitions=n)
+            .aggregate(_Max("level", alias_name="level"))
+        ).materialize()
+        cur = _label_checksum(levels, col="level")
+        if cur == prev:
+            return levels
+        prev = cur
+    raise RuntimeError(
+        f"dag_levels: no convergence after {max_rounds} rounds (cycle in input?)"
+    )
