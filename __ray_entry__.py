@@ -1977,6 +1977,64 @@ def _bm25_topk_docs(sf_dir: str):
     return bm25_topk(f"{sf_dir}/documents.parquet", _RETRIEVAL_TERMS, k=20)
 
 
+def _dense_ids_planted(sf_dir: str):
+    """Hash-checkable dense-id assignment (the zipWithIndex primitive):
+    97 multi-digit string values get their global LEXICAL dense rank
+    with no global sort (stages/ids.dense_string_ids, prefix-histogram
+    offsets) vs a SQL DENSE_RANK window."""
+    import ray.data
+
+    from import_ray.stages.ids import dense_string_ids
+
+    def emit(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "value": pa.array(
+                    np.char.add("v", (k % 97).astype(str)).astype(object),
+                    pa.string(),
+                )
+            }
+        )
+
+    vals = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit, batch_format="pyarrow")
+    return dense_string_ids(vals)
+
+
+DENSE_IDS_PLANTED_SQL = """
+WITH V AS (
+  SELECT DISTINCT 'v' || CAST(o_orderkey % 97 AS VARCHAR) AS value FROM orders
+)
+SELECT value, CAST(DENSE_RANK() OVER (ORDER BY value) - 1 AS BIGINT) AS id
+FROM V
+"""
+
+
+def _pseudonymize_planted(sf_dir: str):
+    """Hash-checkable consistent pseudonymization: every geoId mention
+    in the alias fixture rewrites to ENT<dense id> — the same entity
+    gets the same pseudonym corpus-wide (stages/ids.
+    pseudonymize_mentions); the expected text is a pure SQL formula
+    because single-digit dcids rank lexically = numerically."""
+    from import_ray.stages.ids import pseudonymize_mentions
+
+    return pseudonymize_mentions(_alias_fixture(sf_dir))
+
+
+PSEUDONYMIZE_PLANTED_SQL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS BIGINT) AS turn_idx,
+       'see ENT' || CAST(o_orderkey % 7 AS VARCHAR) ||
+         ' (Place' || CAST(o_orderkey % 5 AS VARCHAR) || ')' AS text
+FROM orders
+"""
+
+
 def _kg_predicate_history_planted(sf_dir: str):
     """Hash-checkable temporal statement history (SCD2): per-(subject,
     predicate) value streams collapse into validity intervals
@@ -3758,6 +3816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": _bm25_topk_docs,
         "kg_scc_planted": _kg_scc_planted,
         "dag_levels_planted": _dag_levels_planted,
+        "dense_ids_planted": _dense_ids_planted,
+        "pseudonymize_planted": _pseudonymize_planted,
         "conv_sessions": _conv_sessions_bulk,
         "conv_structure": _conv_structure_bulk,
         "kg_snapshot_planted": _kg_snapshot_planted,
@@ -4011,6 +4071,8 @@ def oracle_sql() -> dict[str, str]:
         "tf_boolean_topk_docs": TF_BOOLEAN_TOPK_SQL,
         "kg_scc_planted": KG_SCC_PLANTED_SQL,
         "dag_levels_planted": DAG_LEVELS_PLANTED_SQL,
+        "dense_ids_planted": DENSE_IDS_PLANTED_SQL,
+        "pseudonymize_planted": PSEUDONYMIZE_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
