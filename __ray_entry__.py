@@ -498,6 +498,24 @@ def _segment_dedup_docs(sf_dir: str):
     return segment_dedup_documents(ds, seg_tokens=4)
 
 
+def _span_corruption_docs(sf_dir: str):
+    """T5 span-corruption denoising pairs over documents (rows-only:
+    string surgery isn't SQL-expressible; exact invertibility +
+    pure-Python parity pinned in tests/test_span_corruption.py)."""
+    from import_ray.stages.span_corruption import span_corruption_pairs
+
+    return span_corruption_pairs(f"{sf_dir}/documents.parquet")
+
+
+def _regex_token_counts(sf_dir: str):
+    """Hash-checkable BPE-style pre-tokenizer counts (RE2 both sides:
+    pc.count_substring_regex vs DuckDB regexp_extract_all)."""
+    from import_ray.stages.text import regex_token_counts
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(regex_token_counts, batch_format="pyarrow")
+
+
 def _token_stats(sf_dir: str):
     import ray.data
 
@@ -3760,6 +3778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": _segment_dedup_docs,
         "badword_filter_docs": _badword_filter_docs,
         "token_stats_docs": _token_stats,
+        "regex_token_counts_docs": _regex_token_counts,
+        "span_corruption_docs": _span_corruption_docs,
         "source_token_cosine": _source_token_cosine,
         "source_vocab_overlap": _source_vocab_overlap,
         "vocab_stats_by_source": _vocab_stats_by_source,
@@ -3902,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         SOURCE_VOCAB_OVERLAP_SQL,
         TOKEN_PAIR_SQL,
         TOKEN_STATS_SQL,
+        REGEX_TOKEN_COUNTS_SQL,
         VOCAB_STATS_SQL,
     )
 
@@ -3996,6 +4017,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
         ),
         "token_stats_docs": TOKEN_STATS_SQL,
+        "regex_token_counts_docs": REGEX_TOKEN_COUNTS_SQL,
         "source_token_cosine": SOURCE_TOKEN_COSINE_SQL,
         "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
         "vocab_stats_by_source": VOCAB_STATS_SQL,

@@ -1266,3 +1266,40 @@ SELECT source, n_docs, n_tokens,
          AS BIGINT) AS w_sqrt_x1e9
 FROM s, tot ORDER BY source
 """
+
+
+REGEX_TOKEN_PATTERNS = {
+    "n_alpha_runs": r"[A-Za-z]+",
+    "n_digit_runs": r"[0-9]+",
+    "n_other": r"[^A-Za-z0-9\s]",
+}
+
+
+def regex_token_counts(batch: pa.Table) -> pa.Table:
+    """BPE-style pre-tokenizer counts per document: alphabetic runs,
+    digit runs, and non-space symbol chars — the class split GPT-2-ish
+    pre-tokenizers apply before byte-pair merges. Fully vectorized via
+    ``pc.count_substring_regex`` (RE2 — the SAME engine DuckDB's
+    ``regexp_extract_all`` uses, so the oracle parity is exact by
+    construction); no Python row loop."""
+    text = _text_col(batch)
+    cols = {"doc_id": batch["doc_id"]}
+    total = None
+    for name, pat in REGEX_TOKEN_PATTERNS.items():
+        c = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        cols[name] = c
+        total = c if total is None else pc.add(total, c)
+    cols["n_retokens"] = total
+    return pa.table(cols)
+
+
+REGEX_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_other,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_retokens
+FROM documents
+"""
