@@ -3695,6 +3695,101 @@ def _corpus_clean(sf_dir: str):
     return corpus_clean(sf_dir)
 
 
+def _rdfs_types_planted(sf_dir: str):
+    """Hash-checkable RDFS rdfs9 type materialization
+    (stages/reasoning.infer_types): a 12-class subClassOf CHAIN
+    (i subClassOf i+1) with every order asserted typeOf class
+    o_orderkey % 12 — the inferred type set of entity k is exactly
+    classes k%12 .. 11, SQL-regenerable without recursion. The real
+    distributed machinery runs end-to-end: semi-naive ancestor
+    closure, broadcast CSR expansion, keyed-exchange distinct."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.reasoning import infer_types
+
+    def to_types(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"entity": pa.array(k, pa.int64()), "cls": pa.array(k % 12, pa.int64())}
+        )
+
+    typeof = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(to_types, batch_format="pyarrow")
+    subclass = ray.data.from_arrow(
+        pa.table(
+            {
+                "child": pa.array(list(range(11)), pa.int64()),
+                "parent": pa.array(list(range(1, 12)), pa.int64()),
+            }
+        )
+    )
+    return infer_types(typeof, subclass)
+
+
+RDFS_TYPES_PLANTED_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS entity, CAST(g.j AS BIGINT) AS cls
+FROM orders JOIN (SELECT UNNEST(range(0, 12)) AS j) g ON g.j >= o_orderkey % 12
+"""
+
+
+def _sameas_canonical_planted(sf_dir: str):
+    """Hash-checkable owl:sameAs canonicalization
+    (stages/reasoning.sameas_canonicalize): planted star identity
+    clusters — every order node k is sameAs hub -(k%97)-1, so the
+    min-label representative of any node is its (negative) hub, and
+    the rewritten fact set is pure modular arithmetic in SQL. The
+    real distributed machinery runs end-to-end: min-label component
+    propagation, two left hash joins, keyed-exchange distinct."""
+    import ray.data
+
+    from import_ray.stages.reasoning import sameas_canonicalize  # noqa: F401
+
+    def to_edges(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_lo": pa.array(k, pa.int64()),
+                "doc_hi": pa.array(-(k % 97) - 1, pa.int64()),
+            }
+        )
+
+    def to_facts(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pred = np.char.add("p", (k % 5).astype(str)).astype(object)
+        return pa.table(
+            {
+                "subject": pa.array(k, pa.int64()),
+                "predicate": pa.array(pred, pa.string()),
+                "object": pa.array(k % 23, pa.int64()),
+            }
+        )
+
+    base = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    edges = base.map_batches(to_edges, batch_format="pyarrow")
+    facts = base.map_batches(to_facts, batch_format="pyarrow")
+    return sameas_canonicalize(facts, edges)
+
+
+SAMEAS_CANONICAL_PLANTED_SQL = """
+SELECT DISTINCT
+  CAST(-(o_orderkey % 97) - 1 AS BIGINT) AS subject,
+  'p' || CAST(o_orderkey % 5 AS VARCHAR) AS predicate,
+  CAST(-(o_orderkey % 23) - 1 AS BIGINT) AS object
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from import_ray.pipelines import relational as R
 
@@ -3907,6 +4002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution_planted": _entity_resolution_planted,
         "lm_perplexity_docs": _lm_perplexity_docs,
         "lm_perplexity_planted": _lm_perplexity_planted,
+        "rdfs_types_planted": _rdfs_types_planted,
+        "sameas_canonical_planted": _sameas_canonical_planted,
     }
 
 
@@ -4096,6 +4193,8 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids_planted": DENSE_IDS_PLANTED_SQL,
         "pseudonymize_planted": PSEUDONYMIZE_PLANTED_SQL,
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
+        "rdfs_types_planted": RDFS_TYPES_PLANTED_SQL,
+        "sameas_canonical_planted": SAMEAS_CANONICAL_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
         "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,
