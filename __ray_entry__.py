@@ -3695,6 +3695,15 @@ def _corpus_clean(sf_dir: str):
     return corpus_clean(sf_dir)
 
 
+def _bigram_next_topk(sf_dir: str):
+    """Hash-checkable next-token table (stages/text.bigram_next_topk):
+    per prefix token, the top-3 next tokens by exact ordered-bigram
+    count (support >= 5), vs DuckDB list_zip + ROW_NUMBER."""
+    from import_ray.stages.text import bigram_next_topk
+
+    return bigram_next_topk(_read_table(sf_dir, "documents", ["text"]))
+
+
 def _rdfs_types_planted(sf_dir: str):
     """Hash-checkable RDFS rdfs9 type materialization
     (stages/reasoning.infer_types): a 12-class subClassOf CHAIN
@@ -4004,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_planted": _lm_perplexity_planted,
         "rdfs_types_planted": _rdfs_types_planted,
         "sameas_canonical_planted": _sameas_canonical_planted,
+        "bigram_next_topk_docs": _bigram_next_topk,
     }
 
 
@@ -4019,6 +4029,7 @@ def oracle_sql() -> dict[str, str]:
         SOURCE_VOCAB_OVERLAP_SQL,
         TOKEN_PAIR_SQL,
         TOKEN_STATS_SQL,
+        BIGRAM_NEXT_TOPK_SQL,
         REGEX_TOKEN_COUNTS_SQL,
         VOCAB_STATS_SQL,
     )
@@ -4115,6 +4126,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats_docs": TOKEN_STATS_SQL,
         "regex_token_counts_docs": REGEX_TOKEN_COUNTS_SQL,
+        "bigram_next_topk_docs": BIGRAM_NEXT_TOPK_SQL,
         "source_token_cosine": SOURCE_TOKEN_COSINE_SQL,
         "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
         "vocab_stats_by_source": VOCAB_STATS_SQL,

@@ -1303,3 +1303,101 @@ SELECT doc_id,
             + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_retokens
 FROM documents
 """
+
+
+def bigram_next_topk(docs_ds, k: int = 3, min_count: int = 5):
+    """Next-token table: for every prefix token w1, the top-``k`` next
+    tokens w2 by exact ordered-bigram count (count DESC, w2 ASC
+    deterministic rank), prefixes below ``min_count`` support dropped —
+    the count table an n-gram LM / autocomplete index serves from
+    (the hashed-key variant in stages/lm_quality.py scores documents;
+    this one materializes the human-readable table).
+
+    Scale shape: per-batch vectorized adjacent-pair extraction (Arrow
+    split/flatten, dictionary-encode, one np.unique over packed code
+    pairs — no Python loops) emits gram-table-sized partials, NOT
+    corpus-sized → ONE (w1, w2)-keyed exchange sums exact counts →
+    min-count filter → ONE w1-keyed exchange ranks per prefix
+    block-locally. The final table is vocabulary-scale.
+    """
+    from ray.data.aggregate import Sum
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle, join_safe
+
+    ensure_hash_shuffle(docs_ds)
+    n = data_nparts(docs_ds)
+    kk, mc = int(k), int(min_count)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        text = _text_col(batch)
+        lists = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(lists)
+        if len(flat) < 2:
+            return empty
+        parents = (
+            pc.list_parent_indices(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        same_doc = parents[1:] == parents[:-1]
+        a = codes[:-1][same_doc]
+        b = codes[1:][same_doc]
+        if len(a) == 0:
+            return empty
+        key = (a << np.int64(32)) | b
+        uniq, cnt = np.unique(key, return_counts=True)
+        vocab = d.dictionary.to_numpy(zero_copy_only=False).astype(object)
+        w1 = vocab[(uniq >> np.int64(32)).astype(np.int64)]
+        w2 = vocab[(uniq & np.int64(0xFFFFFFFF)).astype(np.int64)]
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = join_safe(
+        docs_ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"], num_partitions=n)
+        .aggregate(Sum("n", alias_name="n"))
+    ).filter(expr=f"n >= {mc}")
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        df = batch.select(["w1", "w2", "n"]).to_pandas()
+        df = df.sort_values(
+            ["w1", "n", "w2"], ascending=[True, False, True], kind="mergesort"
+        )
+        df["rnk"] = df.groupby("w1", sort=False).cumcount() + 1
+        df = df[df["rnk"] <= kk]
+        df["rnk"] = df["rnk"].astype("int64")
+        return from_pandas_clean(df, preserve_index=False)
+
+    ranked = counts.repartition(n, keys=["w1"]).map_batches(
+        block_rank, batch_format="pyarrow", batch_size=None
+    )
+    return ranked
+
+
+BIGRAM_NEXT_TOPK_SQL = """
+WITH big AS (
+  SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z
+  FROM (SELECT string_split(text, ' ') AS l FROM documents)
+),
+cnt AS (SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
+rk AS (
+  SELECT w1, w2, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rnk
+  FROM cnt WHERE n >= 5
+)
+SELECT w1, w2, n, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= 3
+"""
