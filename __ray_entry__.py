@@ -3695,6 +3695,83 @@ def _corpus_clean(sf_dir: str):
     return corpus_clean(sf_dir)
 
 
+def _link_fixture(sf_dir: str) -> str:
+    """Transcript fixture for mention linking: text 'see geoId:<b>
+    (Place<a>)' with a = k%5 and b = a except every 4th row where
+    b = (a+1)%7 — so each alias has a clear majority candidate and a
+    minority distractor, both SQL-regenerable."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    ts = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    a = keys % 5
+    b = np.where(keys % 4 == 0, (a + 1) % 7, a)
+    text = np.char.add(
+        np.char.add("see geoId:", b.astype(str)),
+        np.char.add(" (Place", np.char.add(a.astype(str), ")")),
+    ).astype(object)
+    n = len(keys)
+    tx = pa.table(
+        {
+            "conv_id": pa.array(np.char.add("l", keys.astype(str)), pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "role": pa.array(np.full(n, "user", object), pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(np.full(n, "", object), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    base_dir = f"/tmp/graft_link_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(base_dir, exist_ok=True)
+    path = f"{base_dir}/transcripts.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tx, tmp, row_group_size=25_000)
+    os.replace(tmp, path)
+    return path
+
+
+def _link_mentions_planted(sf_dir: str):
+    """Hash-checkable dictionary entity linking
+    (stages/alias.link_mentions): alias table mined from the fixture,
+    per-alias argmax-prior winner, every textual alias occurrence
+    linked to it — vs pure modular-arithmetic SQL regeneration."""
+    from import_ray.stages.alias import alias_table, link_mentions
+
+    path = _link_fixture(sf_dir)
+    return link_mentions(path, alias_table(path))
+
+
+LINK_MENTIONS_PLANTED_SQL = """
+WITH m AS (
+  SELECT o_orderkey % 5 AS a,
+         CASE WHEN o_orderkey % 4 = 0 THEN (o_orderkey % 5 + 1) % 7
+              ELSE o_orderkey % 5 END AS b
+  FROM orders
+),
+cnt AS (SELECT a, b, COUNT(*) AS n FROM m GROUP BY 1, 2),
+win AS (
+  SELECT a, b,
+         ROW_NUMBER() OVER (
+           PARTITION BY a ORDER BY n DESC, 'geoId/' || CAST(b AS VARCHAR)
+         ) AS rnk
+  FROM cnt
+),
+tot AS (SELECT a, COUNT(*) AS n_links FROM m GROUP BY a)
+SELECT 'Place' || CAST(w.a AS VARCHAR) AS alias,
+       'geoId/' || CAST(w.b AS VARCHAR) AS entity_id,
+       CAST(t.n_links AS BIGINT) AS n_links
+FROM win w JOIN tot t ON t.a = w.a
+WHERE w.rnk = 1
+"""
+
+
 def _bigram_next_topk(sf_dir: str):
     """Hash-checkable next-token table (stages/text.bigram_next_topk):
     per prefix token, the top-3 next tokens by exact ordered-bigram
@@ -4014,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfs_types_planted": _rdfs_types_planted,
         "sameas_canonical_planted": _sameas_canonical_planted,
         "bigram_next_topk_docs": _bigram_next_topk,
+        "link_mentions_planted": _link_mentions_planted,
     }
 
 
@@ -4207,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_planted": KG_GRAPH_PLANTED_SQL,
         "rdfs_types_planted": RDFS_TYPES_PLANTED_SQL,
         "sameas_canonical_planted": SAMEAS_CANONICAL_PLANTED_SQL,
+        "link_mentions_planted": LINK_MENTIONS_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
         "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,

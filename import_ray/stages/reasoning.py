@@ -54,13 +54,62 @@ def _distinct_pairs(ds, cols: list[str]):
     return out.map_batches(local, batch_format="pyarrow", batch_size=None)
 
 
-def subclass_closure(subclass_ds, max_depth: int = 32):
+def subclass_closure(subclass_ds, max_depth: int = 32, driver_budget: int = 100_000):
     """Strict transitive closure of ``(child, parent)`` int64 subclass
-    edges — ``(node, ancestor, depth)``, semi-naive (see
-    graph.ancestor_closure)."""
+    edges — ``(node, ancestor, depth)`` with MIN path depth.
+
+    An ontology is schema-scale by definition, so up to
+    ``driver_budget`` edges the closure is computed driver-side (BFS
+    over a pandas adjacency, exact same output contract) — the
+    semi-naive distributed plan (graph.ancestor_closure) pays ~one
+    keyed exchange PER DEPTH LEVEL in fixed costs, which dwarfs the
+    work on a few thousand schema edges. Past the budget it falls
+    back to the distributed plan; both paths are byte-equal
+    (pytest-gated)."""
     from import_ray.stages.graph import ancestor_closure
 
-    return ancestor_closure(subclass_ds, max_depth=max_depth)
+    if subclass_ds.count() > driver_budget:
+        return ancestor_closure(subclass_ds, max_depth=max_depth)
+
+    import ray.data
+
+    df = subclass_ds.to_pandas()
+    child = df["child"].to_numpy(np.int64)
+    parent = df["parent"].to_numpy(np.int64)
+    adj: dict[int, list[int]] = {}
+    for c, p in zip(child.tolist(), parent.tolist()):
+        adj.setdefault(c, []).append(p)
+    depth_of: dict[tuple[int, int], int] = {}
+    frontier = {(c, p) for c, p in zip(child.tolist(), parent.tolist())}
+    for d in range(1, int(max_depth) + 1):
+        nxt = set()
+        for node, anc in frontier:
+            key = (node, anc)
+            if key in depth_of:
+                continue
+            depth_of[key] = d
+            for p in adj.get(anc, ()):
+                if (node, p) not in depth_of:
+                    nxt.add((node, p))
+        if not nxt:
+            break
+        frontier = nxt
+    if depth_of:
+        items = sorted(depth_of.items())
+        nodes = np.fromiter((k[0] for k, _ in items), np.int64, len(items))
+        ancs = np.fromiter((k[1] for k, _ in items), np.int64, len(items))
+        ds = np.fromiter((v for _, v in items), np.int64, len(items))
+    else:
+        nodes = ancs = ds = np.zeros(0, np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "ancestor": pa.array(ancs, pa.int64()),
+                "depth": pa.array(ds, pa.int64()),
+            }
+        )
+    )
 
 
 class _ClosureExpand:
@@ -167,7 +216,41 @@ def infer_types(typeof_ds, subclass_ds, max_depth: int = 32, strategy: str = "br
     return _distinct_pairs(expanded, ["entity", "cls"])
 
 
-def sameas_canonicalize(facts_ds, sameas_ds, max_rounds: int = 25):
+class _CanonRewrite:
+    """Actor-pool stage: sorted (node → label) map fetched node-locally
+    once per actor; per batch one searchsorted gather rewrites subject
+    AND object — replaces two distributed left joins when the label map
+    fits the broadcast budget."""
+
+    def __init__(self, refs):
+        import ray
+
+        keys_ref, vals_ref = refs
+        self.keys = ray.get(keys_ref)
+        self.vals = ray.get(vals_ref)
+
+    def _canon(self, x: np.ndarray) -> np.ndarray:
+        if len(self.keys) == 0:
+            return x
+        idx = np.clip(np.searchsorted(self.keys, x), 0, len(self.keys) - 1)
+        hit = self.keys[idx] == x
+        return np.where(hit, self.vals[idx], x)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        s = b["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b["object"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "subject": pa.array(self._canon(s), pa.int64()),
+                "predicate": b["predicate"],
+                "object": pa.array(self._canon(o), pa.int64()),
+            }
+        )
+
+
+def sameas_canonicalize(
+    facts_ds, sameas_ds, max_rounds: int = 25, label_broadcast_budget: int = 2_000_000
+):
     """owl:sameAs canonicalization: connected components over the
     sameAs graph (min-label propagation, ``graph.connected_components``)
     then every fact's subject AND object are rewritten to the cluster
@@ -177,10 +260,16 @@ def sameas_canonicalize(facts_ds, sameas_ds, max_rounds: int = 25):
     ``facts_ds``: (subject int64, predicate string, object int64).
     ``sameas_ds``: (doc_lo int64, doc_hi int64) identity edges.
 
-    Scale shape: the label map grows with the corpus (NOT schema-scale)
-    so the rewrite is two distributed LEFT hash joins on 8-byte keys —
-    subjects, then objects — with ``fill_null`` keeping unaliased ids;
-    the only other exchange is the final keyed distinct."""
+    Scale shape: the label map grows with the corpus (NOT schema-scale
+    in general), so past ``label_broadcast_budget`` rows the rewrite is
+    two distributed LEFT hash joins on 8-byte keys — subjects, then
+    objects — with unaliased ids kept as-is; under the budget the map
+    broadcasts ONCE (``ray.put``, node-local fetch per actor) and one
+    actor-pool map rewrites both columns with zero exchanges. Both
+    paths are byte-equal (pytest-gated); the final keyed distinct is
+    shared."""
+    import ray
+
     from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
     from import_ray.stages.graph import connected_components
 
@@ -208,6 +297,19 @@ def sameas_canonicalize(facts_ds, sameas_ds, max_rounds: int = 25):
         ),
         batch_format="pyarrow",
     )
+    if labels.count() <= label_broadcast_budget:
+        lab = labels.to_pandas()
+        order = np.argsort(lab["node"].to_numpy(np.int64))
+        keys = lab["node"].to_numpy(np.int64)[order]
+        vals = lab["label"].to_numpy(np.int64)[order]
+        refs = (ray.put(keys), ray.put(vals))
+        out = facts.map_batches(
+            _CanonRewrite,
+            fn_constructor_args=(refs,),
+            batch_format="pyarrow",
+            concurrency=(1, n),
+        )
+        return _distinct_pairs(out, ["subject", "predicate", "object"])
     out = join_safe(
         facts.join(
             labels,
@@ -232,15 +334,4 @@ def sameas_canonicalize(facts_ds, sameas_ds, max_rounds: int = 25):
     out = out.map_batches(
         lambda b: b.select(["subject", "predicate", "object"]), batch_format="pyarrow"
     )
-
-    def local(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
-    from import_ray.core.context import data_nparts
-
-    out = out.map_batches(local, batch_format="pyarrow")
-    out = out.repartition(data_nparts(out), keys=["subject", "predicate", "object"])
-    return out.map_batches(local, batch_format="pyarrow", batch_size=None)
+    return _distinct_pairs(out, ["subject", "predicate", "object"])

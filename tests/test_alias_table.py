@@ -59,3 +59,51 @@ def test_alias_block_pairs_row_boundary():
         np.array(["tail geoId:06 (open", "close) head"], dtype=object)
     )
     assert len(ents) == 0
+
+
+def test_link_mentions_prior_disambiguation(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from import_ray.stages.alias import link_mentions
+
+    alias_df = pd.DataFrame(
+        {
+            "entity_id": ["geoId/1", "geoId/2", "geoId/3", "geoId/9"],
+            "alias": ["Springfield", "Springfield", "Shelbyville", "Spring"],
+            "n_mentions": [10, 3, 5, 99],
+        }
+    )
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "meet me in Springfield today",
+        "Springfield and Shelbyville are rivals; Spring is not a town",
+        "nothing to link here",
+        "Springfield Springfield",  # two occurrences in one row
+    ]
+    path = "/tmp/graft_test_link/transcripts.parquet"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}), path)
+
+    out = (
+        link_mentions(path, ray.data.from_pandas(alias_df))
+        .to_pandas()
+        .sort_values("alias")
+        .reset_index(drop=True)
+    )
+    # Springfield -> geoId/1 (prior 10 beats 3); 4 occurrences.
+    # Shelbyville -> geoId/3, 1 occurrence.
+    # Spring matches only the standalone word (longest-first alternation
+    # means every 'Springfield' consumes its prefix), 1 occurrence.
+    want = pd.DataFrame(
+        {
+            "alias": ["Shelbyville", "Spring", "Springfield"],
+            "entity_id": ["geoId/3", "geoId/9", "geoId/1"],
+            "n_links": [1, 1, 4],
+        }
+    )
+    pd.testing.assert_frame_equal(out.astype({"n_links": "int64"}), want)

@@ -105,3 +105,63 @@ def test_sameas_canonicalize(ray_session):
         }
     ).sort_values(["subject", "predicate", "object"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype({"subject": "int64", "object": "int64"}), want.astype({"subject": "int64", "object": "int64"}))
+
+
+def test_subclass_closure_driver_vs_distributed(ray_session):
+    import ray.data
+
+    from import_ray.stages.reasoning import subclass_closure
+
+    # diamond + chain + cycle guard exercise
+    edges = pd.DataFrame(
+        {"child": [0, 0, 1, 2, 3, 5, 6], "parent": [1, 2, 3, 3, 4, 6, 5]}
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["node", "ancestor"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+
+    a = canon(subclass_closure(ray.data.from_pandas(edges), max_depth=8))
+    b = canon(
+        subclass_closure(ray.data.from_pandas(edges), max_depth=8, driver_budget=0)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sameas_broadcast_vs_join_identical(ray_session):
+    import ray.data
+
+    from import_ray.stages.reasoning import sameas_canonicalize
+
+    edges = pd.DataFrame({"doc_lo": [1, 2, 10, 50], "doc_hi": [2, 3, 11, 51]})
+    facts = pd.DataFrame(
+        {
+            "subject": [1, 2, 3, 10, 20, 11, 50, 51],
+            "predicate": list("ppqqrrss"),
+            "object": [10, 11, 10, 20, 2, 3, 51, 1],
+        }
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["subject", "predicate", "object"])
+            .reset_index(drop=True)
+            .astype({"subject": "int64", "object": "int64"})
+        )
+
+    a = canon(
+        sameas_canonicalize(ray.data.from_pandas(facts), ray.data.from_pandas(edges))
+    )
+    b = canon(
+        sameas_canonicalize(
+            ray.data.from_pandas(facts),
+            ray.data.from_pandas(edges),
+            label_broadcast_budget=0,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
