@@ -1015,6 +1015,38 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _media_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-duplicate media pairs (rows-only: binary
+    payloads aren't SQL-expressible; banded-search-vs-brute-force
+    parity and planted-copy recall pinned in test_multimodal.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import phash_neardup_pairs, synthesize_media
+
+    base = synthesize_media(n=512, seed=7)
+    payloads = base["payload"].to_pylist()
+    ids = list(range(512))
+    for i in range(0, 64, 2):  # 32 planted near-copies (3 bytes flipped)
+        p = bytearray(payloads[i])
+        p[0] = p[len(p) // 2] = p[-1] = 255
+        payloads.append(bytes(p))
+        ids.append(10_000 + i)
+    n = len(ids)
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([8] * n, pa.int32()),
+            "height": pa.array([8] * n, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        }
+    )
+    return phash_neardup_pairs(ray.data.from_arrow(media), max_hamming=7, bands=8)
+
+
 def _knn_int8(sf_dir: str):
     """int8-quantized cosine top-k (4× smaller corpus-side memory
     traffic; recall vs exact pytest-gated in test_similarity.py)."""
@@ -4092,6 +4124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sameas_canonical_planted": _sameas_canonical_planted,
         "bigram_next_topk_docs": _bigram_next_topk,
         "link_mentions_planted": _link_mentions_planted,
+        "media_phash_pairs": _media_phash_pairs,
     }
 
 

@@ -221,3 +221,156 @@ def sample_frames(media_ds, every_ms: int = 1000, max_frames: int = 32,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaPHashKernel:
+    """Actor-pool kernel: payload → 64-bit perceptual (average) hash.
+
+    The real version decodes the image, downsamples to an 8×8 luma
+    grid and thresholds at the median (classic aHash); the stub
+    derives the 64-cell grid deterministically from the payload bytes
+    (same chunked-mean pseudo-decode as MediaFeatureExtractor), so a
+    few flipped payload bytes perturb a few cells — small edits land
+    at small Hamming distance exactly like real aHash, and the
+    banding/verify plumbing downstream is exercised faithfully.
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder not in ("fake",):
+            raise NotImplementedError(
+                f"decoder '{decoder}' requires image libraries not present "
+                f"in this environment; use decoder='fake'"
+            )
+
+    @staticmethod
+    def _grid(payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, np.uint8)
+        pad = (-len(arr)) % 64
+        if pad:
+            arr = np.pad(arr, (0, pad))
+        return arr.reshape(64, -1).mean(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = np.stack(
+            [self._grid(p) for p in batch["payload"].to_pylist()]
+        ) if batch.num_rows else np.zeros((0, 64))
+        if len(grids):
+            med = np.median(grids, axis=1, keepdims=True)
+            bits = (grids > med).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            phash = (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+        else:
+            phash = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "phash": pa.array(phash, pa.int64()),
+            }
+        )
+
+
+def media_phash(media_ds, concurrency: int = 2, batch_size: int = 64):
+    """(media_id, phash int64) via the actor-pool aHash kernel."""
+    return media_ds.map_batches(
+        MediaPHashKernel,
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        batch_size=batch_size,
+    )
+
+
+def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8):
+    """Near-duplicate media pairs by perceptual-hash Hamming distance —
+    multi-index (banded) Hamming search: the 64-bit hash splits into
+    ``bands`` equal slices; any pair within ``max_hamming ≤ bands-1``
+    shares at least one identical band (pigeonhole — the same
+    guarantee the MinHash/SimHash banding in stages/neardup.py relies
+    on), so candidate generation is ONE keyed exchange on (band_idx,
+    band_value) and the exact popcount verify runs within buckets.
+
+    Output: (lo, hi, hamming) — media_id pairs, exact distance.
+    """
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+    from import_ray.stages.neardup import _POP8, _dedup_pair_arrays
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded Hamming search guarantees recall only for "
+            f"max_hamming <= bands-1 (got {max_hamming} > {bands - 1})"
+        )
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    hashes = media_phash(media_ds)
+    ensure_hash_shuffle(hashes)
+    n = data_nparts(hashes)
+
+    def emit_bands(b: pa.Table) -> pa.Table:
+        h = b["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = b["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(h)
+        band_idx = np.repeat(np.arange(bands, dtype=np.int64), m)
+        hh = np.tile(h, bands)
+        shifts = (band_idx.astype(np.uint64)) * np.uint64(width)
+        band_val = ((hh >> shifts) & mask).view(np.int64)
+        return pa.table(
+            {
+                "band_idx": pa.array(band_idx, pa.int64()),
+                "band_val": pa.array(band_val, pa.int64()),
+                "media_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "phash": pa.array(np.tile(h.view(np.int64), bands), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        bi = df["band_idx"].to_numpy(np.int64)
+        bv = df["band_val"].to_numpy(np.int64)
+        ids = df["media_id"].to_numpy(np.int64)
+        ph = df["phash"].to_numpy(np.int64)
+        order = np.lexsort((ids, bv, bi))
+        bi, bv, ids, ph = bi[order], bv[order], ids[order], ph[order]
+        key_change = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(key_change)
+        ends = np.r_[starts[1:], len(bi)]
+        lo_l, hi_l, hl_l, hh_l = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            iu, ju = np.triu_indices(int(g), 1)
+            lo_l.append(ids[s + iu]); hi_l.append(ids[s + ju])
+            hl_l.append(ph[s + iu]); hh_l.append(ph[s + ju])
+        if not lo_l:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        lo = np.concatenate(lo_l); hi = np.concatenate(hi_l)
+        ha = np.concatenate(hl_l).view(np.uint64)
+        hb = np.concatenate(hh_l).view(np.uint64)
+        swap = lo > hi
+        lo2 = np.where(swap, hi, lo); hi2 = np.where(swap, lo, hi)
+        x = (ha ^ hb).view(np.uint64)
+        d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
+        lo2, hi2, d = _dedup_pair_arrays(lo2[keep], hi2[keep], d[keep])
+        return pa.table(
+            {
+                "lo": pa.array(lo2, pa.int64()),
+                "hi": pa.array(hi2, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    pairs = (
+        hashes.map_batches(emit_bands, batch_format="pyarrow")
+        .repartition(n, keys=["band_idx", "band_val"])
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+    )
+    from import_ray.stages.neardup import dedup_pairs_exchange
+
+    return dedup_pairs_exchange(pairs, "lo", "hi", n)

@@ -66,3 +66,77 @@ def test_sample_frames(ray_session):
         assert len(frames) == expect
         assert sorted(f["frame_idx"] for f in frames) == list(range(expect))
         assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in frames)
+
+
+def test_phash_neardup_pairs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        media_phash,
+        phash_neardup_pairs,
+        synthesize_media,
+    )
+    from import_ray.stages.neardup import _POP8
+
+    base = synthesize_media(n=40, seed=11)
+    # plant near-duplicates: copies of rows 0..4 with 3 bytes flipped
+    payloads = base["payload"].to_pylist()
+    ids = list(range(40))
+    for i in range(5):
+        p = bytearray(payloads[i])
+        p[0] = p[len(p) // 2] = p[-1] = 255
+        payloads.append(bytes(p))
+        ids.append(100 + i)
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([8] * len(ids), pa.int32()),
+            "height": pa.array([8] * len(ids), pa.int32()),
+            "duration_ms": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(media)
+
+    got = (
+        phash_neardup_pairs(ds, max_hamming=7, bands=8)
+        .to_pandas()
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+
+    hdf = media_phash(ds).to_pandas()
+    h = hdf["phash"].to_numpy(np.int64).view(np.uint64)
+    mids = hdf["media_id"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(h)):
+        for b in range(a + 1, len(h)):
+            x = np.uint64(h[a] ^ h[b])
+            d = int(_POP8[np.array([x]).view(np.uint8)].sum())
+            if d <= 7:
+                lo, hi = sorted((int(mids[a]), int(mids[b])))
+                rows.append((lo, hi, d))
+    want = (
+        pd.DataFrame(rows, columns=["lo", "hi", "hamming"])
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # the planted copies must be found
+    found = set(zip(want["lo"], want["hi"]))
+    assert all((i, 100 + i) in found for i in range(5))
+
+
+def test_phash_neardup_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from import_ray.stages.multimodal import phash_neardup_pairs, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(n=4))
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(ds, max_hamming=16, bands=8)
