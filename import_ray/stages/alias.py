@@ -246,6 +246,16 @@ def link_mentions(transcripts_path: str | list[str], alias_ds, text_col: str = "
     )
 
     def fold(batch: pa.Table) -> pa.Table:
+        # schema-less empty blocks (RefBundle "new schema: ." warnings)
+        # must not reach the pandas groupby — same guard as alias_table
+        if len(batch) == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "alias": pa.array([], pa.large_string()),
+                    "entity_id": pa.array([], pa.large_string()),
+                    "n_links": pa.array([], pa.int64()),
+                }
+            )
         df = (
             batch.to_pandas()
             .groupby(["alias", "entity_id"], sort=False, as_index=False)["n_links"]

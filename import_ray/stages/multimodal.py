@@ -17,8 +17,13 @@ pandas cleanly).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -68,24 +73,49 @@ class MediaFeatureExtractor:
         self.feature_dim = feature_dim
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        # deterministic pseudo-decode: chunked byte means
+        # scalar reference implementation (parity-tested against the
+        # vectorized batch path): chunked byte means
         arr = np.frombuffer(payload, np.uint8)
         pad = (-len(arr)) % self.feature_dim
         if pad:
             arr = np.pad(arr, (0, pad))
         return arr.reshape(self.feature_dim, -1).mean(axis=1) / 255.0
 
+    def _decode_all(self, payload_col) -> np.ndarray:
+        """Whole-batch fake decode on the buffer-sliced binary column:
+        one bincount over a per-byte segment id — no per-payload Python
+        loop (a REAL codec is inherently per-payload; the fake path
+        need not be)."""
+        col = pc.cast(payload_col, pa.large_binary())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        fd = self.feature_dim
+        if n == 0:
+            return np.zeros((0, fd), np.float64)
+        bufs = col.buffers()
+        off = np.frombuffer(bufs[1], np.int64, n + 1, 8 * col.offset)
+        flat = np.frombuffer(bufs[2], np.uint8)[off[0] : off[-1]].astype(np.float64)
+        lens = off[1:] - off[:-1]
+        chunk = np.maximum(1, -(-lens // fd))
+        rel = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1] - off[0], lens)
+        seg = np.repeat(np.arange(n, dtype=np.int64) * fd, lens) + rel // np.repeat(
+            chunk, lens
+        )
+        sums = np.bincount(seg, weights=flat, minlength=n * fd)
+        return sums.reshape(n, fd) / chunk[:, None] / 255.0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode(p) for p in batch["payload"].to_pylist()]
+        feats = self._decode_all(batch["payload"]).astype(np.float32)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
-                "features": pa.array(
-                    [f.astype(np.float32) for f in feats], pa.list_(pa.float32())
-                ),
-                "payload_bytes": pa.array(
-                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), self.feature_dim
+                ).cast(pa.list_(pa.float32())),
+                "payload_bytes": pc.cast(
+                    pc.binary_length(batch["payload"]), pa.int64()
                 ),
             }
         )
@@ -322,6 +352,8 @@ def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8):
             }
         )
 
+    from import_ray.stages.neardup import MAX_PAIRS_PER_BUCKET
+
     def bucket_pairs(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         bi = df["band_idx"].to_numpy(np.int64)
@@ -334,13 +366,27 @@ def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8):
         starts = np.flatnonzero(key_change)
         ends = np.r_[starts[1:], len(bi)]
         lo_l, hi_l, hl_l, hh_l = [], [], [], []
+        capped = 0
         for s, e in zip(starts, ends):
             g = e - s
             if g < 2:
                 continue
+            if g * (g - 1) // 2 > MAX_PAIRS_PER_BUCKET:
+                # cap MEMBERS (not pairs) so the triu allocation stays
+                # bounded on duplicate-heavy / constant-payload corpora
+                # (same skew guard as neardup._bucket_pairs)
+                capped += 1
+                g = int((2 * MAX_PAIRS_PER_BUCKET) ** 0.5) + 1
             iu, ju = np.triu_indices(int(g), 1)
             lo_l.append(ids[s + iu]); hi_l.append(ids[s + ju])
             hl_l.append(ph[s + iu]); hh_l.append(ph[s + ju])
+        if capped:
+            logger.warning(
+                "phash banding: %d bucket(s) exceeded MAX_PAIRS_PER_BUCKET=%d; "
+                "members sampled",
+                capped,
+                MAX_PAIRS_PER_BUCKET,
+            )
         if not lo_l:
             return pa.table(
                 {

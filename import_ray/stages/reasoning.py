@@ -68,6 +68,9 @@ def subclass_closure(subclass_ds, max_depth: int = 32, driver_budget: int = 100_
     (pytest-gated)."""
     from import_ray.stages.graph import ancestor_closure
 
+    # materialize once: count() + to_pandas() below would otherwise
+    # execute the upstream pipeline twice per invocation
+    subclass_ds = subclass_ds.materialize()
     if subclass_ds.count() > driver_budget:
         return ancestor_closure(subclass_ds, max_depth=max_depth)
 
@@ -158,7 +161,13 @@ class _ClosureExpand:
         )
 
 
-def infer_types(typeof_ds, subclass_ds, max_depth: int = 32, strategy: str = "broadcast"):
+def infer_types(
+    typeof_ds,
+    subclass_ds,
+    max_depth: int = 32,
+    strategy: str = "broadcast",
+    closure_broadcast_budget: int = 2_000_000,
+):
     """Materialized RDFS type inference (rdfs9): distinct
     ``(entity, cls)`` rows covering the asserted type and every strict
     ``subClassOf`` ancestor.
@@ -172,6 +181,10 @@ def infer_types(typeof_ds, subclass_ds, max_depth: int = 32, strategy: str = "br
     expansion; the fact stream never leaves ``map_batches``.
     ``strategy="join"``: distributed hash join facts⋈closure on the
     8-byte class key — the fallback when the ontology itself is huge.
+    ``strategy="broadcast"`` auto-degrades to ``"join"`` when the
+    closure exceeds ``closure_broadcast_budget`` rows (mirroring
+    sameas_canonicalize's label_broadcast_budget gate) so a huge
+    ontology can never drive a driver-side to_pandas OOM.
     Both paths end in the same keyed-exchange distinct and are
     byte-identical (pytest-gated)."""
     import ray
@@ -179,7 +192,9 @@ def infer_types(typeof_ds, subclass_ds, max_depth: int = 32, strategy: str = "br
     from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
 
     ensure_hash_shuffle(typeof_ds)
-    closure = subclass_closure(subclass_ds, max_depth=max_depth)
+    closure = subclass_closure(subclass_ds, max_depth=max_depth).materialize()
+    if strategy == "broadcast" and closure.count() > closure_broadcast_budget:
+        strategy = "join"
     if strategy == "broadcast":
         cl = closure.select_columns(["node", "ancestor"]).to_pandas()
         cl = cl.sort_values(["node", "ancestor"]).reset_index(drop=True)

@@ -140,3 +140,22 @@ def test_phash_neardup_guard(ray_session):
     ds = ray.data.from_arrow(synthesize_media(n=4))
     with pytest.raises(ValueError):
         phash_neardup_pairs(ds, max_hamming=16, bands=8)
+
+
+def test_fake_decode_batch_parity():
+    """Vectorized whole-batch fake decode == scalar reference decode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from import_ray.stages.multimodal import MediaFeatureExtractor, synthesize_media
+
+    tbl = synthesize_media(n=40, seed=11)
+    ex = MediaFeatureExtractor(feature_dim=16)
+    batch_feats = ex._decode_all(tbl["payload"])
+    for i, p in enumerate(tbl["payload"].to_pylist()):
+        np.testing.assert_allclose(batch_feats[i], ex._decode(p), rtol=1e-12)
+    # sliced column (non-zero array offset) must decode identically
+    sl = tbl.slice(7, 20)["payload"]
+    np.testing.assert_allclose(
+        ex._decode_all(sl), batch_feats[7:27], rtol=1e-12
+    )
