@@ -105,12 +105,20 @@ def build_triples(
             # (blocks stay put; only 32-byte keys shuffle), so both the
             # triple branch and the conv branch re-consume object-store
             # blocks — still a single input scan
+            from concurrent.futures import ThreadPoolExecutor
+
+            from import_ray.core.context import cluster_cpus
+
             hashed = fused.map_batches(
                 _hash_tag_fused, batch_format="pyarrow"
             ).materialize()
+            # conv partials are ~rows ∝ convs×blocks, far smaller than
+            # the triple stream — a full-width exchange here paid
+            # aggregator-pool spin-up ∝ n_parts for no extra throughput
+            conv_parts = min(n_parts, max(8, cluster_cpus()))
             conv = (
                 hashed.map_batches(_keep_fused_partials, batch_format="pyarrow")
-                .repartition(n_parts, keys=["h1"])
+                .repartition(conv_parts, keys=["h1"])
                 .map_batches(
                     lambda b: merge_conversation_partials_block(
                         partials_from_pseudo_rows(b)
@@ -122,7 +130,15 @@ def build_triples(
             tri_hashed = hashed.map_batches(
                 _drop_fused_partials, batch_format="pyarrow"
             )
-            return broadcast_dedup_hashed(tri_hashed, n_parts).union(conv)
+            # the conv branch is independent of the winner election, so
+            # it executes on a second driver thread WHILE the keys
+            # exchange runs — the two executions share the cluster and
+            # the barrier time overlaps instead of serializing
+            with ThreadPoolExecutor(1) as pool:
+                conv_fut = pool.submit(conv.materialize)
+                tri = broadcast_dedup_hashed(tri_hashed, n_parts)
+                conv_mat = conv_fut.result()
+            return tri.union(conv_mat)
         raise ValueError(
             f"unknown dedup strategy: {dedup_strategy!r} (use 'shuffle' or 'broadcast')"
         )

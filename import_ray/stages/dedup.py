@@ -29,6 +29,12 @@ import pyarrow as pa
 
 from import_ray.core.context import npartitions
 
+# duplicated-key winner tables at or below this many rows are sorted
+# once on the driver and broadcast to a TASK-pool filter (no actor
+# spin-up); larger tables use the actor-pool path whose driver cost
+# is O(block refs) only
+WINNER_TASK_BUDGET = 4_000_000
+
 TRIPLE_KEY = ["subject_id", "predicate", "object_id", "object_value"]
 _HASH_KEY_2 = "9e3779b97f4a7c15"  # second, independent 16-byte hash key
 
@@ -129,6 +135,61 @@ def exact_dedup_triples(ds, num_partitions: int | None = None, strategy: str = "
     return broadcast_dedup_hashed(hashed, n)
 
 
+def _sorted_winner_arrays(tabs):
+    """Concat winner blocks → lexsorted parallel lookup arrays +
+    longest equal-h1 run bound (typically 1: an h1 run >1 needs a
+    64-bit hash collision)."""
+    t = pa.concat_tables(tabs).combine_chunks()
+    d1 = t["h1"].to_numpy(zero_copy_only=False)
+    d2 = t["h2"].to_numpy(zero_copy_only=False)
+    dw = t["winner_tag"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((d2, d1))
+    d1, d2, dw = d1[o], d2[o], dw[o]
+    if len(d1) > 1:
+        runs = np.diff(
+            np.flatnonzero(np.concatenate([[True], d1[1:] != d1[:-1], [True]]))
+        )
+        max_run = int(runs.max())
+    else:
+        max_run = 1
+    return d1, d2, dw, max_run
+
+
+def _filter_with_winners(
+    batch: pa.Table, d1, d2, dw, max_run: int
+) -> pa.Table:
+    """Vectorized dedup filter against sorted winner arrays: two passes
+    (searchsorted + run-bounded h2 probe); drops the key columns."""
+    cols_to_drop = ["h1", "h2", "ph", "tag"]
+    if len(d1) == 0 or len(batch) == 0:
+        return batch.drop_columns(cols_to_drop)
+    h1 = batch["h1"].to_numpy(zero_copy_only=False)
+    h2 = batch["h2"].to_numpy(zero_copy_only=False)
+    tag = batch["tag"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(d1, h1)
+    keep = np.ones(len(batch), bool)
+    # k-th probe within each h1 run, vectorized over rows; the loop
+    # runs max_run (≈1) times, not once per row
+    for k in range(max_run):
+        p = pos + k
+        valid = p < len(d1)
+        pc_ = np.where(valid, p, 0)
+        hit = valid & (d1[pc_] == h1) & (d2[pc_] == h2)
+        keep[hit & (tag != dw[pc_])] = False
+    return batch.filter(pa.array(keep)).drop_columns(cols_to_drop)
+
+
+def _winner_filter_task(batch: pa.Table, ref=None) -> pa.Table:
+    """Task-pool dedup filter for SMALL winner tables: the sorted
+    arrays live in the object store once (``ray.put`` on the driver);
+    each task fetches them node-locally (zero-copy numpy views) — no
+    actor-pool spin-up, no per-actor sort."""
+    import ray
+
+    d1, d2, dw, max_run = ray.get(ref)
+    return _filter_with_winners(batch, d1, d2, dw, max_run)
+
+
 class _DupWinnerFilter:
     """Actor-pool dedup filter: fetch the duplicated-key winner blocks
     from the object store once per actor (node-local after the first
@@ -140,44 +201,13 @@ class _DupWinnerFilter:
 
         tabs = [t for t in ray.get(list(refs)) if t.num_rows]
         if tabs:
-            t = pa.concat_tables(tabs).combine_chunks()
-            d1 = t["h1"].to_numpy(zero_copy_only=False)
-            d2 = t["h2"].to_numpy(zero_copy_only=False)
-            dw = t["winner_tag"].to_numpy(zero_copy_only=False)
-            o = np.lexsort((d2, d1))
-            self.d1, self.d2, self.dw = d1[o], d2[o], dw[o]
-            # longest equal-h1 run bounds the probe loop (typically 1:
-            # an h1 run >1 needs a 64-bit hash collision)
-            if len(d1) > 1:
-                runs = np.diff(np.flatnonzero(
-                    np.concatenate([[True], self.d1[1:] != self.d1[:-1], [True]])
-                ))
-                self.max_run = int(runs.max())
-            else:
-                self.max_run = 1
+            self.d1, self.d2, self.dw, self.max_run = _sorted_winner_arrays(tabs)
         else:
             self.d1 = self.d2 = self.dw = np.array([], np.int64)
             self.max_run = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols_to_drop = ["h1", "h2", "ph", "tag"]
-        d1, d2, dw = self.d1, self.d2, self.dw
-        if len(d1) == 0 or len(batch) == 0:
-            return batch.drop_columns(cols_to_drop)
-        h1 = batch["h1"].to_numpy(zero_copy_only=False)
-        h2 = batch["h2"].to_numpy(zero_copy_only=False)
-        tag = batch["tag"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d1, h1)
-        keep = np.ones(len(batch), bool)
-        # k-th probe within each h1 run, vectorized over rows; the loop
-        # runs max_run (≈1) times, not once per row
-        for k in range(self.max_run):
-            p = pos + k
-            valid = p < len(d1)
-            pc_ = np.where(valid, p, 0)
-            hit = valid & (d1[pc_] == h1) & (d2[pc_] == h2)
-            keep[hit & (tag != dw[pc_])] = False
-        return batch.filter(pa.array(keep)).drop_columns(cols_to_drop)
+        return _filter_with_winners(batch, self.d1, self.d2, self.dw, self.max_run)
 
 
 def _hash_tag_local_distinct(batch: pa.Table) -> pa.Table:
@@ -369,14 +399,33 @@ def broadcast_dedup_hashed(hashed, num_partitions: int):
     # per-run fixed cost at 32 M triples came from exactly this).
     winners = keys.map_batches(_find_dup_winners, batch_format="pyarrow").materialize()
     refs = []
+    wrows = 0
     for bundle in winners.iter_internal_ref_bundles():
         for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
             if meta.num_rows:
                 refs.append(block_ref)
+                wrows += meta.num_rows
 
     if not refs:
         return hashed.map_batches(
             lambda b: b.drop_columns(["h1", "h2", "ph", "tag"]),
+            batch_format="pyarrow",
+        )
+
+    if wrows <= WINNER_TASK_BUDGET:
+        # small winner table (the common case after per-block local
+        # distinct: only CROSS-block duplicates reach here): sort ONCE
+        # on the driver (bounded by the budget, not the corpus),
+        # ray.put the arrays, and filter with a plain TASK pool —
+        # actor-pool spin-up was a measured ~1.5-2 s fixed cost per
+        # execution and every actor repeated the same lexsort
+        import ray
+
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        ref = ray.put(_sorted_winner_arrays(tabs))
+        return hashed.map_batches(
+            _winner_filter_task,
+            fn_kwargs={"ref": ref},
             batch_format="pyarrow",
         )
 

@@ -346,17 +346,25 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7, num_perm: int = 64, bands
     return dedup_pairs_exchange(pairs, "doc_lo", "doc_hi", nparts)
 
 
-def propagate_min_labels(pairs_ds, max_rounds: int = 25):
+def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
     """Distributed connected components over a pair Dataset via
-    iterative min-label propagation (groupby rounds).
+    iterative min-label propagation (groupby rounds) with pointer
+    doubling.
 
     Only nodes that appear in at least one pair carry a label row —
     singletons never enter the shuffle and default to self downstream.
     Each round: label(v) ← min(label(v), min label(u) over neighbors u),
-    computed as edges⋈labels + groupby-min. Rounds ≤ cluster diameter
-    (LSH clusters are shallow); convergence is detected by the label-sum
-    invariant (strictly decreasing until fixpoint). The labels dataset
-    is bounded by the number of non-singleton docs, NOT the corpus.
+    computed as edges⋈labels + groupby-min, followed (``shortcut=True``)
+    by one pointer-jumping pass label(v) ← label(label(v)) — a single
+    labels⋈labels join on the (node-bounded, not edge-bounded) label
+    table that halves the remaining chain depth, so rounds grow with
+    log(diameter) instead of diameter (Shiloach-Vishkin shortcutting).
+    Labels only ever decrease and every label is a node id inside the
+    same component, so the fixpoint — the component minimum — is
+    IDENTICAL with or without shortcutting (pytest-gated byte-equal);
+    convergence is detected by the label-sum invariant (strictly
+    decreasing until fixpoint). The labels dataset is bounded by the
+    number of non-singleton docs, NOT the corpus.
 
     Returns a Dataset (node:int64, label:int64).
     """
@@ -423,6 +431,31 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
     ).materialize()
     prev_sum = label_checksum(labels)
 
+    def jump(lab):
+        """label(v) ← label(label(v)): one labels⋈labels hash join on
+        the 8-byte label key. Every label IS a node with a label row
+        (it entered via some edge endpoint), but the join stays
+        left_outer + coalesce defensively."""
+        out = join_safe(
+            lab.join(
+                lab,
+                join_type="left_outer",
+                num_partitions=npartitions(),
+                on=("label",),
+                right_on=("node",),
+                right_suffix="_r",
+            )
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "label": pc.coalesce(b["label_r"], b["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return join_safe(out)
+
     for _ in range(max_rounds):
         nbr_labels = edges.join(
             labels,
@@ -436,7 +469,10 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25):
             labels.union(nbr_labels)
             .groupby("node", num_partitions=npartitions())
             .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        )
+        if shortcut:
+            labels = jump(labels)
+        labels = labels.materialize()
         cur_sum = label_checksum(labels)
         if cur_sum == prev_sum:
             break

@@ -86,6 +86,10 @@ def check_statvar_collisions_ds(pairs_ds) -> CounterSet:
         .drop_columns(["_c"])
         .materialize()
     )
+    from ray.data.aggregate import Sum
+
+    from import_ray.state.counters import MAX_MESSAGES_PER_COUNTER
+
     for key, counter in (
         ("curated", "Sanity_SameDcidForDifferentStatVars"),
         ("generated", "Sanity_DifferentDcidsForSameStatVar"),
@@ -96,7 +100,19 @@ def check_statvar_collisions_ds(pairs_ds) -> CounterSet:
         bad = grouped.map_batches(
             lambda b: b.filter(pc.greater(b["n_partners"], 1)),
             batch_format="pyarrow",
-        ).take_all()
-        for r in bad:
+        ).materialize()
+        # driver rows are bounded by the exemplar cap, never by the
+        # number of colliding StatVars (adversarial input: EVERY SV
+        # collides → the old take_all() was O(N) on the driver); the
+        # remainder is folded in as a count-only aggregate
+        ex_rows = bad.limit(MAX_MESSAGES_PER_COUNTER).take_all()
+        for r in ex_rows:
             counters.add(LEVEL_ERROR, counter, f"key: '{r[key]}'", n=r["n_partners"] - 1)
+        n_bad = bad.count()
+        if n_bad > len(ex_rows):
+            total = bad.aggregate(Sum("n_partners", alias_name="s"))["s"] or 0
+            ex_sum = sum(r["n_partners"] for r in ex_rows)
+            remainder = (int(total) - n_bad) - (ex_sum - len(ex_rows))
+            if remainder > 0:
+                counters.add(LEVEL_ERROR, counter, "", n=remainder)
     return counters

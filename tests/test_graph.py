@@ -778,3 +778,27 @@ def test_shape_violations_matches_pandas(kg_triples):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_shortcut_labels_byte_equal_deep_chain(ray_session):
+    """Pointer doubling converges to the identical fixpoint as plain
+    min-label propagation on a deep chain (the worst case for rounds),
+    and in strictly fewer rounds than the chain depth allows."""
+    import numpy as np
+    import ray.data
+
+    from import_ray.stages.neardup import propagate_min_labels
+
+    n = 16  # 16-deep chain + a braid of short components
+    lo = list(range(100, 100 + n - 1)) + [5000, 5001, 7000]
+    hi = list(range(101, 100 + n)) + [5001, 5002, 7001]
+    edges = pa.table(
+        {"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())}
+    )
+    ds = ray.data.from_arrow(edges)
+    with_sc = propagate_min_labels(ds, max_rounds=8, shortcut=True).take_all()
+    without = propagate_min_labels(ds, max_rounds=20, shortcut=False).take_all()
+    a = sorted((r["node"], r["label"]) for r in with_sc)
+    b = sorted((r["node"], r["label"]) for r in without)
+    assert a == b
+    assert all(lab == 100 for node, lab in a if 100 <= node < 100 + n)

@@ -135,3 +135,31 @@ def test_summary_html_place_series_charts(ray_session, tmp_path):
 
     # degenerate series: all-NaN values produce no chart, no crash
     assert svg_timeseries_chart(["2020"], [float("nan")]) == ""
+
+
+def test_statvar_collisions_bounded_exemplars(ray_session):
+    """>30 colliding keys: counter totals stay exact while driver-side
+    exemplar rows are capped at MAX_MESSAGES_PER_COUNTER."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.statvar_state import check_statvar_collisions_ds
+    from import_ray.state.counters import LEVEL_ERROR, MAX_MESSAGES_PER_COUNTER
+
+    n_keys = 80  # every curated SV collides (maps to 2 generated ids)
+    curated, generated = [], []
+    for i in range(n_keys):
+        curated += [f"SV_{i}", f"SV_{i}"]
+        generated += [f"g{i}_a", f"g{i}_b"]
+    pairs = pa.table(
+        {
+            "curated": pa.array(curated, pa.string()),
+            "generated": pa.array(generated, pa.string()),
+        }
+    )
+    cs = check_statvar_collisions_ds(ray.data.from_arrow(pairs))
+    # exact totals: each of the 80 curated keys has 2 partners → n=1 each
+    assert cs.counter("Sanity_SameDcidForDifferentStatVars") == n_keys
+    assert cs.counter("Sanity_DifferentDcidsForSameStatVar") == 0
+    key = (LEVEL_ERROR, "Sanity_SameDcidForDifferentStatVars")
+    assert len(cs.exemplars.get(key, [])) <= MAX_MESSAGES_PER_COUNTER
