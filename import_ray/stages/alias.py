@@ -129,14 +129,156 @@ def alias_table(transcripts_path: str | list[str], text_col: str = "text"):
     )
 
 
+# gazetteers above this size switch from the alternation regex to the
+# hashed token-n-gram matcher (regex alternation compile/scan degrades
+# superlinearly with pattern count; the n-gram matcher is O(tokens ×
+# n_distinct_alias_lengths) regardless of gazetteer size)
+REGEX_GAZETTEER_MAX = 512
+
+# independent second hash for 128-bit n-gram identity (repo-wide
+# convention: 128-bit content keys need no exact-verify pass)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _alnum_tokens_flat(texts: np.ndarray):
+    """Tokenize a block of texts into flat alphanumeric runs with row
+    ids — fully vectorized (pyarrow regex split + dictionary-encoded
+    hashing; the unique-token trick from neardup._split_flat)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, pa.large_string())
+    lists = pc.split_pattern_regex(arr, pattern="[^A-Za-z0-9]+")
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return (
+            np.zeros(0, np.uint64),
+            np.zeros(0, np.uint64),
+            np.zeros(0, np.int64),
+        )
+    mask = pc.not_equal(flat, "")
+    row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    keep = mask.to_numpy(zero_copy_only=False)
+    flat = flat.filter(mask)
+    row_of = row_of[keep]
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    h1u = pd.util.hash_array(uniq).astype(np.uint64)
+    h2u = (h1u ^ _POLY_B) * _MIX_C
+    return h1u[codes], h2u[codes], row_of
+
+
+def _ngram_hashes(h: np.ndarray, row_of: np.ndarray, L: int):
+    """Rolling length-``L`` polynomial hashes over a flat token-hash
+    array; windows crossing a row boundary are masked out. Returns
+    (window_hashes, valid_mask) aligned to window start positions."""
+    n = len(h)
+    if n < L:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    w = h[: n - L + 1].copy()
+    for k in range(1, L):
+        w = w * _POLY_B + h[k : n - L + 1 + k]
+    valid = row_of[: n - L + 1] == row_of[L - 1 :]
+    return w, valid
+
+
+class _HashedGazetteerLinker:
+    """Actor-pool open-vocabulary linker: the Aho-Corasick-shaped swap
+    for large gazetteers. ``__init__`` (once per actor) tokenizes every
+    alias into alphanumeric runs and builds per-length sorted 128-bit
+    n-gram tables; ``__call__`` computes rolling token-n-gram hashes
+    over the whole batch (one vectorized pass per distinct alias
+    length) and probes by binary search — O(tokens × n_lengths),
+    independent of gazetteer size, no per-character automaton stepping
+    and no Python loop over rows or matches.
+
+    Semantics: counts every alias occurrence whose alphanumeric token
+    sequence appears contiguously in the text's token stream (word-
+    boundary aligned, overlaps and nested aliases all counted) — the
+    multi-pattern-matching semantics of a classic Aho-Corasick scan.
+    The small-gazetteer regex path counts leftmost-longest
+    non-overlapping character matches instead; on gazetteer/corpus
+    pairs without nested or substring aliases the two agree
+    (pytest-gated byte-equal on a 10k-alias gazetteer)."""
+
+    def __init__(self, refs):
+        import re as _re
+
+        import ray
+
+        aliases_ref, entities_ref = refs
+        self.aliases = ray.get(aliases_ref)
+        self.entities = ray.get(entities_ref)
+        tok_re = _re.compile(r"[A-Za-z0-9]+")
+        by_len: dict[int, list[tuple[int, int, int]]] = {}
+        for i, alias in enumerate(self.aliases):
+            toks = tok_re.findall(str(alias))
+            if not toks:
+                continue
+            u = np.asarray(toks, dtype=object)
+            t1 = pd.util.hash_array(u).astype(np.uint64)
+            t2 = (t1 ^ _POLY_B) * _MIX_C
+            a1 = t1[0]
+            a2 = t2[0]
+            for k in range(1, len(toks)):
+                a1 = a1 * _POLY_B + t1[k]
+                a2 = a2 * _POLY_B + t2[k]
+            by_len.setdefault(len(toks), []).append((int(a1), int(a2), i))
+        self.tables = {}
+        for L, rows in by_len.items():
+            g1 = np.array([r[0] for r in rows], np.uint64)
+            g2 = np.array([r[1] for r in rows], np.uint64)
+            gi = np.array([r[2] for r in rows], np.int64)
+            o = np.lexsort((g2, g1))
+            self.tables[L] = (g1[o], g2[o], gi[o])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "alias": pa.array([], pa.large_string()),
+                "entity_id": pa.array([], pa.large_string()),
+                "n_links": pa.array([], pa.int64()),
+            }
+        )
+        texts = batch["text"].to_pandas().to_numpy(dtype=object)
+        if not len(texts) or not self.tables:
+            return empty
+        h1, h2, row_of = _alnum_tokens_flat(texts)
+        counts = np.zeros(len(self.aliases), np.int64)
+        for L, (g1, g2, gi) in self.tables.items():
+            w1, valid = _ngram_hashes(h1, row_of, L)
+            if not len(w1):
+                continue
+            w2, _ = _ngram_hashes(h2, row_of, L)
+            pos = np.searchsorted(g1, w1)
+            pos_c = np.minimum(pos, len(g1) - 1)
+            hit = valid & (g1[pos_c] == w1) & (g2[pos_c] == w2)
+            # g1 runs >1 need a 64-bit collision between distinct
+            # aliases — probe the (tiny) run tail only if one exists
+            if hit.any():
+                np.add.at(counts, gi[pos_c[hit]], 1)
+        found = np.flatnonzero(counts)
+        if not len(found):
+            return empty
+        return pa.table(
+            {
+                "alias": pa.array(self.aliases[found], pa.large_string()),
+                "entity_id": pa.array(self.entities[found], pa.large_string()),
+                "n_links": pa.array(counts[found], pa.int64()),
+            }
+        )
+
+
 class _MentionLinker:
     """Actor-pool stage: gazetteer (alias → winning entity) fetched
     node-locally ONCE per actor; the alias alternation regex compiles
     in ``__init__``. Per batch: one finditer pass over the
     concatenated block text — the Python loop is over MATCHES, not
-    rows. At open-vocabulary gazetteer scale swap the alternation for
-    an Aho-Corasick automaton; the broadcast + per-actor-build shape
-    is unchanged."""
+    rows. ``link_mentions`` swaps this for ``_HashedGazetteerLinker``
+    past ``REGEX_GAZETTEER_MAX`` aliases; the broadcast +
+    per-actor-build shape is unchanged."""
 
     def __init__(self, refs):
         import ray
@@ -188,7 +330,12 @@ class _MentionLinker:
         )
 
 
-def link_mentions(transcripts_path: str | list[str], alias_ds, text_col: str = "text"):
+def link_mentions(
+    transcripts_path: str | list[str],
+    alias_ds,
+    text_col: str = "text",
+    matcher: str = "auto",
+):
     """Dictionary-based entity linking with prior disambiguation: each
     alias resolves to its argmax-prior entity (``n_mentions`` DESC,
     ``entity_id`` ASC from the mined alias table), then every textual
@@ -238,8 +385,11 @@ def link_mentions(transcripts_path: str | list[str], alias_ds, text_col: str = "
         lambda b: b.rename_columns(["text"]), batch_format="pyarrow"
     )
     ensure_hash_shuffle(ds)
+    if matcher == "auto":
+        matcher = "regex" if len(aliases) <= REGEX_GAZETTEER_MAX else "ngram"
+    linker_cls = {"regex": _MentionLinker, "ngram": _HashedGazetteerLinker}[matcher]
     partials = ds.map_batches(
-        _MentionLinker,
+        linker_cls,
         fn_constructor_args=(refs,),
         batch_format="pyarrow",
         concurrency=(1, n),

@@ -155,16 +155,73 @@ def entity_edges(triples_ds, max_object_degree: int | None = None):
     )
 
 
-def connected_components(edges_ds, max_rounds: int = 25, contract: bool = True):
+def _driver_component_labels(lo: np.ndarray, hi: np.ndarray) -> pa.Table:
+    """Array union-find (union-by-min + path halving) over bounded
+    pair arrays → (node, label) with label = component min — the same
+    fixpoint as distributed min-label propagation (pytest-gated
+    byte-equal)."""
+    nodes, idx = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    li, hi_i = idx[: len(lo)], idx[len(lo) :]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(li.tolist(), hi_i.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # nodes[] is sorted ascending, so smaller index = smaller id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))], np.int64)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(nodes[roots], pa.int64()),
+        }
+    )
+
+
+def connected_components(
+    edges_ds,
+    max_rounds: int = 25,
+    contract: bool = True,
+    max_driver_pairs: int | None = None,
+):
     """(node, label) over an edge Dataset with doc_lo/doc_hi int64
     columns — one block-local contraction pass (see
     ``contract_edges_block``; labels are byte-identical with or without
-    it, pytest-gated) followed by distributed min-label propagation
-    (see neardup)."""
-    from import_ray.stages.neardup import propagate_min_labels
+    it, pytest-gated), then hybrid labeling mirroring
+    ``neardup.label_clusters``: edge sets at or below
+    ``max_driver_pairs`` (default ``neardup.MAX_DRIVER_PAIRS``; the
+    contraction pass has already collapsed every block-local chain, so
+    this is the post-contraction CROSS-block edge count, ≪ raw edges)
+    run an array union-find on the driver — a distributed propagation
+    round costs 2-3 keyed exchanges of fixed spin-up each, which on a
+    bounded edge set is pure overhead. Larger edge sets use distributed
+    min-label propagation with pointer doubling (see neardup). Both
+    paths converge to label = component min (pytest-gated byte-equal)."""
+    from import_ray.stages.neardup import MAX_DRIVER_PAIRS, propagate_min_labels
 
+    if max_driver_pairs is None:
+        max_driver_pairs = MAX_DRIVER_PAIRS
     if contract:
         edges_ds = contract_edges_block(edges_ds)
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= max_driver_pairs:
+        df = edges_ds.select_columns(["doc_lo", "doc_hi"]).to_pandas()
+        import ray.data
+
+        return ray.data.from_arrow(
+            _driver_component_labels(
+                df["doc_lo"].to_numpy(np.int64), df["doc_hi"].to_numpy(np.int64)
+            )
+        )
     return propagate_min_labels(edges_ds, max_rounds=max_rounds)
 
 

@@ -56,18 +56,78 @@ def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+def synthesize_real_media(
+    n: int = 48, seed: int = 9, dup_every: int = 4, flip_pixels: int = 3
+) -> pa.Table:
+    """Deterministic media table of REAL payloads: BMP images (24-bit
+    BI_RGB) and PCM WAVs, with planted near-duplicates — every
+    ``dup_every``-th image is the previous image with ``flip_pixels``
+    pixels perturbed (small aHash Hamming distance), so banded Hamming
+    search has ground truth to find."""
+    from import_ray.stages.codecs import bmp_encode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    payloads, types = [], []
+    prev_img = None
+    for i in range(n):
+        if i % 3 == 2:
+            samples = (
+                np.sin(np.arange(2048) * (0.02 + 0.01 * (i % 7))) * 12000
+                + rng.normal(0, 300, 2048)
+            ).astype(np.int16)
+            payloads.append(wav_encode(samples))
+            types.append("audio")
+            continue
+        if prev_img is not None and i % dup_every == 0:
+            img = prev_img.copy()
+            ys = rng.integers(0, img.shape[0], flip_pixels)
+            xs = rng.integers(0, img.shape[1], flip_pixels)
+            img[ys, xs] = 255 - img[ys, xs]
+        else:
+            w, h = int(rng.integers(24, 64)), int(rng.integers(24, 64))
+            # per-image random coarse pattern upsampled to full size, so
+            # block-mean grids differ strongly BETWEEN images while
+            # staying stable under the few-pixel perturbation below
+            coarse = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            ys = (np.arange(h) * 8 // h).astype(np.intp)
+            xs = (np.arange(w) * 8 // w).astype(np.intp)
+            img = coarse[np.ix_(ys, xs)].copy()
+        prev_img = img
+        payloads.append(bmp_encode(img))
+        types.append("image")
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        }
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool kernel: decode payload → fixed-size feature vector.
 
-    ``__init__`` loads the (stub) decoder once per actor — the real
-    version would load a model / initialize a codec here.
+    ``decoder="bmp"`` / ``"wav"`` decode REAL bytes (pure-numpy codecs,
+    ``stages/codecs.py``): BMP → luma block-mean grid, WAV → log band
+    energies. ``"fake"`` keeps the deterministic chunked-byte-mean
+    pseudo-decode (vectorized whole-batch path) for plumbing tests.
+    Real decoding is inherently per-payload; the loop is over payloads,
+    with all pixel/sample math vectorized inside the codec.
+
+    ``__init__`` runs once per actor — the place a real deployment
+    loads its codec/model.
     """
 
+    _DECODERS = ("fake", "bmp", "wav")
+
     def __init__(self, decoder: str = "fake", feature_dim: int = 16):
-        if decoder not in ("fake",):
+        if decoder not in self._DECODERS:
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image/audio libraries not "
-                f"present in this environment; use decoder='fake'"
+                f"present in this environment; use one of {self._DECODERS}"
             )
         self.decoder = decoder
         self.feature_dim = feature_dim
@@ -105,8 +165,33 @@ class MediaFeatureExtractor:
         sums = np.bincount(seg, weights=flat, minlength=n * fd)
         return sums.reshape(n, fd) / chunk[:, None] / 255.0
 
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        from import_ray.stages.codecs import (
+            block_mean_grid,
+            bmp_decode,
+            luma,
+            wav_band_energies,
+            wav_decode,
+        )
+
+        if self.decoder == "bmp":
+            g = int(np.ceil(np.sqrt(self.feature_dim)))
+            grid = block_mean_grid(luma(bmp_decode(payload)), g, g) / 255.0
+            return grid.ravel()[: self.feature_dim]
+        x, _rate = wav_decode(payload)
+        e = wav_band_energies(x, self.feature_dim)
+        m = e.max()
+        return e / m if m > 0 else e
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = self._decode_all(batch["payload"]).astype(np.float32)
+        if self.decoder == "fake":
+            feats = self._decode_all(batch["payload"]).astype(np.float32)
+        else:
+            feats = np.stack(
+                [self._decode_real(p) for p in batch["payload"].to_pylist()]
+            ).astype(np.float32) if batch.num_rows else np.zeros(
+                (0, self.feature_dim), np.float32
+            )
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -121,11 +206,12 @@ class MediaFeatureExtractor:
         )
 
 
-def extract_media_features(media_ds, concurrency: int = 2, batch_size: int = 16):
+def extract_media_features(media_ds, concurrency: int = 2, batch_size: int = 16,
+                           decoder: str = "fake"):
     """Actor-pool feature extraction over a media Dataset."""
     return media_ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decoder": "fake"},
+        fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -141,11 +227,12 @@ class MediaResizeKernel:
     actor init, batch sizing) is identical."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
-        if decoder not in ("fake",):
+        if decoder not in ("fake", "bmp"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
-                f"in this environment; use decoder='fake'"
+                f"in this environment; use decoder='fake' or 'bmp'"
             )
+        self.decoder = decoder
         self.tw = int(target_w)
         self.th = int(target_h)
 
@@ -164,8 +251,15 @@ class MediaResizeKernel:
         heights = batch["height"].to_numpy(zero_copy_only=False)
         out = []
         # vectorized nearest-neighbor index grids per image
-        yi = None
         for p, w, h in zip(payloads, widths, heights):
+            if self.decoder == "bmp":
+                from import_ray.stages.codecs import bmp_decode, bmp_encode
+
+                img = bmp_decode(p)
+                ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
+                xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.intp)
+                out.append(bmp_encode(img[np.ix_(ys, xs)]))
+                continue
             img = self._decode_image(p, int(w), int(h))
             ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
             xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.intp)
@@ -184,12 +278,14 @@ class MediaResizeKernel:
 
 
 def resize_media(media_ds, target_w: int = 64, target_h: int = 64,
-                 concurrency: int = 2, batch_size: int = 16):
+                 concurrency: int = 2, batch_size: int = 16,
+                 decoder: str = "fake"):
     """Actor-pool image resize over a media Dataset (images only pass
     through the kernel; callers filter by media_type upstream)."""
     return media_ds.map_batches(
         MediaResizeKernel,
-        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -256,8 +352,9 @@ def sample_frames(media_ds, every_ms: int = 1000, max_frames: int = 32,
 class MediaPHashKernel:
     """Actor-pool kernel: payload → 64-bit perceptual (average) hash.
 
-    The real version decodes the image, downsamples to an 8×8 luma
-    grid and thresholds at the median (classic aHash); the stub
+    ``decoder="bmp"`` is the REAL aHash: decode the BMP (pure-numpy
+    codec, ``stages/codecs.py``), downsample the luma plane to an 8×8
+    block-mean grid and threshold at the median. ``decoder="fake"``
     derives the 64-cell grid deterministically from the payload bytes
     (same chunked-mean pseudo-decode as MediaFeatureExtractor), so a
     few flipped payload bytes perturb a few cells — small edits land
@@ -266,14 +363,18 @@ class MediaPHashKernel:
     """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake",):
+        if decoder not in ("fake", "bmp"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
-                f"in this environment; use decoder='fake'"
+                f"in this environment; use decoder='fake' or 'bmp'"
             )
+        self.decoder = decoder
 
-    @staticmethod
-    def _grid(payload: bytes) -> np.ndarray:
+    def _grid(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "bmp":
+            from import_ray.stages.codecs import block_mean_grid, bmp_decode, luma
+
+            return block_mean_grid(luma(bmp_decode(payload)), 8, 8).ravel()
         arr = np.frombuffer(payload, np.uint8)
         pad = (-len(arr)) % 64
         if pad:
@@ -299,17 +400,20 @@ class MediaPHashKernel:
         )
 
 
-def media_phash(media_ds, concurrency: int = 2, batch_size: int = 64):
+def media_phash(media_ds, concurrency: int = 2, batch_size: int = 64,
+                decoder: str = "fake"):
     """(media_id, phash int64) via the actor-pool aHash kernel."""
     return media_ds.map_batches(
         MediaPHashKernel,
+        fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
 
-def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8):
+def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8,
+                        decoder: str = "fake"):
     """Near-duplicate media pairs by perceptual-hash Hamming distance —
     multi-index (banded) Hamming search: the 64-bit hash splits into
     ``bands`` equal slices; any pair within ``max_hamming ≤ bands-1``
@@ -331,7 +435,7 @@ def phash_neardup_pairs(media_ds, max_hamming: int = 7, bands: int = 8):
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
-    hashes = media_phash(media_ds)
+    hashes = media_phash(media_ds, decoder=decoder)
     ensure_hash_shuffle(hashes)
     n = data_nparts(hashes)
 

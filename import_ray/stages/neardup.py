@@ -354,17 +354,23 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
     Only nodes that appear in at least one pair carry a label row —
     singletons never enter the shuffle and default to self downstream.
     Each round: label(v) ← min(label(v), min label(u) over neighbors u),
-    computed as edges⋈labels + groupby-min, followed (``shortcut=True``)
-    by one pointer-jumping pass label(v) ← label(label(v)) — a single
+    computed as edges⋈labels + groupby-min. From round
+    ``_SHORTCUT_AFTER`` on (``shortcut=True``) each round also runs one
+    pointer-jumping pass label(v) ← label(label(v)) — a single
     labels⋈labels join on the (node-bounded, not edge-bounded) label
-    table that halves the remaining chain depth, so rounds grow with
+    table that doubles the remaining reach, so rounds grow with
     log(diameter) instead of diameter (Shiloach-Vishkin shortcutting).
-    Labels only ever decrease and every label is a node id inside the
-    same component, so the fixpoint — the component minimum — is
-    IDENTICAL with or without shortcutting (pytest-gated byte-equal);
-    convergence is detected by the label-sum invariant (strictly
-    decreasing until fixpoint). The labels dataset is bounded by the
-    number of non-singleton docs, NOT the corpus.
+    Shallow graphs (LSH clusters, typical sameAs graphs) converge
+    before the shortcut engages and never pay the extra join's fixed
+    exchange cost; deep chains get the log behavior. Labels only ever
+    decrease and every label is a node id inside the same component,
+    so the fixpoint — the component minimum — is IDENTICAL with or
+    without shortcutting (pytest-gated byte-equal); convergence is
+    detected by the label-sum invariant (strictly decreasing until
+    fixpoint). The labels dataset is bounded by the number of
+    non-singleton docs, NOT the corpus; per-round exchanges are sized
+    to the EDGE table, not the cluster, so small graphs don't pay
+    full-width aggregator-pool spin-up every round.
 
     Returns a Dataset (node:int64, label:int64).
     """
@@ -408,7 +414,12 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
         join_safe(pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
         .materialize()
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    # per-round exchange width sized to the DATA: every round pays
+    # aggregator-pool spin-up ∝ partitions, and label/edge rows are
+    # 16 B — full cluster width on a small graph is pure fixed cost
+    nparts = min(npartitions(), max(2, int(n_edges // 1_000_000) + 1))
+    if n_edges == 0:
         import ray.data
 
         return ray.data.from_arrow(
@@ -417,7 +428,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
 
     # round 0: label(v) = min(v, min neighbor)
     labels = join_safe(
-        edges.groupby("node", num_partitions=npartitions())
+        edges.groupby("node", num_partitions=nparts)
         .aggregate(Min("nbr", alias_name="label"))
         .map_batches(
             lambda b: pa.table(
@@ -440,7 +451,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
             lab.join(
                 lab,
                 join_type="left_outer",
-                num_partitions=npartitions(),
+                num_partitions=nparts,
                 on=("label",),
                 right_on=("node",),
                 right_suffix="_r",
@@ -456,21 +467,22 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
         )
         return join_safe(out)
 
-    for _ in range(max_rounds):
+    _SHORTCUT_AFTER = 3  # shallow graphs converge before paying the jump join
+    for _round in range(max_rounds):
         nbr_labels = edges.join(
             labels,
             join_type="inner",
-            num_partitions=npartitions(),
+            num_partitions=nparts,
             on=("nbr",),
             right_on=("node",),
             right_suffix="_r",
         ).select_columns(["node", "label"])
         labels = join_safe(
             labels.union(nbr_labels)
-            .groupby("node", num_partitions=npartitions())
+            .groupby("node", num_partitions=nparts)
             .aggregate(Min("label", alias_name="label"))
         )
-        if shortcut:
+        if shortcut and _round >= _SHORTCUT_AFTER:
             labels = jump(labels)
         labels = labels.materialize()
         cur_sum = label_checksum(labels)

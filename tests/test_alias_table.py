@@ -107,3 +107,64 @@ def test_link_mentions_prior_disambiguation(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out.astype({"n_links": "int64"}), want)
+
+
+def test_ngram_linker_byte_equal_10k_gazetteer(ray_session, tmp_path):
+    """The hashed n-gram open-vocabulary linker (the Aho-Corasick-shaped
+    large-gazetteer path, built once per actor in __init__) produces
+    byte-identical links to the alternation-regex path on a 10k-alias
+    gazetteer with no nested/substring aliases."""
+    import pandas as pd
+
+    from import_ray.stages.alias import link_mentions
+
+    rng = np.random.default_rng(23)
+    n_alias = 10_000
+    aliases = [f"Ent{i:05d} Name{i % 97}" for i in range(n_alias)]
+    # alias table: each alias maps to one entity with some prior
+    alias_tbl = pa.table(
+        {
+            "entity_id": pa.array(
+                [f"geoId/{i}" for i in range(n_alias)], pa.large_string()
+            ),
+            "alias": pa.array(aliases, pa.large_string()),
+            "n_mentions": pa.array(
+                rng.integers(1, 50, n_alias).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+    # corpus: rows mentioning a few random aliases each (inside punctuation)
+    rows = []
+    for r in range(400):
+        picks = rng.integers(0, n_alias, 3)
+        rows.append(
+            "saw (%s) then %s, finally [%s]!"
+            % tuple(aliases[int(p)] for p in picks)
+        )
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(rows))], pa.string()),
+            "turn_idx": pa.array(np.zeros(len(rows), np.int32), pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(rows, pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array(
+                np.full(len(rows), np.datetime64("2025-01-01", "us")),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    path = str(tmp_path / "tx.parquet")
+    pq.write_table(t, path)
+    import ray.data
+
+    ads = ray.data.from_arrow(alias_tbl)
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["alias", "entity_id"]).reset_index(drop=True)
+        return df
+
+    got_ng = norm(link_mentions(path, ads, matcher="ngram"))
+    got_re = norm(link_mentions(path, ray.data.from_arrow(alias_tbl), matcher="regex"))
+    pd.testing.assert_frame_equal(got_ng, got_re)
+    assert len(got_ng) > 0 and got_ng["n_links"].sum() == 1200

@@ -802,3 +802,31 @@ def test_shortcut_labels_byte_equal_deep_chain(ray_session):
     b = sorted((r["node"], r["label"]) for r in without)
     assert a == b
     assert all(lab == 100 for node, lab in a if 100 <= node < 100 + n)
+
+
+def test_cc_driver_vs_distributed_byte_equal(ray_session):
+    """Hybrid connected_components: the bounded driver union-find and
+    the distributed propagation produce identical labels."""
+    import numpy as np
+    import ray.data
+
+    from import_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(17)
+    # random forest-ish graph + a 12-chain + triangle
+    lo = rng.integers(0, 300, 220).tolist() + list(range(900, 911)) + [50, 51, 50]
+    hi = rng.integers(0, 300, 220).tolist() + list(range(901, 912)) + [51, 52, 52]
+    keep = [(a, b) for a, b in zip(lo, hi) if a != b]
+    edges = pa.table(
+        {
+            "doc_lo": pa.array([a for a, _ in keep], pa.int64()),
+            "doc_hi": pa.array([b for _, b in keep], pa.int64()),
+        }
+    )
+    d = connected_components(ray.data.from_arrow(edges)).take_all()
+    p = connected_components(
+        ray.data.from_arrow(edges), max_driver_pairs=0
+    ).take_all()
+    assert sorted((r["node"], r["label"]) for r in d) == sorted(
+        (r["node"], r["label"]) for r in p
+    )
