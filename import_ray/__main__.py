@@ -118,6 +118,37 @@ def cmd_corpus_job(args) -> int:
     return 0
 
 
+def cmd_graph_job(args) -> int:
+    """Graph analysis over canonical triples with per-stage lineage
+    checkpoints (edges → components → optional pagerank)."""
+    from import_ray.pipelines.graph_job import run_graph_job
+
+    summary = run_graph_job(
+        args.input,
+        args.output_dir,
+        max_object_degree=args.max_object_degree,
+        pagerank=args.pagerank,
+        pagerank_iterations=args.pagerank_iterations,
+    )
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+def cmd_similarity_job(args) -> int:
+    """Embedding near-dup pairs + cluster labels with per-stage lineage
+    checkpoints."""
+    from import_ray.pipelines.graph_job import run_similarity_job
+
+    summary = run_similarity_job(
+        args.input,
+        args.output_dir,
+        threshold=args.threshold,
+        bands=args.bands,
+    )
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="import_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +203,27 @@ def main(argv=None) -> int:
     corp.add_argument("--shard-size", type=int, default=4)
     corp.add_argument("--n-buckets", type=int, default=16)
     corp.set_defaults(fn=cmd_corpus_job)
+
+    gj = sub.add_parser(
+        "graph-job",
+        help="triples → entity edges/components/pagerank, stage-checkpointed",
+    )
+    gj.add_argument("--input", required=True, help="triples parquet file or dir")
+    gj.add_argument("--output-dir", default="/tmp/import_ray_graph")
+    gj.add_argument("--max-object-degree", type=int, default=None)
+    gj.add_argument("--pagerank", action="store_true")
+    gj.add_argument("--pagerank-iterations", type=int, default=10)
+    gj.set_defaults(fn=cmd_graph_job)
+
+    sj = sub.add_parser(
+        "similarity-job",
+        help="embeddings → near-dup pairs + clusters, stage-checkpointed",
+    )
+    sj.add_argument("--input", required=True, help="embeddings parquet file or dir")
+    sj.add_argument("--output-dir", default="/tmp/import_ray_similarity")
+    sj.add_argument("--threshold", type=float, default=0.95)
+    sj.add_argument("--bands", type=int, default=16)
+    sj.set_defaults(fn=cmd_similarity_job)
 
     args = p.parse_args(argv)
     ray = _init_ray()
