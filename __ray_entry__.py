@@ -1047,6 +1047,45 @@ def _media_phash_pairs(sf_dir: str):
     return phash_neardup_pairs(ray.data.from_arrow(media), max_hamming=7, bands=8)
 
 
+def _media_bmp_features(sf_dir: str):
+    """REAL-codec media features (rows-only: binary payloads aren't
+    SQL-expressible): pure-numpy BMP/WAV decode (stages/codecs.py) →
+    luma-grid / band-energy features; decode correctness is pinned by
+    roundtrip + planted-pixel tests in test_codecs.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        extract_media_features,
+        synthesize_real_media,
+    )
+
+    tbl = synthesize_real_media(n=96, seed=9)
+    images = tbl.filter(pa.compute.equal(tbl["media_type"], pa.scalar("image")))
+    return extract_media_features(
+        ray.data.from_arrow(images), decoder="bmp"
+    ).select_columns(["media_id", "media_type", "payload_bytes"])
+
+
+def _media_bmp_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-dup pairs over REAL decoded BMP pixels
+    (decoder='bmp'): planted few-pixel perturbations land at small
+    Hamming; recall pinned in test_codecs.py (rows-only check)."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        phash_neardup_pairs,
+        synthesize_real_media,
+    )
+
+    tbl = synthesize_real_media(n=192, seed=9)
+    images = tbl.filter(pa.compute.equal(tbl["media_type"], pa.scalar("image")))
+    return phash_neardup_pairs(
+        ray.data.from_arrow(images), max_hamming=7, bands=8, decoder="bmp"
+    )
+
+
 def _knn_int8(sf_dir: str):
     """int8-quantized cosine top-k (4× smaller corpus-side memory
     traffic; recall vs exact pytest-gated in test_similarity.py)."""
@@ -4125,6 +4164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_next_topk_docs": _bigram_next_topk,
         "link_mentions_planted": _link_mentions_planted,
         "media_phash_pairs": _media_phash_pairs,
+        "media_bmp_features": _media_bmp_features,
+        "media_bmp_phash_pairs": _media_bmp_phash_pairs,
     }
 
 

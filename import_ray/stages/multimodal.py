@@ -23,6 +23,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-top import: kernel classes ship to workers pickled by value,
+# and lazy in-method imports cannot resolve there (driver cwd != repo)
+from import_ray.stages.codecs import (
+    block_mean_grid,
+    bmp_decode,
+    bmp_encode,
+    luma,
+    wav_band_energies,
+    wav_decode,
+    wav_encode,
+)
+
 logger = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = pa.schema(
@@ -64,8 +76,6 @@ def synthesize_real_media(
     ``dup_every``-th image is the previous image with ``flip_pixels``
     pixels perturbed (small aHash Hamming distance), so banded Hamming
     search has ground truth to find."""
-    from import_ray.stages.codecs import bmp_encode, wav_encode
-
     rng = np.random.default_rng(seed)
     payloads, types = [], []
     prev_img = None
@@ -166,14 +176,6 @@ class MediaFeatureExtractor:
         return sums.reshape(n, fd) / chunk[:, None] / 255.0
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        from import_ray.stages.codecs import (
-            block_mean_grid,
-            bmp_decode,
-            luma,
-            wav_band_energies,
-            wav_decode,
-        )
-
         if self.decoder == "bmp":
             g = int(np.ceil(np.sqrt(self.feature_dim)))
             grid = block_mean_grid(luma(bmp_decode(payload)), g, g) / 255.0
@@ -253,8 +255,6 @@ class MediaResizeKernel:
         # vectorized nearest-neighbor index grids per image
         for p, w, h in zip(payloads, widths, heights):
             if self.decoder == "bmp":
-                from import_ray.stages.codecs import bmp_decode, bmp_encode
-
                 img = bmp_decode(p)
                 ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
                 xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.intp)
@@ -372,8 +372,6 @@ class MediaPHashKernel:
 
     def _grid(self, payload: bytes) -> np.ndarray:
         if self.decoder == "bmp":
-            from import_ray.stages.codecs import block_mean_grid, bmp_decode, luma
-
             return block_mean_grid(luma(bmp_decode(payload)), 8, 8).ravel()
         arr = np.frombuffer(payload, np.uint8)
         pad = (-len(arr)) % 64
