@@ -2,12 +2,18 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata;
 decode / feature-extraction stages are actor-pool ``map_batches``
-kernels. The actual codecs (PIL/ffmpeg/etc.) are NOT available in this
-environment, so the decode step is STUBBED: ``decoder="fake"`` produces
-deterministic pseudo-features from the payload bytes (so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is
-real and tested), while ``decoder="pil"`` raises NotImplementedError
-until the dependency exists.
+kernels. Decoder tiers:
+
+- ``decoder="bmp"`` / ``"wav"`` — REAL decode end-to-end via the
+  pure-numpy codecs in ``stages/codecs.py`` (uncompressed BMP, PCM
+  WAV): real pixels → luma-grid features / aHash / resize, real
+  samples → band-energy features.
+- ``decoder="fake"`` — deterministic pseudo-features from the payload
+  bytes (vectorized whole-batch path) for plumbing tests and formats
+  whose codecs (PIL/ffmpeg) aren't in this environment.
+- ``decoder="pil"`` etc. raise NotImplementedError until the
+  dependency exists; the Ray-side contract (schema, batch sizing,
+  actor signature, output layout) is identical across tiers.
 
 Scale notes: large payloads need small ``batch_size`` (payload bytes ×
 batch_size × concurrency must fit the worker heap) and
