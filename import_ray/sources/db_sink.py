@@ -412,3 +412,161 @@ def write_main_dc_output(
         csv_paths.append(out_path)
     paths["observation_csvs"] = csv_paths
     return paths
+
+
+# --- blue-green transfer (simple/stats/db_transfer.py:26-103,
+#     db.py:732-816 BulkImportContext, db.py:200-217 indexes,
+#     db.py:1050-1070 blue-green config) --------------------------------------
+
+_TRANSFER_BATCH_SIZE = 1_000_000  # db_transfer.py:23
+
+# (index_name, table, columns) — db.py:202-217
+_DB_INDEXES = [
+    ("observations_entity_variable", "observations", ["entity", "variable"]),
+    ("triples_subject_id", "triples", ["subject_id"]),
+    ("triples_subject_id_predicate", "triples", ["subject_id", "predicate"]),
+    ("observations_variable", "observations", ["variable"]),
+]
+
+
+class BulkImportContext:
+    """Transaction-safe bulk import into a serving DB connection
+    (BulkImportContext, db.py:732-816): on enter — begin transaction,
+    drop indexes, clear data tables (import history kept); on clean
+    exit — commit then recreate indexes; on error — roll back, leaving
+    the serving DB untouched (the blue-green guarantee)."""
+
+    def __init__(self, conn: "sqlite3.Connection"):
+        self._conn = conn
+        self._obs_count = 0
+        self._triple_count = 0
+        self._kv_count = 0
+
+    def __enter__(self):
+        for name, _, _ in _DB_INDEXES:
+            self._conn.execute(f"drop index if exists {name}")
+        for stmt in _CLEAR_STATEMENTS:
+            self._conn.execute(stmt)
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        if exc_type is None:
+            self._conn.commit()
+            for name, table, cols in _DB_INDEXES:
+                self._conn.execute(
+                    f"create index if not exists {name} on {table} ({', '.join(cols)})"
+                )
+            self._conn.commit()
+        else:
+            self._conn.rollback()
+        return False
+
+    def insert_observations(self, rows: list[tuple]) -> int:
+        if rows:
+            self._conn.executemany(
+                "insert into observations values(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                rows,
+            )
+            self._obs_count += len(rows)
+        return len(rows)
+
+    def insert_triples(self, rows: list[tuple]) -> int:
+        if rows:
+            self._conn.executemany("insert into triples values(?, ?, ?, ?)", rows)
+            self._triple_count += len(rows)
+        return len(rows)
+
+    def insert_kv(self, rows: list[tuple]) -> int:
+        if rows:
+            self._conn.executemany(
+                "insert into key_value_store values(?, ?)", rows
+            )
+            self._kv_count += len(rows)
+        return len(rows)
+
+    def get_counts(self) -> dict:
+        return {
+            "observations": self._obs_count,
+            "triples": self._triple_count,
+            "key_value_store": self._kv_count,
+        }
+
+    def validate(
+        self,
+        expected_obs: int | None = None,
+        expected_triples: int | None = None,
+        expected_kv: int | None = None,
+    ) -> bool:
+        """Count validation before commit (db.py:796-815)."""
+        if expected_obs is not None and self._obs_count != expected_obs:
+            raise RuntimeError(
+                f"Observation count mismatch: expected {expected_obs:,}, "
+                f"got {self._obs_count:,}"
+            )
+        if expected_triples is not None and self._triple_count != expected_triples:
+            raise RuntimeError(
+                f"Triple count mismatch: expected {expected_triples:,}, "
+                f"got {self._triple_count:,}"
+            )
+        if expected_kv is not None and self._kv_count != expected_kv:
+            raise RuntimeError(
+                f"Key-value count mismatch: expected {expected_kv:,}, "
+                f"got {self._kv_count:,}"
+            )
+        return True
+
+
+def transfer_db(
+    build_db_path: str,
+    serving_db_path: str,
+    expected_obs: int | None = None,
+    expected_triples: int | None = None,
+    expected_kv: int | None = None,
+) -> dict:
+    """Blue-green DB transfer (db_transfer.py:26-103): copy a locally
+    built sqlite artifact into the SERVING database inside one
+    transaction — batched reads, count validation BEFORE commit,
+    rollback on any failure so readers never observe a partial import.
+    The sandbox serving target is another sqlite file standing in for
+    the reference's Cloud SQL engine; the protocol (drop indexes →
+    clear → batched insert → validate → commit → recreate indexes) is
+    identical."""
+    if not os.path.exists(build_db_path):
+        raise FileNotFoundError(f"SQLite database not found: {build_db_path}")
+
+    src = sqlite3.connect(build_db_path)
+    dst = sqlite3.connect(serving_db_path)
+    try:
+        for stmt in _INIT_STATEMENTS:
+            dst.execute(stmt)
+        cur = src.cursor()
+        with BulkImportContext(dst) as ctx:
+            cur.execute("SELECT * FROM observations")
+            while batch := cur.fetchmany(_TRANSFER_BATCH_SIZE):
+                ctx.insert_observations(batch)
+            cur.execute("SELECT * FROM triples")
+            while batch := cur.fetchmany(_TRANSFER_BATCH_SIZE):
+                ctx.insert_triples(batch)
+            cur.execute("SELECT * FROM key_value_store")
+            while batch := cur.fetchmany(_TRANSFER_BATCH_SIZE):
+                ctx.insert_kv(batch)
+            ctx.validate(expected_obs, expected_triples, expected_kv)
+        return ctx.get_counts()
+    finally:
+        src.close()
+        dst.close()
+
+
+def get_blue_green_config_from_env() -> dict:
+    """Blue-green config from env (db.py:1050-1070): disabled unless
+    ENABLE_BLUE_GREEN_IMPORT=true; LOCAL_BUILD_SQLITE_PATH names the
+    local build artifact."""
+    enabled = os.getenv("ENABLE_BLUE_GREEN_IMPORT", "false").lower() == "true"
+    if not enabled:
+        return {"enabled": False}
+    return {
+        "enabled": True,
+        "local_sqlite_path": os.getenv(
+            "LOCAL_BUILD_SQLITE_PATH", "/tmp/datacommons_build.db"
+        ),
+    }

@@ -287,3 +287,65 @@ def test_dcpbridge_mode_jsonld_export(ray_session, tmp_path):
     assert "StatisticalVariable" in by_id["var1"]["@type"]
     # ref-valued predicates carry @id, text-valued carry @value
     assert {"@value": "Variable1 Name"} in by_id["var1"]["name"]
+
+
+def test_blue_green_transfer_and_rollback(tmp_path):
+    """transfer_db: full copy with count validation; a validation
+    failure rolls back leaving the serving DB's previous content
+    intact (the blue-green guarantee)."""
+    import sqlite3
+
+    from import_ray.sources.db_sink import (
+        _INIT_STATEMENTS,
+        get_blue_green_config_from_env,
+        transfer_db,
+    )
+
+    build = str(tmp_path / "build.db")
+    serving = str(tmp_path / "serving.db")
+    conn = sqlite3.connect(build)
+    for stmt in _INIT_STATEMENTS:
+        conn.execute(stmt)
+    conn.executemany(
+        "insert into triples values(?, ?, ?, ?)",
+        [("s1", "typeOf", "City", ""), ("s2", "name", "", "Austin")],
+    )
+    conn.executemany(
+        "insert into observations values(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+        [("geoId/06", "Count_Person", "2020", "39", "p", "", "", "", "", "")],
+    )
+    conn.execute("insert into key_value_store values(?, ?)", ("k", "v"))
+    conn.commit()
+    conn.close()
+
+    counts = transfer_db(build, serving, expected_obs=1, expected_triples=2,
+                         expected_kv=1)
+    assert counts == {"observations": 1, "triples": 2, "key_value_store": 1}
+    sv = sqlite3.connect(serving)
+    assert sv.execute("select count(*) from triples").fetchone()[0] == 2
+    # indexes recreated after commit
+    names = {r[0] for r in sv.execute(
+        "select name from sqlite_master where type='index'")}
+    assert "triples_subject_id" in names and "observations_variable" in names
+    sv.close()
+
+    # failed validation: serving keeps its previous (good) content
+    import pytest
+
+    with pytest.raises(RuntimeError, match="Triple count mismatch"):
+        transfer_db(build, serving, expected_triples=99)
+    sv = sqlite3.connect(serving)
+    assert sv.execute("select count(*) from triples").fetchone()[0] == 2
+    assert sv.execute("select count(*) from key_value_store").fetchone()[0] == 1
+    sv.close()
+
+    # env config gate (db.py:1050-1070)
+    import os
+
+    assert get_blue_green_config_from_env() == {"enabled": False}
+    os.environ["ENABLE_BLUE_GREEN_IMPORT"] = "true"
+    try:
+        cfg = get_blue_green_config_from_env()
+        assert cfg["enabled"] and cfg["local_sqlite_path"]
+    finally:
+        del os.environ["ENABLE_BLUE_GREEN_IMPORT"]
