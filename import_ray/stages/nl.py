@@ -22,6 +22,7 @@ import json
 import logging
 import os
 
+import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)
@@ -174,3 +175,93 @@ def _yaml_dump(obj, indent: int = 0) -> str:
 
     _walk(obj, indent)
     return "\n".join(lines) + "\n"
+
+
+# --- offline embedding generation (stand-in for the NL server's model) -------
+
+EMBED_DIM = 384  # the published custom-DC embedding width
+
+
+class HashedNgramEmbedder:
+    """Deterministic LOCAL sentence embedder: hashed character-3/4-gram
+    bag projected onto ``dim`` signed buckets, L2-normalized — the
+    fastText-hashing construction, built from public techniques only.
+
+    The reference flow leaves ``embeddings.csv`` to the NL server's
+    remote model (simple/stats/nl.py declares the path in the catalog;
+    no vectors are computed in-repo). This stage POPULATES the file
+    offline with the same artifact shape (``dcid,sentence,v0..v{d-1}``)
+    so the end-to-end pipeline runs without network; a deployment with
+    the real model swaps the embedder class, nothing else.
+
+    Usable as an actor-pool map_batches kernel: the projection seeds
+    are fixed in ``__init__`` (once per actor), per batch the gram
+    hashing/bucketing is vectorized numpy.
+    """
+
+    def __init__(self, dim: int = EMBED_DIM, seed: int = 1315423911):
+        self.dim = int(dim)
+        self.seed = np.uint64(seed)
+
+    def _grams(self, s: str) -> np.ndarray:
+        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), np.uint8)
+        if len(b) < 3:
+            b = np.pad(b, (0, 3 - len(b)), constant_values=32)
+        out = []
+        for n in (3, 4):
+            if len(b) < n:
+                continue
+            w = b[: len(b) - n + 1].astype(np.uint64)
+            for k in range(1, n):
+                w = w * np.uint64(0x100000001B3) + b[k : len(b) - n + 1 + k]
+            out.append(w)
+        return np.concatenate(out) if out else np.zeros(0, np.uint64)
+
+    def embed(self, sentences) -> np.ndarray:
+        vecs = np.zeros((len(sentences), self.dim), np.float64)
+        for i, s in enumerate(sentences):
+            g = self._grams(str(s))
+            if not len(g):
+                continue
+            h = (g ^ self.seed) * np.uint64(0x9E3779B97F4A7C15)
+            bucket = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
+            np.add.at(vecs[i], bucket, sign)
+            nrm = np.linalg.norm(vecs[i])
+            if nrm > 0:
+                vecs[i] /= nrm
+        return vecs
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        sents = batch["sentence"].to_pylist()
+        vecs = self.embed(sents).astype(np.float32)
+        return pa.table(
+            {
+                "dcid": batch["dcid"],
+                "sentence": batch["sentence"],
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def generate_embeddings(
+    sentences_df: pd.DataFrame, nl_dir: str, dim: int = EMBED_DIM
+) -> str:
+    """Populate ``<nl_dir>/embeddings/embeddings.csv`` from the
+    sentences table (``dcid,sentence,v0..v{dim-1}`` rows) with the
+    offline hashed-ngram embedder. Returns the written path."""
+    emb = HashedNgramEmbedder(dim=dim)
+    vecs = emb.embed(sentences_df["sentence"].tolist())
+    out = pd.DataFrame(
+        np.round(vecs, 6), columns=[f"v{i}" for i in range(dim)]
+    )
+    out.insert(0, "sentence", sentences_df["sentence"].to_numpy())
+    out.insert(0, "dcid", sentences_df["dcid"].to_numpy())
+    path = os.path.join(nl_dir, EMBEDDINGS_DIR, EMBEDDINGS_FILE)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    out.to_csv(path, index=False)
+    return path

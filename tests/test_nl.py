@@ -67,3 +67,38 @@ def test_nl_golden(tmp_path, case, with_topic_cache):
             open(f"{DATA}/expected/{case}/custom_dc_topic_cache.json")
         )
         assert got_cache == want_cache
+
+
+def test_offline_embeddings_artifact(tmp_path):
+    """generate_embeddings: populated embeddings.csv with the published
+    artifact shape (dcid,sentence,v0..v{d-1}), unit-norm deterministic
+    vectors; similar sentences land closer than dissimilar ones."""
+    import numpy as np
+    import pandas as pd
+
+    from import_ray.stages.nl import HashedNgramEmbedder, generate_embeddings
+
+    df = pd.DataFrame(
+        {
+            "dcid": ["sv/a", "sv/b", "sv/c"],
+            "sentence": [
+                "population of the city",
+                "city population count",
+                "annual rainfall in millimeters",
+            ],
+        }
+    )
+    path = generate_embeddings(df, str(tmp_path), dim=64)
+    out = pd.read_csv(path)
+    assert list(out.columns) == ["dcid", "sentence"] + [f"v{i}" for i in range(64)]
+    vecs = out[[f"v{i}" for i in range(64)]].to_numpy()
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-4)
+    # determinism
+    e = HashedNgramEmbedder(dim=64)
+    np.testing.assert_allclose(
+        e.embed(df["sentence"].tolist()), e.embed(df["sentence"].tolist())
+    )
+    # topical similarity: shared-vocabulary pair beats the unrelated pair
+    sim_ab = float(vecs[0] @ vecs[1])
+    sim_ac = float(vecs[0] @ vecs[2])
+    assert sim_ab > sim_ac
