@@ -3819,6 +3819,17 @@ def _link_mentions_planted(sf_dir: str):
     return link_mentions(path, alias_table(path))
 
 
+def _link_mentions_ngram_planted(sf_dir: str):
+    """The large-gazetteer hashed token-n-gram linker forced on the
+    same planted fixture — single-token non-nested aliases, so its
+    word-boundary all-occurrence semantics coincide with the regex
+    path and the SAME SQL oracle hash-checks it."""
+    from import_ray.stages.alias import alias_table, link_mentions
+
+    path = _link_fixture(sf_dir)
+    return link_mentions(path, alias_table(path), matcher="ngram")
+
+
 LINK_MENTIONS_PLANTED_SQL = """
 WITH m AS (
   SELECT o_orderkey % 5 AS a,
@@ -4163,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sameas_canonical_planted": _sameas_canonical_planted,
         "bigram_next_topk_docs": _bigram_next_topk,
         "link_mentions_planted": _link_mentions_planted,
+        "link_mentions_ngram_planted": _link_mentions_ngram_planted,
         "media_phash_pairs": _media_phash_pairs,
         "media_bmp_features": _media_bmp_features,
         "media_bmp_phash_pairs": _media_bmp_phash_pairs,
@@ -4360,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_types_planted": RDFS_TYPES_PLANTED_SQL,
         "sameas_canonical_planted": SAMEAS_CANONICAL_PLANTED_SQL,
         "link_mentions_planted": LINK_MENTIONS_PLANTED_SQL,
+        "link_mentions_ngram_planted": LINK_MENTIONS_PLANTED_SQL,
         "kg_snapshot_planted": KG_SNAPSHOT_PLANTED_SQL,
         "kg_diff_planted": KG_DIFF_PLANTED_SQL,
         "kg_predicate_counts_planted": KG_PRED_COUNTS_PLANTED_SQL,
