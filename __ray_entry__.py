@@ -3405,6 +3405,25 @@ def _hll_distinct_users(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id")
 
 
+def _cms_heavy_hitter_users(sf_dir: str):
+    """EXACT heavy-hitter users (count ≥ 75) via count-min-sketch
+    candidate pruning (stages/sketch.cms_heavy_hitters): fixed-size
+    sketch partials fold; only candidate (key, block-partial) rows
+    ever shuffle — the full key set never enters an exchange."""
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.sketch import cms_heavy_hitters
+
+    configure_data_context()
+    ds = _read_table(sf_dir, "events", ["user_id"])
+    return cms_heavy_hitters(ds, "user_id", threshold=75)
+
+
+CMS_HEAVY_HITTERS_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+FROM events GROUP BY 1 HAVING COUNT(*) >= 75
+"""
+
+
 def _top_tokens_docs(sf_dir: str):
     """Exact corpus-wide top-20 tokens (heavy hitters)."""
     import ray.data
@@ -4037,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_exact": _corpus_clean_exact,
         "corpus_clean": _corpus_clean,
         "hll_distinct_users": _hll_distinct_users,
+        "cms_heavy_hitter_users": _cms_heavy_hitter_users,
         "dedup_exact_docs": _dedup_exact_docs,
         "segment_dedup_docs": _segment_dedup_docs,
         "badword_filter_docs": _badword_filter_docs,
@@ -4219,6 +4239,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_counts": R.SLIDING_SQL,
         "price_percentiles_by_flag": R.PERCENTILE_SQL,
         "distinct_users_by_type": R.DISTINCT_USERS_SQL,
+        "cms_heavy_hitter_users": CMS_HEAVY_HITTERS_SQL,
         "lineitem_rollup": R.ROLLUP_SQL,
         "repeat_customers_1995_1996": R.INTERSECT_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,

@@ -114,3 +114,144 @@ def hll_distinct(ds, group_col: str, key_col: str, p: int = 12):
             merge, batch_format="pandas"
         )
     )
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1 << 14
+# splitmix64-style odd multipliers per row
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD, 0x94D049BB133111EB],
+    np.uint64,
+)
+_CMS_B = np.array(
+    [0xD6E8FEB86659FD93, 0xA5CB9243F0C1B2D5, 0xE6546B64C2B2AE35, 0x589965CC75374CC3],
+    np.uint64,
+)
+
+
+def _cms_rows(kh: np.ndarray) -> np.ndarray:
+    """(depth, n) bucket indices for uint64 key hashes."""
+    idx = np.empty((_CMS_DEPTH, len(kh)), np.int64)
+    for d in range(_CMS_DEPTH):
+        h = kh * _CMS_A[d] + _CMS_B[d]
+        h ^= h >> np.uint64(33)
+        idx[d] = (h % np.uint64(_CMS_WIDTH)).astype(np.int64)
+    return idx
+
+
+def cms_heavy_hitters(ds, key_col: str, threshold: int):
+    """EXACT heavy hitters (key, n) with n ≥ ``threshold`` via a
+    count-min sketch candidate pass — the 100 TB shape for "which keys
+    exceed X occurrences" over high-cardinality columns:
+
+    1. per-block CMS partials: one fixed-size (depth×width int64)
+       matrix per block — the only structure that grows with NOTHING
+       (512 KB regardless of rows/keys); two-level fold merges them
+       (element-wise sum is associative+commutative);
+    2. the merged sketch broadcasts (``ray.put``) and a second pass
+       probes each block's DISTINCT keys: CMS estimates OVERCOUNT, so
+       every true heavy hitter survives (no false negatives) and the
+       candidate set is small (true heavies + collision noise);
+    3. exact per-key partial counts for CANDIDATE keys only → one
+       keyed exchange of (candidate × block) partial rows → exact sums
+       filtered at the threshold.
+
+    The full key set never shuffles; the exchange is bounded by
+    candidates × blocks. Exact output (SQL oracle: GROUP BY + HAVING).
+    """
+    import ray
+
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    nparts = data_nparts(ds)
+
+    def partial_sketch(b: pa.Table) -> pa.Table:
+        s = b[key_col].to_pandas()
+        kh = pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.uint64)
+        idx = _cms_rows(kh)
+        mat = np.zeros((_CMS_DEPTH, _CMS_WIDTH), np.int64)
+        for d in range(_CMS_DEPTH):
+            mat[d] = np.bincount(idx[d], minlength=_CMS_WIDTH)
+        return pa.table({"blob": pa.array([mat.tobytes()], pa.large_binary())})
+
+    def fold_sketch(b: pa.Table) -> pa.Table:
+        col = b["blob"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        acc = np.zeros(_CMS_DEPTH * _CMS_WIDTH, np.int64)
+        for i in range(len(col)):
+            acc += np.frombuffer(col[i].as_py(), np.int64)
+        return pa.table({"blob": pa.array([acc.tobytes()], pa.large_binary())})
+
+    sketch_parts = (
+        ds.map_batches(partial_sketch, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(fold_sketch, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    merged = np.zeros(_CMS_DEPTH * _CMS_WIDTH, np.int64)
+    for r in sketch_parts:
+        merged += np.frombuffer(r["blob"], np.int64)
+    merged = merged.reshape(_CMS_DEPTH, _CMS_WIDTH)
+    cms_ref = ray.put(merged)
+
+    class CandidateCounts:
+        """Per block: distinct keys → CMS estimate probe → exact local
+        counts for surviving candidates only."""
+
+        def __init__(self, ref, thr):
+            self.cms = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s = b[key_col].to_pandas()
+            vc = s.value_counts()
+            keys = vc.index.to_numpy(dtype=object)
+            local = vc.to_numpy().astype(np.int64)
+            if not len(keys):
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.large_string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            kh = pd.util.hash_array(keys).astype(np.uint64)
+            idx = _cms_rows(kh)
+            est = self.cms[0][idx[0]]
+            for d in range(1, _CMS_DEPTH):
+                est = np.minimum(est, self.cms[d][idx[d]])
+            keep = est >= self.thr
+            return pa.table(
+                {
+                    "key": pa.array([str(k) for k in keys[keep]], pa.large_string()),
+                    "n": pa.array(local[keep], pa.int64()),
+                }
+            )
+
+    cand = ds.map_batches(
+        CandidateCounts,
+        fn_constructor_args=(cms_ref, int(threshold)),
+        batch_format="pyarrow",
+        concurrency=(1, max(2, nparts)),
+    )
+
+    def exact_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0 or b.num_columns == 0:
+            return pa.table(
+                {"key": pa.array([], pa.large_string()), "n": pa.array([], pa.int64())}
+            )
+        df = b.to_pandas().groupby("key", sort=False, as_index=False)["n"].sum()
+        df = df[df["n"] >= int(threshold)]
+        return pa.table(
+            {
+                "key": pa.array(df["key"].to_numpy(dtype=object), pa.large_string()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cand.repartition(min(nparts, 8), keys=["key"]).map_batches(
+        exact_fold, batch_format="pyarrow", batch_size=None
+    )

@@ -73,3 +73,32 @@ def test_profile_orders_approx_within_hll_error(ray_session, sf_small):
         assert (exact[c] == approx[c]).all()
     rel = (approx["n_distinct"] - exact["n_distinct"]).abs() / exact["n_distinct"]
     assert (rel <= 0.05).all(), rel.to_dict()
+
+
+def test_cms_heavy_hitters_exact(ray_session):
+    """CMS candidate pass + exact verify == plain groupby/HAVING."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(6)
+    # 2000 light keys (1-3 occurrences) + 5 heavy keys
+    keys = [f"u{i}" for i in rng.integers(0, 2000, 4000)]
+    keys += ["h1"] * 50 + ["h2"] * 31 + ["h3"] * 30 + ["h4"] * 29 + ["h5"] * 100
+    rng.shuffle(keys)
+    t = pa.table({"user_id": pa.array(keys, pa.string())})
+    got = (
+        cms_heavy_hitters(ray.data.from_arrow(t), "user_id", threshold=30)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.Series(keys).value_counts().rename_axis("key").reset_index(name="n")
+    )
+    exp = exp[exp["n"] >= 30].sort_values("key").reset_index(drop=True)
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got[["key", "n"]], exp[["key", "n"]])
