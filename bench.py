@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "rdfs_types_planted",
     "sameas_canonical_planted",
     "bigram_next_topk_docs",
+    "cms_heavy_hitter_users",
 ]
 
 
