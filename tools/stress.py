@@ -128,7 +128,7 @@ def ensure_stress_embeddings(copies: int) -> str:
 
 def spill_bytes() -> int:
     total = 0
-    for d in glob.glob("/tmp/ray/session_*/logs/raylet.out"):
+    for d in glob.glob("/tmp/ray/**/session_*/logs/raylet.out", recursive=True):
         try:
             with open(d, "rb") as f:
                 for line in f:
