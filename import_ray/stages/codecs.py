@@ -180,3 +180,151 @@ def wav_band_energies(x: np.ndarray, n_bands: int) -> np.ndarray:
     # empty trailing bands (reduceat quirk) → 0
     e[edges[:-1] == edges[1:]] = 0.0
     return np.log1p(e)
+
+
+# --- PNG ---------------------------------------------------------------------
+#
+# zlib is stdlib, so PNG (the other ubiquitous lossless format) decodes
+# fully: chunk walk → IDAT inflate → per-row unfilter (the 5 standard
+# filters) → pixel array. 8-bit gray / gray+alpha / RGB / RGBA /
+# palette, the layouts that cover ~all tool-generated PNGs.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 as PNG (filter 0)."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        data = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+        data = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, channels = 6, 4
+        data = img
+    else:
+        raise ValueError(f"unsupported PNG shape {img.shape}")
+    h, w = img.shape[:2]
+    raw = np.zeros((h, 1 + w * channels), np.uint8)
+    raw[:, 1:] = data.reshape(h, w * channels)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters. The row loop is inherent (each row depends
+    on the previous); within a row the Sub/Paeth carry is a serial
+    prefix — vectorized per-pixel-column across the bpp channels."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), np.uint16)
+    prior = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            line = cur
+        elif ftype == 1:  # Sub
+            line = cur.copy()
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (cur + prior) & 0xFF
+        elif ftype == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(a) + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prior = line
+    return out.astype(np.uint8)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (H, W, 3) uint8 RGB
+    (alpha dropped, gray replicated, palette resolved)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = []
+    pal = None
+    w = h = None
+    color_type = None
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif typ == b"PLTE":
+            pal = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 3:
+        if pal is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(pal[px[:, :, 0]])
+    if color_type in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def image_decode(payload: bytes) -> np.ndarray:
+    """Magic-sniffing image decode (BMP or PNG) → (H, W, 3) uint8."""
+    if payload.startswith(_PNG_SIG):
+        return png_decode(payload)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    raise ValueError("unrecognized image payload (not BMP/PNG)")

@@ -35,7 +35,10 @@ from import_ray.stages.codecs import (
     block_mean_grid,
     bmp_decode,
     bmp_encode,
+    image_decode,
     luma,
+    png_decode,
+    png_encode,
     wav_band_energies,
     wav_decode,
     wav_encode,
@@ -137,7 +140,7 @@ class MediaFeatureExtractor:
     loads its codec/model.
     """
 
-    _DECODERS = ("fake", "bmp", "wav")
+    _DECODERS = ("fake", "bmp", "png", "image", "wav")
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 16):
         if decoder not in self._DECODERS:
@@ -182,9 +185,12 @@ class MediaFeatureExtractor:
         return sums.reshape(n, fd) / chunk[:, None] / 255.0
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        if self.decoder == "bmp":
+        if self.decoder in ("bmp", "png", "image"):
+            dec = {"bmp": bmp_decode, "png": png_decode}.get(
+                self.decoder, image_decode
+            )
             g = int(np.ceil(np.sqrt(self.feature_dim)))
-            grid = block_mean_grid(luma(bmp_decode(payload)), g, g) / 255.0
+            grid = block_mean_grid(luma(dec(payload)), g, g) / 255.0
             return grid.ravel()[: self.feature_dim]
         x, _rate = wav_decode(payload)
         e = wav_band_energies(x, self.feature_dim)
@@ -235,10 +241,10 @@ class MediaResizeKernel:
     actor init, batch sizing) is identical."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
-        if decoder not in ("fake", "bmp"):
+        if decoder not in ("fake", "bmp", "png", "image"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
-                f"in this environment; use decoder='fake' or 'bmp'"
+                f"in this environment; use 'fake', 'bmp', 'png' or 'image'"
             )
         self.decoder = decoder
         self.tw = int(target_w)
@@ -260,11 +266,16 @@ class MediaResizeKernel:
         out = []
         # vectorized nearest-neighbor index grids per image
         for p, w, h in zip(payloads, widths, heights):
-            if self.decoder == "bmp":
-                img = bmp_decode(p)
+            if self.decoder in ("bmp", "png", "image"):
+                img = (
+                    png_decode(p) if self.decoder == "png"
+                    else bmp_decode(p) if self.decoder == "bmp"
+                    else image_decode(p)
+                )
                 ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
                 xs = (np.arange(self.tw) * img.shape[1] // self.tw).astype(np.intp)
-                out.append(bmp_encode(img[np.ix_(ys, xs)]))
+                enc = png_encode if self.decoder == "png" else bmp_encode
+                out.append(enc(img[np.ix_(ys, xs)]))
                 continue
             img = self._decode_image(p, int(w), int(h))
             ys = (np.arange(self.th) * img.shape[0] // self.th).astype(np.intp)
@@ -369,16 +380,19 @@ class MediaPHashKernel:
     """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "bmp"):
+        if decoder not in ("fake", "bmp", "png", "image"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
-                f"in this environment; use decoder='fake' or 'bmp'"
+                f"in this environment; use 'fake', 'bmp', 'png' or 'image'"
             )
         self.decoder = decoder
 
     def _grid(self, payload: bytes) -> np.ndarray:
-        if self.decoder == "bmp":
-            return block_mean_grid(luma(bmp_decode(payload)), 8, 8).ravel()
+        if self.decoder in ("bmp", "png", "image"):
+            dec = {"bmp": bmp_decode, "png": png_decode}.get(
+                self.decoder, image_decode
+            )
+            return block_mean_grid(luma(dec(payload)), 8, 8).ravel()
         arr = np.frombuffer(payload, np.uint8)
         pad = (-len(arr)) % 64
         if pad:
