@@ -1309,15 +1309,21 @@ def ancestor_closure(edges_ds, max_depth: int = 32):
             }
         )
 
-    edges = edges_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "child": pc.cast(b["child"], pa.int64()),
-                "parent": pc.cast(b["parent"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # join_safe (not a bare materialize): edges is the RIGHT side of the
+    # per-round hash join, and a schema-less empty block there makes
+    # acero fail with "No match ... FieldRef.Name" (flaky: depends on
+    # upstream block splitting)
+    edges = join_safe(
+        edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "child": pc.cast(b["child"], pa.int64()),
+                    "parent": pc.cast(b["parent"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
     closure = edges.map_batches(base, batch_format="pyarrow").materialize()
     delta = closure
     for depth in range(2, int(max_depth) + 1):
@@ -1383,16 +1389,20 @@ def weighted_sssp(edges_ds, roots, max_rounds: int = 32):
     K = int(max_rounds) + 2
     root_arr = np.unique(np.asarray(list(roots), dtype=np.int64))
 
-    edges = edges_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "src": pc.cast(b["src"], pa.int64()),
-                "dst": pc.cast(b["dst"], pa.int64()),
-                "w": pc.cast(b["w"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # join_safe: same right-side schema-less-empty-block hazard as
+    # ancestor_closure above
+    edges = join_safe(
+        edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b["src"], pa.int64()),
+                    "dst": pc.cast(b["dst"], pa.int64()),
+                    "w": pc.cast(b["w"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
     def base(b: pa.Table) -> pa.Table:
         dst = b["dst"].to_numpy(zero_copy_only=False)
