@@ -3424,6 +3424,21 @@ FROM events GROUP BY 1 HAVING COUNT(*) >= 75
 """
 
 
+def _ddsketch_price_quantiles(sf_dir: str):
+    """Grouped price quantiles via the mergeable DDSketch log-bucket
+    sketch (rows-only: approximate by design — the ≤1% relative-error
+    guarantee is pytest-asserted in tests/test_sketch.py; the exact
+    twin is ``price_percentiles_by_flag``)."""
+    from import_ray.core.context import configure_data_context
+    from import_ray.stages.sketch import ddsketch_quantiles
+
+    configure_data_context()
+    ds = _read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return ddsketch_quantiles(
+        ds, "l_returnflag", "l_extendedprice", quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 def _top_tokens_docs(sf_dir: str):
     """Exact corpus-wide top-20 tokens (heavy hitters)."""
     import ray.data
@@ -4057,6 +4072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _corpus_clean,
         "hll_distinct_users": _hll_distinct_users,
         "cms_heavy_hitter_users": _cms_heavy_hitter_users,
+        "ddsketch_price_quantiles": _ddsketch_price_quantiles,
         "dedup_exact_docs": _dedup_exact_docs,
         "segment_dedup_docs": _segment_dedup_docs,
         "badword_filter_docs": _badword_filter_docs,

@@ -255,3 +255,115 @@ def cms_heavy_hitters(ds, key_col: str, threshold: int):
     return cand.repartition(min(nparts, 8), keys=["key"]).map_batches(
         exact_fold, batch_format="pyarrow", batch_size=None
     )
+
+
+# --- DDSketch grouped quantiles -----------------------------------------------
+
+
+_DD_OFS = 1 << 40  # separates positive/negative log-bucket key ranges
+
+
+def ddsketch_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    quantiles=(0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+):
+    """Grouped quantiles with a RELATIVE-error guarantee via DDSketch
+    (Masson, Rim & Lee, VLDB 2019): values map to log-spaced buckets
+    (γ = (1+α)/(1−α)), so any returned quantile q̂ satisfies
+    |q̂ − q| ≤ α·q.
+
+    The 100 TB shape for grouped percentiles on positive measures:
+    per-batch partials emit one (group, bucket_idx, count) row per
+    occupied bucket (buckets ∝ value RANGE in log scale — a few
+    hundred per group regardless of row count), the merge is a plain
+    keyed SUM, and the final per-group walk is over that bounded
+    bucket set. Compare ``price_percentiles_by_flag`` (exact
+    integer-domain histogram — the right tool when the domain is
+    bounded cents; DDSketch covers unbounded/continuous domains).
+
+    Zeros and negatives ride in a dedicated zero bucket / mirrored
+    negative buckets (idx offset encoding). Output: one row per
+    (group, quantile) — (group_col, q, value).
+    """
+    from import_ray.core.context import data_nparts, ensure_hash_shuffle
+
+    ensure_hash_shuffle(ds)
+    nparts = data_nparts(ds)
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = np.log(gamma)
+    qs = tuple(float(q) for q in quantiles)
+
+    def partials(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_pandas().to_numpy(dtype=object)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # bucket encoding with a value-ordered key: log buckets b =
+        # ceil(log_gamma |v|) can themselves be negative (|v| < 1), so
+        # positives encode as b + _DD_OFS, negatives as -b - _DD_OFS
+        # (monotone in the VALUE: big-|v| negatives sort first), zero
+        # as 0 — no collisions, and one sort restores value order
+        idx = np.zeros(len(v), np.int64)
+        pos = v > 0
+        neg = v < 0
+        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64) + _DD_OFS
+        idx[neg] = -np.ceil(np.log(-v[neg]) / log_gamma).astype(np.int64) - _DD_OFS
+        df = pd.DataFrame({"g": g, "i": idx})
+        out = df.groupby(["g", "i"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                group_col: pa.array(out["g"].to_numpy(dtype=object), pa.large_string()),
+                "bucket": pa.array(out["i"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if len(b) == 0 or b.num_columns == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.large_string()),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        df = (
+            b.to_pandas()
+            .groupby([group_col, "bucket"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+        out_g, out_q, out_v = [], [], []
+        for gname, grp in df.groupby(group_col, sort=False):
+            buckets = grp.sort_values("bucket")
+            idx = buckets["bucket"].to_numpy(np.int64)
+            cnt = buckets["n"].to_numpy(np.int64)
+            total = cnt.sum()
+            cum = np.cumsum(cnt)
+            for q in qs:
+                # rank of the q-quantile (nearest-rank definition)
+                rank = max(1, int(np.ceil(q * total)))
+                j = int(np.searchsorted(cum, rank))
+                i = int(idx[j])
+                if i == 0:
+                    val = 0.0
+                elif i > 0:
+                    val = 2.0 * gamma ** (i - _DD_OFS) / (gamma + 1.0)
+                else:
+                    val = -(2.0 * gamma ** (-(i + _DD_OFS)) / (gamma + 1.0))
+                out_g.append(gname)
+                out_q.append(q)
+                out_v.append(val)
+        return pa.table(
+            {
+                group_col: pa.array(out_g, pa.large_string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(min(nparts, 8), keys=[group_col])
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

@@ -102,3 +102,45 @@ def test_cms_heavy_hitters_exact(ray_session):
     exp = exp[exp["n"] >= 30].sort_values("key").reset_index(drop=True)
     exp["n"] = exp["n"].astype("int64")
     pd.testing.assert_frame_equal(got[["key", "n"]], exp[["key", "n"]])
+
+
+def test_ddsketch_grouped_quantiles_relative_error(ray_session):
+    """DDSketch grouped quantiles: every estimate within the alpha
+    relative-error guarantee of the exact nearest-rank quantile,
+    including sub-1.0, negative and zero values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(9)
+    rows_g, rows_v = [], []
+    data = {
+        "a": np.abs(rng.lognormal(3, 2, 20000)),
+        "b": rng.uniform(0.001, 0.9, 5000),  # sub-1.0 buckets
+        "c": np.concatenate([-np.abs(rng.normal(50, 20, 3000)), [0.0] * 100]),
+    }
+    for g, v in data.items():
+        rows_g += [g] * len(v)
+        rows_v += list(v)
+    t = pa.table(
+        {
+            "grp": pa.array(rows_g, pa.string()),
+            "val": pa.array(rows_v, pa.float64()),
+        }
+    )
+    alpha = 0.01
+    out = ddsketch_quantiles(
+        ray.data.from_arrow(t), "grp", "val", quantiles=(0.1, 0.5, 0.9, 0.99),
+        alpha=alpha,
+    ).take_all()
+    assert len(out) == 12
+    for r in out:
+        v = data[r["grp"]]
+        exact = np.sort(v)[max(1, int(np.ceil(r["q"] * len(v)))) - 1]
+        if exact == 0.0:
+            assert abs(r["value"]) < 1e-9
+        else:
+            rel = abs(r["value"] - exact) / abs(exact)
+            assert rel <= alpha + 1e-9, (r, exact, rel)
