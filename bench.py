@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sameas_canonical_planted",
     "bigram_next_topk_docs",
     "cms_heavy_hitter_users",
+    "ddsketch_price_quantiles",
 ]
 
 
