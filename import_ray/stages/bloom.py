@@ -104,9 +104,13 @@ def bloom_semi_join(big_ds, small_ds, on: str, num_partitions: int, m_bits: int 
             return batch
         return batch.filter(pa.array(_test_bits(w, _bit_positions(keys, m_bits, k))))
 
+    from import_ray.core.context import join_safe
+
     survivors = big_ds.map_batches(probe, batch_format="pyarrow")
+    # small_ds is caller-provided and may be aggregate-derived —
+    # schema-less empty blocks on a join's right side break acero
     return survivors.join(
-        small_ds,
+        join_safe(small_ds),
         join_type="left_semi",
         num_partitions=num_partitions,
         on=(on,),

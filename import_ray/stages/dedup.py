@@ -565,8 +565,12 @@ def segment_dedup_documents(docs_ds, seg_tokens: int = 4):
         kept_lists, batch_format="pyarrow", batch_size=None
     )
 
+    from import_ray.core.context import join_safe
+
+    # keyed-repartition partitions with zero rows emit schema-less
+    # blocks that break acero on the join's right side (join_safe doc)
     j = docs_ds.select_columns(["doc_id", "text"]).join(
-        kept,
+        join_safe(kept),
         join_type="inner",
         num_partitions=n,
         on=("doc_id",),
