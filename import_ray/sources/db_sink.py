@@ -443,6 +443,13 @@ class BulkImportContext:
         self._kv_count = 0
 
     def __enter__(self):
+        # Explicit BEGIN before any DDL: Python sqlite3's implicit
+        # transaction only opens at the first DML, so without this the
+        # index drops would autocommit and a failed import would leave
+        # the serving DB index-less even after rollback.  SQLite DDL is
+        # transactional, so inside BEGIN the drops roll back too.
+        if not self._conn.in_transaction:
+            self._conn.execute("BEGIN")
         for name, _, _ in _DB_INDEXES:
             self._conn.execute(f"drop index if exists {name}")
         for stmt in _CLEAR_STATEMENTS:

@@ -184,6 +184,35 @@ def _ngram_hashes(h: np.ndarray, row_of: np.ndarray, L: int):
     return w, valid
 
 
+def _probe_sorted_table(g1, g2, max_run, w1, w2, valid):
+    """Probe a (g1, g2)-lexsorted hash table with query windows
+    (w1, w2): returns the table position of each window's match or -1.
+
+    searchsorted 'left' lands on the FIRST table entry of a g1 run;
+    when distinct aliases collide on the 64-bit g1 (run length >1) the
+    true match can sit deeper in the run, so the tail is probed —
+    bounded by max_run, which is 1 for any realistic gazetteer."""
+    pos = np.searchsorted(g1, w1)
+    pos_c = np.minimum(pos, len(g1) - 1)
+    match_pos = np.where(
+        valid & (g1[pos_c] == w1) & (g2[pos_c] == w2), pos_c, -1
+    )
+    if max_run > 1:
+        pend = valid & (g1[pos_c] == w1) & (match_pos < 0)
+        p = pos_c + 1
+        for _ in range(max_run - 1):
+            if not pend.any():
+                break
+            in_range = pend & (p < len(g1))
+            pc = np.minimum(p, len(g1) - 1)
+            same = in_range & (g1[pc] == w1)
+            newhit = same & (g2[pc] == w2)
+            match_pos[newhit] = pc[newhit]
+            pend = same & ~newhit
+            p = p + 1
+    return match_pos
+
+
 class _HashedGazetteerLinker:
     """Actor-pool open-vocabulary linker: the Aho-Corasick-shaped swap
     for large gazetteers. ``__init__`` (once per actor) tokenizes every
@@ -232,7 +261,14 @@ class _HashedGazetteerLinker:
             g2 = np.array([r[1] for r in rows], np.uint64)
             gi = np.array([r[2] for r in rows], np.int64)
             o = np.lexsort((g2, g1))
-            self.tables[L] = (g1[o], g2[o], gi[o])
+            g1s = g1[o]
+            # longest run of duplicate g1 values: bounds the tail probe
+            # in __call__ when distinct aliases collide on the 64-bit g1
+            max_run = 1
+            if len(g1s) > 1:
+                _, run_counts = np.unique(g1s, return_counts=True)
+                max_run = int(run_counts.max())
+            self.tables[L] = (g1s, g2[o], gi[o], max_run)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -247,18 +283,15 @@ class _HashedGazetteerLinker:
             return empty
         h1, h2, row_of = _alnum_tokens_flat(texts)
         counts = np.zeros(len(self.aliases), np.int64)
-        for L, (g1, g2, gi) in self.tables.items():
+        for L, (g1, g2, gi, max_run) in self.tables.items():
             w1, valid = _ngram_hashes(h1, row_of, L)
             if not len(w1):
                 continue
             w2, _ = _ngram_hashes(h2, row_of, L)
-            pos = np.searchsorted(g1, w1)
-            pos_c = np.minimum(pos, len(g1) - 1)
-            hit = valid & (g1[pos_c] == w1) & (g2[pos_c] == w2)
-            # g1 runs >1 need a 64-bit collision between distinct
-            # aliases — probe the (tiny) run tail only if one exists
-            if hit.any():
-                np.add.at(counts, gi[pos_c[hit]], 1)
+            match_pos = _probe_sorted_table(g1, g2, max_run, w1, w2, valid)
+            ok = match_pos >= 0
+            if ok.any():
+                np.add.at(counts, gi[match_pos[ok]], 1)
         found = np.flatnonzero(counts)
         if not len(found):
             return empty

@@ -160,6 +160,12 @@ def cms_heavy_hitters(ds, key_col: str, threshold: int):
 
     The full key set never shuffles; the exchange is bounded by
     candidates × blocks. Exact output (SQL oracle: GROUP BY + HAVING).
+
+    Output schema note: the ``key`` column is STRING-typed — non-string
+    key columns come back stringified via ``str()`` (cast the column or
+    the oracle to VARCHAR when comparing); null input keys pass through
+    as genuine nulls and are counted as their own group, matching SQL
+    GROUP BY semantics (ADVICE r4).
     """
     import ray
 
@@ -208,7 +214,9 @@ def cms_heavy_hitters(ds, key_col: str, threshold: int):
 
         def __call__(self, b: pa.Table) -> pa.Table:
             s = b[key_col].to_pandas()
-            vc = s.value_counts()
+            # dropna=False: SQL GROUP BY keeps the NULL group, so a
+            # null-keyed heavy hitter must survive the candidate pass
+            vc = s.value_counts(dropna=False)
             keys = vc.index.to_numpy(dtype=object)
             local = vc.to_numpy().astype(np.int64)
             if not len(keys):
@@ -224,9 +232,15 @@ def cms_heavy_hitters(ds, key_col: str, threshold: int):
             for d in range(1, _CMS_DEPTH):
                 est = np.minimum(est, self.cms[d][idx[d]])
             keep = est >= self.thr
+            out_keys = [
+                None
+                if k is None or (isinstance(k, float) and np.isnan(k))
+                else str(k)
+                for k in keys[keep]
+            ]
             return pa.table(
                 {
-                    "key": pa.array([str(k) for k in keys[keep]], pa.large_string()),
+                    "key": pa.array(out_keys, pa.large_string()),
                     "n": pa.array(local[keep], pa.int64()),
                 }
             )
@@ -243,11 +257,19 @@ def cms_heavy_hitters(ds, key_col: str, threshold: int):
             return pa.table(
                 {"key": pa.array([], pa.large_string()), "n": pa.array([], pa.int64())}
             )
-        df = b.to_pandas().groupby("key", sort=False, as_index=False)["n"].sum()
+        df = (
+            b.to_pandas()
+            .groupby("key", sort=False, as_index=False, dropna=False)["n"]
+            .sum()
+        )
         df = df[df["n"] >= int(threshold)]
+        out_keys = [
+            None if isinstance(k, float) and np.isnan(k) else k
+            for k in df["key"].to_numpy(dtype=object)
+        ]
         return pa.table(
             {
-                "key": pa.array(df["key"].to_numpy(dtype=object), pa.large_string()),
+                "key": pa.array(out_keys, pa.large_string()),
                 "n": pa.array(df["n"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
@@ -299,6 +321,13 @@ def ddsketch_quantiles(
     def partials(b: pa.Table) -> pa.Table:
         g = b[group_col].to_pandas().to_numpy(dtype=object)
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # non-finite values (NaN / ±inf) are EXCLUDED, matching SQL
+        # aggregate semantics for NULL — without this mask NaN fails
+        # both sign masks and would silently count as a zero (ADVICE r4)
+        finite = np.isfinite(v)
+        if not finite.all():
+            g = g[finite]
+            v = v[finite]
         # bucket encoding with a value-ordered key: log buckets b =
         # ceil(log_gamma |v|) can themselves be negative (|v| < 1), so
         # positives encode as b + _DD_OFS, negatives as -b - _DD_OFS

@@ -168,3 +168,29 @@ def test_ngram_linker_byte_equal_10k_gazetteer(ray_session, tmp_path):
     got_re = norm(link_mentions(path, ray.data.from_arrow(alias_tbl), matcher="regex"))
     pd.testing.assert_frame_equal(got_ng, got_re)
     assert len(got_ng) > 0 and got_ng["n_links"].sum() == 1200
+
+
+def test_probe_sorted_table_g1_collision_run_tail():
+    """ADVICE r4: when two distinct aliases collide on the 64-bit g1
+    hash, searchsorted lands on the first entry of the run — the probe
+    must walk the run tail so the later-sorted alias still matches."""
+    from import_ray.stages.alias import _probe_sorted_table
+
+    # three table entries: a g1 run of length 2 (same g1, distinct g2)
+    # plus an unrelated singleton.
+    g1 = np.array([100, 100, 200], np.uint64)
+    g2 = np.array([7, 9, 5], np.uint64)
+    max_run = 2
+
+    # queries: first-of-run, tail-of-run, singleton, g1-hit-but-no-g2,
+    # full miss, and an invalid (row-spanning) window.
+    w1 = np.array([100, 100, 200, 100, 150, 100], np.uint64)
+    w2 = np.array([7, 9, 5, 11, 5, 9], np.uint64)
+    valid = np.array([True, True, True, True, True, False])
+    got = _probe_sorted_table(g1, g2, max_run, w1, w2, valid)
+    assert got.tolist() == [0, 1, 2, -1, -1, -1]
+
+    # with max_run=1 (pre-fix behavior) the tail entry is missed —
+    # documents exactly what the probe adds.
+    got1 = _probe_sorted_table(g1, g2, 1, w1, w2, valid)
+    assert got1.tolist() == [0, -1, 2, -1, -1, -1]

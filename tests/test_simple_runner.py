@@ -337,6 +337,13 @@ def test_blue_green_transfer_and_rollback(tmp_path):
     sv = sqlite3.connect(serving)
     assert sv.execute("select count(*) from triples").fetchone()[0] == 2
     assert sv.execute("select count(*) from key_value_store").fetchone()[0] == 1
+    # the rollback must also restore the indexes: the index drops in
+    # BulkImportContext.__enter__ run inside the explicit BEGIN, so a
+    # failed transfer leaves the serving DB fully intact, indexes
+    # included (ADVICE r4: without BEGIN the drops autocommitted).
+    names = {r[0] for r in sv.execute(
+        "select name from sqlite_master where type='index'")}
+    assert "triples_subject_id" in names and "observations_variable" in names
     sv.close()
 
     # env config gate (db.py:1050-1070)

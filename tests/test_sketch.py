@@ -144,3 +144,56 @@ def test_ddsketch_grouped_quantiles_relative_error(ray_session):
         else:
             rel = abs(r["value"] - exact) / abs(exact)
             assert rel <= alpha + 1e-9, (r, exact, rel)
+
+
+def test_cms_heavy_hitters_null_keys(ray_session):
+    """ADVICE r4: null keys form their own group (SQL GROUP BY keeps
+    the NULL group) and survive both the candidate and exact passes as
+    genuine nulls, not the string 'None'."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    keys = [f"u{i}" for i in rng.integers(0, 500, 1000)]
+    keys += [None] * 40 + ["h1"] * 35
+    rng.shuffle(keys)
+    t = pa.table({"user_id": pa.array(keys, pa.string())})
+    got = (
+        cms_heavy_hitters(ray.data.from_arrow(t), "user_id", threshold=30)
+        .to_pandas()
+    )
+    null_rows = got[got["key"].isna()]
+    assert len(null_rows) == 1 and int(null_rows["n"].iloc[0]) == 40
+    assert "None" not in set(got["key"].dropna())
+    h1 = got[got["key"] == "h1"]
+    assert len(h1) == 1 and int(h1["n"].iloc[0]) == 35
+
+
+def test_ddsketch_excludes_non_finite(ray_session):
+    """ADVICE r4: NaN/±inf values are excluded (SQL NULL semantics)
+    instead of silently counting as zeros in the zero bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.sketch import ddsketch_quantiles
+
+    vals = [float(v) for v in range(1, 101)]
+    dirty = vals + [float("nan")] * 50 + [float("inf"), float("-inf")]
+    t = pa.table(
+        {
+            "grp": pa.array(["g"] * len(dirty), pa.string()),
+            "val": pa.array(dirty, pa.float64()),
+        }
+    )
+    out = ddsketch_quantiles(
+        ray.data.from_arrow(t), "grp", "val", quantiles=(0.5,), alpha=0.01
+    ).take_all()
+    assert len(out) == 1
+    # median of 1..100 is 50; with NaNs-as-zeros it would be ~24
+    exact = 50.0
+    assert abs(out[0]["value"] - exact) / exact <= 0.01 + 1e-9
