@@ -1067,6 +1067,45 @@ def _media_bmp_features(sf_dir: str):
     ).select_columns(["media_id", "media_type", "payload_bytes"])
 
 
+def _media_jpeg_features(sf_dir: str):
+    """REAL-codec media features over baseline-DCT JPEG payloads
+    (pure-numpy encoder+decoder, stages/jpeg.py; rows-only: binary
+    payloads aren't SQL-expressible). Decode correctness pinned by
+    roundtrip/orientation/planted-recall tests in test_codecs.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        extract_media_features,
+        synthesize_real_media,
+    )
+
+    tbl = synthesize_real_media(n=96, seed=9, image_format="jpeg")
+    images = tbl.filter(pa.compute.equal(tbl["media_type"], pa.scalar("image")))
+    return extract_media_features(
+        ray.data.from_arrow(images), decoder="jpeg"
+    ).select_columns(["media_id", "media_type", "payload_bytes"])
+
+
+def _media_jpeg_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-dup pairs over REAL decoded JPEG pixels:
+    planted few-pixel perturbations survive the lossy roundtrip at
+    small aHash Hamming (recall pinned in test_codecs.py)."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        phash_neardup_pairs,
+        synthesize_real_media,
+    )
+
+    tbl = synthesize_real_media(n=192, seed=9, image_format="jpeg")
+    images = tbl.filter(pa.compute.equal(tbl["media_type"], pa.scalar("image")))
+    return phash_neardup_pairs(
+        ray.data.from_arrow(images), max_hamming=7, bands=8, decoder="jpeg"
+    )
+
+
 def _media_bmp_phash_pairs(sf_dir: str):
     """Perceptual-hash near-dup pairs over REAL decoded BMP pixels
     (decoder='bmp'): planted few-pixel perturbations land at small
@@ -4214,6 +4253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": _media_phash_pairs,
         "media_bmp_features": _media_bmp_features,
         "media_bmp_phash_pairs": _media_bmp_phash_pairs,
+        "media_jpeg_features": _media_jpeg_features,
+        "media_jpeg_phash_pairs": _media_jpeg_phash_pairs,
     }
     # The external driver samples the HEAD of this dict for its oracle
     # comparison, so the first 50 entries interleave every operator
@@ -4263,7 +4304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media / multimodal
         "media_bmp_features",
         "media_bmp_phash_pairs",
-        "multimodal_features",
+        "media_jpeg_features",
         # ANN / embeddings
         "knn_cosine",
         "ivf_knn_planted",

@@ -1,13 +1,15 @@
 """Pure-numpy media codecs: uncompressed BMP (BI_RGB 24-bit / 8-bit
-grayscale palette) and PCM WAV (16-bit / 8-bit RIFF).
+grayscale palette), PNG (8-bit, all 5 row filters), baseline-DCT JPEG
+(via ``stages/jpeg.py``) and PCM WAV (16-bit / 8-bit RIFF).
 
-The sandbox has no PIL/ffmpeg, so these two formats — both trivially
-decodable from their published byte layouts — make one real image and
-one real audio format END-TO-END through the multimodal actor-pool
-stages (decode → feature/aHash/resize), replacing the deterministic
-fake decoder for `decoder="bmp"` / `decoder="wav"`. A real deployment
-swaps these functions for PIL/soundfile calls; every Ray-side contract
-(schema, batch sizing, actor signature) is identical.
+The sandbox has no PIL/ffmpeg, so these formats — decodable from their
+published byte layouts — make real image and audio formats END-TO-END
+through the multimodal actor-pool stages (decode →
+feature/aHash/resize), replacing the deterministic fake decoder for
+`decoder="bmp"` / `"png"` / `"jpeg"` / `"wav"` (or auto-sniffing
+`"image"`). A real deployment swaps these functions for PIL/soundfile
+calls; every Ray-side contract (schema, batch sizing, actor signature)
+is identical.
 
 Formats follow the public specs: BITMAPFILEHEADER (14 B) +
 BITMAPINFOHEADER (40 B), bottom-up rows padded to 4-byte boundaries;
@@ -19,6 +21,10 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# baseline-DCT JPEG lives in its own module (entropy coder + batched
+# DCT are substantial); re-exported here so codec users import one place
+from import_ray.stages.jpeg import jpeg_decode, jpeg_encode  # noqa: F401
 
 
 # --- BMP ---------------------------------------------------------------------
@@ -322,9 +328,12 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def image_decode(payload: bytes) -> np.ndarray:
-    """Magic-sniffing image decode (BMP or PNG) → (H, W, 3) uint8."""
+    """Magic-sniffing image decode (BMP, PNG or baseline JPEG) →
+    (H, W, 3) uint8."""
     if payload.startswith(_PNG_SIG):
         return png_decode(payload)
     if payload[:2] == b"BM":
         return bmp_decode(payload)
-    raise ValueError("unrecognized image payload (not BMP/PNG)")
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")

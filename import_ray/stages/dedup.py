@@ -375,21 +375,92 @@ def _keep_fused_partials(batch: pa.Table) -> pa.Table:
     return batch.filter(pa.array(_fused_partial_mask(batch)))
 
 
-def broadcast_dedup_hashed(hashed, num_partitions: int):
+def _dup_h1_block(batch: pa.Table) -> pa.Table:
+    """Per shuffle partition (keyed on h1): the h1 values appearing
+    more than once — the candidate key set for the full-width winner
+    exchange. Runs whole-block (``batch_size=None``)."""
+    if len(batch) == 0:
+        return pa.table({"h1": pa.array([], pa.int64())})
+    h1 = np.sort(
+        batch.combine_chunks()["h1"].to_numpy(zero_copy_only=False)
+    )
+    dup_mask = np.zeros(len(h1), bool)
+    dup_mask[:-1] = h1[:-1] == h1[1:]
+    dups = np.unique(h1[dup_mask])
+    return pa.table({"h1": pa.array(dups)})
+
+
+# Bloom sizing for the dup-h1 prefilter: 2^26 bits = 8 MB broadcast,
+# <1 % false-positive rate up to ~6 M duplicated keys. False positives
+# only add singleton rows to the round-2 exchange (the winner election
+# on full (h1, h2) keys is exact); past ~tens of millions of dup keys
+# the FP rate degrades toward shipping everything — exactly the regime
+# where the prefilter stops paying anyway.
+_DUP_BLOOM_BITS = 1 << 26
+_DUP_BLOOM_K = 4
+
+
+def broadcast_dedup_hashed(hashed, num_partitions: int, h1_prefilter: bool = True):
     """The broadcast-strategy dedup core over an already-materialized
-    dataset carrying (h1, h2, ph, tag): shuffle only the 32-byte key
-    rows, elect per-duplicated-key winners, filter blocks in place via
-    an object-store-block actor pool. See ``exact_dedup_triples``."""
+    dataset carrying (h1, h2, ph, tag): shuffle only the key rows,
+    elect per-duplicated-key winners, filter blocks in place via an
+    object-store-block actor pool. See ``exact_dedup_triples``.
+
+    ``h1_prefilter=True`` makes the winner exchange two-round: round 1
+    ships ONLY the 8-byte h1 column through a keyed exchange to find
+    duplicated h1 values, folds them into a fixed-size Bloom filter
+    (distributed OR-reduce — dup keys never hit the driver), and round
+    2 ships the full 32-byte key rows only for Bloom-candidate rows.
+    At low duplicate ratios (the norm after per-block local distinct)
+    this cuts winner-exchange bytes ~3.5× — 8 B/row + 32 B/candidate
+    vs 32 B/row — at the cost of one extra small exchange; a corpus
+    with no cross-block duplicates short-circuits round 2 entirely."""
+    import ray
+
     from import_ray.core.context import cluster_cpus
+    from import_ray.stages.bloom import _bit_positions, _test_bits, build_bloom
 
     n = num_partitions
-    keys = hashed.map_batches(
-        lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
-    )
     # full-width keys exchange: a //2 cap here left half the cores idle
     # during the winner-finding phase at the 4N cluster size and showed
     # up directly as lost scaling efficiency
-    keys = keys.repartition(min(n, max(8, cluster_cpus())), keys=["h1"])
+    width = min(n, max(8, cluster_cpus()))
+
+    if h1_prefilter:
+        dup_h1 = (
+            hashed.map_batches(
+                lambda b: b.select(["h1"]), batch_format="pyarrow"
+            )
+            .repartition(width, keys=["h1"])
+            .map_batches(_dup_h1_block, batch_format="pyarrow", batch_size=None)
+        )
+        words = build_bloom(dup_h1, "h1", m_bits=_DUP_BLOOM_BITS, k=_DUP_BLOOM_K)
+        if words is None or not words.any():
+            # no cross-block duplicated h1 anywhere: every row is
+            # already globally unique — skip the winner exchange
+            return hashed.map_batches(
+                lambda b: b.drop_columns(["h1", "h2", "ph", "tag"]),
+                batch_format="pyarrow",
+            )
+        bloom_ref = ray.put(words)
+
+        def probe_candidates(b: pa.Table) -> pa.Table:
+            keys_b = b.select(["h1", "h2", "ph", "tag"])
+            if len(keys_b) == 0:
+                return keys_b
+            w = ray.get(bloom_ref)
+            h1v = keys_b["h1"].to_numpy(zero_copy_only=False)
+            mask = _test_bits(
+                w, _bit_positions(h1v, _DUP_BLOOM_BITS, _DUP_BLOOM_K)
+            )
+            return keys_b.filter(pa.array(mask))
+
+        keys = hashed.map_batches(probe_candidates, batch_format="pyarrow")
+    else:
+        keys = hashed.map_batches(
+            lambda b: b.select(["h1", "h2", "ph", "tag"]), batch_format="pyarrow"
+        )
+    keys = keys.repartition(width, keys=["h1"])
     # winners stay IN THE OBJECT STORE as blocks: the driver only
     # collects block refs (metadata). The filter stage is an actor pool
     # whose __init__ fetches the blocks node-locally and lexsorts ONCE

@@ -4,10 +4,11 @@ Binary payloads ride as opaque ``binary`` columns with typed metadata;
 decode / feature-extraction stages are actor-pool ``map_batches``
 kernels. Decoder tiers:
 
-- ``decoder="bmp"`` / ``"wav"`` — REAL decode end-to-end via the
-  pure-numpy codecs in ``stages/codecs.py`` (uncompressed BMP, PCM
-  WAV): real pixels → luma-grid features / aHash / resize, real
-  samples → band-energy features.
+- ``decoder="bmp"`` / ``"png"`` / ``"jpeg"`` / ``"image"`` (sniffing)
+  / ``"wav"`` — REAL decode end-to-end via the pure-numpy codecs in
+  ``stages/codecs.py`` + ``stages/jpeg.py`` (uncompressed BMP, PNG,
+  baseline-DCT JPEG, PCM WAV): real pixels → luma-grid features /
+  aHash / resize, real samples → band-energy features.
 - ``decoder="fake"`` — deterministic pseudo-features from the payload
   bytes (vectorized whole-batch path) for plumbing tests and formats
   whose codecs (PIL/ffmpeg) aren't in this environment.
@@ -36,6 +37,8 @@ from import_ray.stages.codecs import (
     bmp_decode,
     bmp_encode,
     image_decode,
+    jpeg_decode,
+    jpeg_encode,
     luma,
     png_decode,
     png_encode,
@@ -78,13 +81,24 @@ def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
 
 
 def synthesize_real_media(
-    n: int = 48, seed: int = 9, dup_every: int = 4, flip_pixels: int = 3
+    n: int = 48,
+    seed: int = 9,
+    dup_every: int = 4,
+    flip_pixels: int = 3,
+    image_format: str = "bmp",
 ) -> pa.Table:
-    """Deterministic media table of REAL payloads: BMP images (24-bit
-    BI_RGB) and PCM WAVs, with planted near-duplicates — every
-    ``dup_every``-th image is the previous image with ``flip_pixels``
-    pixels perturbed (small aHash Hamming distance), so banded Hamming
-    search has ground truth to find."""
+    """Deterministic media table of REAL payloads: images (24-bit BMP
+    or baseline JPEG per ``image_format``) and PCM WAVs, with planted
+    near-duplicates — every ``dup_every``-th image is the previous
+    image with ``flip_pixels`` pixels perturbed (small aHash Hamming
+    distance even through JPEG loss: the perturbation moves block
+    means, quantization doesn't), so banded Hamming search has ground
+    truth to find."""
+    img_enc = {
+        "bmp": bmp_encode,
+        "png": png_encode,
+        "jpeg": lambda im: jpeg_encode(im, quality=90),
+    }[image_format]
     rng = np.random.default_rng(seed)
     payloads, types = [], []
     prev_img = None
@@ -112,7 +126,7 @@ def synthesize_real_media(
             xs = (np.arange(w) * 8 // w).astype(np.intp)
             img = coarse[np.ix_(ys, xs)].copy()
         prev_img = img
-        payloads.append(bmp_encode(img))
+        payloads.append(img_enc(img))
         types.append("image")
     return pa.table(
         {
@@ -140,7 +154,7 @@ class MediaFeatureExtractor:
     loads its codec/model.
     """
 
-    _DECODERS = ("fake", "bmp", "png", "image", "wav")
+    _DECODERS = ("fake", "bmp", "png", "jpeg", "image", "wav")
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 16):
         if decoder not in self._DECODERS:
@@ -185,8 +199,8 @@ class MediaFeatureExtractor:
         return sums.reshape(n, fd) / chunk[:, None] / 255.0
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        if self.decoder in ("bmp", "png", "image"):
-            dec = {"bmp": bmp_decode, "png": png_decode}.get(
+        if self.decoder in ("bmp", "png", "jpeg", "image"):
+            dec = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}.get(
                 self.decoder, image_decode
             )
             g = int(np.ceil(np.sqrt(self.feature_dim)))
@@ -241,7 +255,7 @@ class MediaResizeKernel:
     actor init, batch sizing) is identical."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
-        if decoder not in ("fake", "bmp", "png", "image"):
+        if decoder not in ("fake", "bmp", "png", "jpeg", "image"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
                 f"in this environment; use 'fake', 'bmp', 'png' or 'image'"
@@ -380,16 +394,17 @@ class MediaPHashKernel:
     """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "bmp", "png", "image"):
+        if decoder not in ("fake", "bmp", "png", "jpeg", "image"):
             raise NotImplementedError(
                 f"decoder '{decoder}' requires image libraries not present "
-                f"in this environment; use 'fake', 'bmp', 'png' or 'image'"
+                f"in this environment; use 'fake', 'bmp', 'png', 'jpeg' or "
+                f"'image'"
             )
         self.decoder = decoder
 
     def _grid(self, payload: bytes) -> np.ndarray:
-        if self.decoder in ("bmp", "png", "image"):
-            dec = {"bmp": bmp_decode, "png": png_decode}.get(
+        if self.decoder in ("bmp", "png", "jpeg", "image"):
+            dec = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}.get(
                 self.decoder, image_decode
             )
             return block_mean_grid(luma(dec(payload)), 8, 8).ravel()

@@ -42,6 +42,11 @@ MAX_BUCKET_MEMBERS = 200  # simhash skew guard (see simhash_pairs)
 # over the PAIRS (not the corpus — LSH pairs << docs) and broadcast as
 # a lookup map; larger sets use distributed min-label propagation
 MAX_DRIVER_PAIRS = 2_000_000
+# pointer-jumping label tables at or below this many rows broadcast as
+# sorted arrays (two int64 cols → 64 MB at the cap) and the jump runs
+# as a zero-exchange searchsorted lookup; larger tables pay the
+# labels⋈labels hash join instead (propagate_min_labels.jump)
+JUMP_BROADCAST_BUDGET = 4_000_000
 
 
 from import_ray.core.arrowutil import from_pandas_clean
@@ -442,11 +447,46 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
     ).materialize()
     prev_sum = label_checksum(labels)
 
-    def jump(lab):
-        """label(v) ← label(label(v)): one labels⋈labels hash join on
-        the 8-byte label key. Every label IS a node with a label row
-        (it entered via some edge endpoint), but the join stays
-        left_outer + coalesce defensively."""
+    def jump(lab, n_rows):
+        """label(v) ← label(label(v)). Every label IS a node with a
+        label row (it entered via some edge endpoint).
+
+        Under ``JUMP_BROADCAST_BUDGET`` label rows (``lab`` is
+        materialized, so the count is metadata), the label table
+        broadcasts once (``ray.put`` of two sorted int64 arrays) and
+        the jump is a ZERO-EXCHANGE vectorized searchsorted lookup per
+        block — this removes one of the three per-round keyed
+        exchanges for every graph whose non-singleton node set fits
+        the budget (the common case: label rows ≪ edge rows). Past the
+        budget it falls back to the labels⋈labels hash join on the
+        8-byte label key (left_outer + coalesce defensively). Both
+        paths are byte-equal (pytest-gated)."""
+        if n_rows <= JUMP_BROADCAST_BUDGET:
+            import ray
+
+            df = lab.to_pandas()
+            nodes = df["node"].to_numpy(np.int64)
+            labs = df["label"].to_numpy(np.int64)
+            o = np.argsort(nodes, kind="mergesort")
+            ref = ray.put((nodes[o], labs[o]))
+
+            def lookup(b: pa.Table) -> pa.Table:
+                ns, ls = ray.get(ref)
+                lv = b["label"].to_numpy(zero_copy_only=False)
+                if not len(lv) or not len(ns):
+                    return b
+                pos = np.minimum(np.searchsorted(ns, lv), len(ns) - 1)
+                hit = ns[pos] == lv
+                return pa.table(
+                    {
+                        "node": b["node"],
+                        "label": pa.array(
+                            np.where(hit, ls[pos], lv), pa.int64()
+                        ),
+                    }
+                )
+
+            return lab.map_batches(lookup, batch_format="pyarrow")
         out = join_safe(
             lab.join(
                 lab,
@@ -483,7 +523,8 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 25, shortcut: bool = True):
             .aggregate(Min("label", alias_name="label"))
         )
         if shortcut and _round >= _SHORTCUT_AFTER:
-            labels = jump(labels)
+            labels = labels.materialize()
+            labels = jump(labels, labels.count())
         labels = labels.materialize()
         cur_sum = label_checksum(labels)
         if cur_sum == prev_sum:

@@ -270,3 +270,132 @@ def test_image_autosniff_pipeline(ray_session):
     a = {r["media_id"]: list(r["features"]) for r in out_mixed}
     b = {r["media_id"]: list(r["features"]) for r in out_bmp}
     assert a == b  # identical pixels → identical features across formats
+
+
+# --- JPEG (baseline DCT) ------------------------------------------------------
+
+
+def test_jpeg_roundtrip_quality_tiers():
+    """Encode→decode error stays within lossy-JPEG bounds and shrinks
+    with quality; shapes are exact at non-MCU-multiple sizes."""
+    import numpy as np
+
+    from import_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    coarse = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    h, w = 40, 56
+    ys, xs = np.arange(h) * 6 // h, np.arange(w) * 6 // w
+    img = coarse[np.ix_(ys, xs)].astype(np.uint8)
+    prev_err = None
+    for q in (60, 85, 95):
+        dec = jpeg_decode(jpeg_encode(img, quality=q, subsample=False))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        if prev_err is not None:
+            assert err < prev_err  # higher quality → lower error
+        prev_err = err
+    assert prev_err < 4.0  # q95 4:4:4 on a smooth image
+
+    # 4:2:0 on odd sizes: shape exactness + bounded error
+    for hw in [(17, 19), (8, 8), (31, 16), (64, 63)]:
+        img2 = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(img2, quality=90, subsample=True))
+        assert dec.shape == (*hw, 3)
+
+
+def test_jpeg_constant_and_gradient_exact_structure():
+    """A constant image roundtrips exactly (all AC coefficients zero);
+    a vertical gradient preserves orientation (no flip/transpose)."""
+    import numpy as np
+
+    from import_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.full((24, 24, 3), 128, np.uint8)
+    assert (jpeg_decode(jpeg_encode(img, quality=85)) == 128).all()
+
+    gy = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[:, None], (1, 48))
+    img = np.stack([gy, gy, gy], axis=-1)
+    dec = jpeg_decode(jpeg_encode(img, quality=95, subsample=False))
+    assert dec[0].mean() < 40 and dec[-1].mean() > 215
+
+
+def test_jpeg_grayscale_single_component():
+    import numpy as np
+
+    from import_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=95))
+    assert dec.shape == (32, 48, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 6.0
+
+
+def test_jpeg_huffman_tables_valid_prefix_code():
+    """The embedded Annex-K tables form consistent canonical prefix
+    codes (counts match symbol lists, no code overlaps)."""
+    from import_ray.stages.jpeg import (
+        _HUFF_AC_CHR,
+        _HUFF_AC_LUM,
+        _HUFF_DC_CHR,
+        _HUFF_DC_LUM,
+        _canonical_codes,
+    )
+
+    for bits, vals in (_HUFF_DC_LUM, _HUFF_AC_LUM, _HUFF_DC_CHR, _HUFF_AC_CHR):
+        assert sum(bits) == len(vals)
+        codes = _canonical_codes(bits, vals)
+        spans = sorted(
+            (code << (16 - ln), (code + 1) << (16 - ln)) for _, code, ln in codes
+        )
+        for (_, b1), (a2, _) in zip(spans, spans[1:]):
+            assert b1 <= a2
+
+
+def test_image_decode_sniffs_jpeg():
+    import numpy as np
+
+    from import_ray.stages.codecs import image_decode
+    from import_ray.stages.jpeg import jpeg_encode
+
+    img = np.full((16, 16, 3), 200, np.uint8)
+    out = image_decode(jpeg_encode(img, quality=90))
+    assert out.shape == (16, 16, 3) and abs(int(out.mean()) - 200) <= 2
+
+
+def test_jpeg_planted_neardup_recall(ray_session):
+    """Planted few-pixel perturbations on JPEG payloads land at small
+    aHash Hamming distance through the lossy roundtrip: the banded
+    phash search recovers the planted pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.multimodal import (
+        phash_neardup_pairs,
+        synthesize_real_media,
+    )
+
+    tbl = synthesize_real_media(n=96, seed=9, image_format="jpeg")
+    images = tbl.filter(pa.compute.equal(tbl["media_type"], pa.scalar("image")))
+    pairs = phash_neardup_pairs(
+        ray.data.from_arrow(images), max_hamming=7, bands=8, decoder="jpeg"
+    ).take_all()
+    # every 4th image is a perturbed copy of its predecessor; through
+    # JPEG loss most planted pairs must still surface
+    # replicate the generator's planting schedule (see the BMP test)
+    planted = set()
+    prev = None
+    for i in range(96):
+        if i % 3 == 2:
+            continue
+        if prev is not None and i % 4 == 0:
+            planted.add((prev, i))
+        prev = i
+    found = {(r["lo"], r["hi"]) for r in pairs}
+    assert planted, "fixture must plant pairs"
+    recall = len(planted & found) / len(planted)
+    # JPEG loss may shift a few borderline aHash bits, so require high
+    # (not perfect) recall through the lossy roundtrip
+    assert recall >= 0.7, (recall, planted - found)

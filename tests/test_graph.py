@@ -830,3 +830,27 @@ def test_cc_driver_vs_distributed_byte_equal(ray_session):
     assert sorted((r["node"], r["label"]) for r in d) == sorted(
         (r["node"], r["label"]) for r in p
     )
+
+
+def test_jump_broadcast_vs_join_byte_equal(ray_session, monkeypatch):
+    """The pointer-jump's two implementations — broadcast searchsorted
+    lookup (under JUMP_BROADCAST_BUDGET) and labels⋈labels hash join
+    (past it) — must produce the identical fixpoint."""
+    import ray.data
+
+    import import_ray.stages.neardup as nd
+
+    n = 16
+    lo = list(range(100, 100 + n - 1)) + [5000, 5001, 7000]
+    hi = list(range(101, 100 + n)) + [5001, 5002, 7001]
+    edges = pa.table(
+        {"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())}
+    )
+    ds = ray.data.from_arrow(edges)
+    bcast = nd.propagate_min_labels(ds, max_rounds=8, shortcut=True).take_all()
+    monkeypatch.setattr(nd, "JUMP_BROADCAST_BUDGET", 0)  # force the join path
+    joined = nd.propagate_min_labels(ds, max_rounds=8, shortcut=True).take_all()
+    a = sorted((r["node"], r["label"]) for r in bcast)
+    b = sorted((r["node"], r["label"]) for r in joined)
+    assert a == b
+    assert all(lab == 100 for node, lab in a if 100 <= node < 100 + n)

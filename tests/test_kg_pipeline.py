@@ -285,3 +285,83 @@ def test_dedup_strategies_identical(ray_session, transcripts_path):
         )
 
     pd.testing.assert_frame_equal(canon("shuffle"), canon("broadcast"))
+
+
+def test_broadcast_prefilter_on_off_identical(ray_session, transcripts_path):
+    """The two-round Bloom h1 prefilter must not change the broadcast
+    dedup result: prefilter on (8B h1 exchange + candidate-only full
+    keys) and off (full 32B keys for every row) are byte-equal, and
+    both match the shuffle strategy."""
+    import pandas as pd
+    import ray.data
+
+    from import_ray.stages.dedup import (
+        _hash_tag_local_distinct,
+        broadcast_dedup_hashed,
+        exact_dedup_triples,
+    )
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.stages.extract import TranscriptTripleExtractor
+
+    turn = ray.data.read_parquet(transcripts_path).map_batches(
+        TranscriptTripleExtractor(provenance="t"),
+        batch_format="pyarrow",
+    )
+    cols = ["subject_id", "predicate", "object_id", "object_value", "provenance"]
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (
+            df[cols]
+            .astype(str)
+            .sort_values(cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    hashed = turn.map_batches(
+        _hash_tag_local_distinct, batch_format="pyarrow"
+    ).materialize()
+    on = canon(broadcast_dedup_hashed(hashed, 4, h1_prefilter=True))
+    off = canon(broadcast_dedup_hashed(hashed, 4, h1_prefilter=False))
+    pd.testing.assert_frame_equal(on, off)
+    want = canon(exact_dedup_triples(turn, num_partitions=4, strategy="shuffle"))
+    pd.testing.assert_frame_equal(on, want)
+
+
+def test_broadcast_prefilter_dupfree_short_circuit(ray_session):
+    """A corpus with no cross-block duplicates: the empty dup-h1 Bloom
+    short-circuits round 2 (no winner exchange) and the output is the
+    input minus hash columns."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.dedup import (
+        _hash_tag_local_distinct,
+        broadcast_dedup_hashed,
+    )
+
+    t = pa.table(
+        {
+            "subject_id": pa.array([f"s{i}" for i in range(100)]),
+            "predicate": pa.array(["p"] * 100),
+            "object_id": pa.array([f"o{i}" for i in range(100)]),
+            "object_value": pa.array([""] * 100, pa.large_string()),
+            "provenance": pa.array(["x"] * 100),
+        }
+    )
+    hashed = (
+        ray.data.from_arrow(t)
+        .repartition(4)
+        .map_batches(_hash_tag_local_distinct, batch_format="pyarrow")
+        .materialize()
+    )
+    out = broadcast_dedup_hashed(hashed, 4)
+    df = out.to_pandas()
+    assert len(df) == 100
+    assert set(df.columns) == {
+        "subject_id",
+        "predicate",
+        "object_id",
+        "object_value",
+        "provenance",
+    }
