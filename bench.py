@@ -8,7 +8,14 @@ triples/sec. Also times representative operator pipelines from
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "triples": N,
-   "triples_per_sec": N}
+   "triples_per_sec": N, "machine": {...}}
+
+``machine`` carries single-thread matmul probe times and /proc
+load averages sampled at start / after-headline / end, so a
+session-level slowdown (this VM's hypervisor throttles 1.4-2x across
+sessions) is attributable from the artifact alone: comparable probe
+values across rounds = comparable machine; slower probes = VM-state
+drift, not a code regression.
 
 ``--scaling``: reruns the headline in fresh processes at 8 and 32 CPUs
 on the same input and reports both throughputs + scaling efficiency.
@@ -88,6 +95,7 @@ BENCH_QUERIES = [
     "bigram_next_topk_docs",
     "cms_heavy_hitter_users",
     "ddsketch_price_quantiles",
+    "media_jpeg_features",
 ]
 
 
@@ -107,8 +115,27 @@ def _consume(res) -> int:
     return res.count()
 
 
+def _probe_point(tag: str) -> dict:
+    """Single-thread matmul probe + load average: machine-state
+    evidence embedded in the bench artifact (see module docstring)."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.random.rand(2000, 2000)
+    for _ in range(3):
+        a @ a
+    la = os.getloadavg() if hasattr(os, "getloadavg") else (0.0, 0.0, 0.0)
+    return {
+        "tag": tag,
+        "probe_sec": round(time.time() - t0, 2),
+        "loadavg_1m": round(la[0], 2),
+    }
+
+
 def run_bench() -> dict:
     import ray
+
+    machine = [_probe_point("start")]
 
     if not ray.is_initialized():
         ray.init(
@@ -164,6 +191,7 @@ def run_bench() -> dict:
         n_triples = ds.count()
         times.append(time.time() - t0)
     headline = min(times)
+    machine.append(_probe_point("after_headline"))
     if os.environ.get("BENCH_STATS"):
         # per-stage wall breakdown of the last headline run (stderr so
         # the stdout JSON contract stays one line)
@@ -197,6 +225,7 @@ def run_bench() -> dict:
                 gc.collect()
             qtimes[name] = round(best, 3)
 
+    machine.append(_probe_point("end"))
     out = {
         "metric": "kg_transcripts_to_triples_sec",
         "value": round(headline, 3),
@@ -206,6 +235,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "triples": int(n_triples),
         "triples_per_sec": round(n_triples / headline, 1),
+        "machine": machine,
     }
     ray.shutdown()
     return out

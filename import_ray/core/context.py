@@ -145,3 +145,32 @@ def npartitions(scale: float = 1.0, lo: int = 4, hi: int = 64) -> int:
     configure_data_context()
     n = int(cluster_cpus() * scale)
     return max(lo, min(hi, n))
+
+
+# Driver-side collects of SCHEMA-scale datasets (Custom-DC-sized node
+# sets, statvar schemas, NL sentence candidates) are bounded by this
+# row budget. The contract used to be implicit ("schema-scale by
+# contract" comments); the budget makes it explicit and LOUD — a
+# million-SV input fails with a clear message instead of silently
+# OOMing the driver (mirrors reasoning.py's closure_broadcast_budget
+# gate, which degrades to a distributed join instead).
+SCHEMA_SCALE_BUDGET = 2_000_000
+
+
+def take_all_bounded(ds, what: str, budget: int | None = None):
+    """``ds.take_all()`` with an explicit schema-scale row budget.
+
+    Executes ONCE with early termination (``limit(budget+1)``) and
+    raises ``RuntimeError`` naming the collect site when the dataset
+    exceeds the budget — use only for datasets that are schema-scale
+    by design; corpus-scale data must stay distributed."""
+    if budget is None:
+        budget = SCHEMA_SCALE_BUDGET
+    rows = ds.limit(budget + 1).take_all()
+    if len(rows) > budget:
+        raise RuntimeError(
+            f"{what}: driver-side collect exceeds the schema-scale row "
+            f"budget ({budget:,} rows). This input is not schema-scale; "
+            f"the pipeline must use a distributed path for it."
+        )
+    return rows

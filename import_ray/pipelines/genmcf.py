@@ -367,10 +367,17 @@ def genmcf_run(
     nodes = ray.data.read_parquet(out_dir)
     sent = ResolveScopes.COUNTER_SENTINEL
 
-    crows = nodes.map_batches(
-        lambda b: b.filter(pc.equal(b["node_id"], sent)).select(["prop", "value"]),
-        batch_format="pyarrow",
-    ).take_all()
+    from import_ray.core.context import take_all_bounded
+
+    crows = take_all_bounded(
+        nodes.map_batches(
+            lambda b: b.filter(pc.equal(b["node_id"], sent)).select(
+                ["prop", "value"]
+            ),
+            batch_format="pyarrow",
+        ),
+        "genmcf: counter rows",
+    )
     counters = CounterSet()
     for r in crows:
         level, counter = json.loads(r["prop"])
@@ -549,8 +556,12 @@ def genmcf_report(
         run_stat_checks=run_stat_checks,
         **kwargs,
     )
+    from import_ray.core.context import take_all_bounded
+
     node_rows = [
-        r for r in nodes.take_all() if r["node_id"] != ResolveScopes.COUNTER_SENTINEL
+        r
+        for r in take_all_bounded(nodes, "genmcf: resolved node rows")
+        if r["node_id"] != ResolveScopes.COUNTER_SENTINEL
     ]
     return node_rows, counters
 

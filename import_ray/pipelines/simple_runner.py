@@ -28,6 +28,7 @@ import os
 import pandas as pd
 import pyarrow as pa
 
+from import_ray.core.context import take_all_bounded
 from import_ray.pipelines.config_import import run_config_import_ray
 from import_ray.stages import nl as nl_stage
 from import_ray.stages.explode import mcf_to_triples
@@ -202,15 +203,18 @@ def run_simple_import(
         # name triples, collected via a distributed filter
         sv_subjects = {
             r["subject_id"]
-            for r in triples_ds.map_batches(
-                lambda b: b.filter(
-                    pc.and_(
-                        pc.equal(b["predicate"], "typeOf"),
-                        pc.equal(b["object_id"], "StatisticalVariable"),
-                    )
-                ).select(["subject_id"]),
-                batch_format="pyarrow",
-            ).take_all()
+            for r in take_all_bounded(
+                triples_ds.map_batches(
+                    lambda b: b.filter(
+                        pc.and_(
+                            pc.equal(b["predicate"], "typeOf"),
+                            pc.equal(b["object_id"], "StatisticalVariable"),
+                        )
+                    ).select(["subject_id"]),
+                    batch_format="pyarrow",
+                ),
+                "simple_runner: StatisticalVariable subjects",
+            )
         }
         sv_arr = np.array(sorted(sv_subjects), dtype=object)
 
@@ -219,7 +223,10 @@ def run_simple_import(
             return b.filter(pa.array(keep)).select(["predicate", "object_id"])
 
         candidates: set[str] = set()
-        for r in triples_ds.map_batches(sv_ref_dcids, batch_format="pyarrow").take_all():
+        for r in take_all_bounded(
+            triples_ds.map_batches(sv_ref_dcids, batch_format="pyarrow"),
+            "simple_runner: SV-referenced dcids",
+        ):
             if r["predicate"]:
                 candidates.add(r["predicate"])
             if r["object_id"]:
@@ -236,7 +243,10 @@ def run_simple_import(
 
         dcid2name = {
             r["subject_id"]: r["object_value"]
-            for r in triples_ds.map_batches(name_triples, batch_format="pyarrow").take_all()
+            for r in take_all_bounded(
+                triples_ds.map_batches(name_triples, batch_format="pyarrow"),
+                "simple_runner: schema name triples",
+            )
             if r["object_value"]
         }
 
@@ -268,9 +278,10 @@ def run_simple_import(
 
         subj = {
             r["subject_id"]
-            for r in triples_ds.map_batches(
-                typed_subjects, batch_format="pyarrow"
-            ).take_all()
+            for r in take_all_bounded(
+                triples_ds.map_batches(typed_subjects, batch_format="pyarrow"),
+                "simple_runner: NL-typed subjects",
+            )
         }
         subj_arr = np.array(sorted(subj), dtype=object)
 
@@ -280,9 +291,10 @@ def run_simple_import(
             )
             return b.filter(pa.array(keep))
 
-        triple_rows = triples_ds.map_batches(
-            only_nl_subjects, batch_format="pyarrow"
-        ).take_all()
+        triple_rows = take_all_bounded(
+            triples_ds.map_batches(only_nl_subjects, batch_format="pyarrow"),
+            "simple_runner: NL subject triples",
+        )
         types = _subject_types(triple_rows)
 
         def of_types(allowed: set) -> list[dict]:
@@ -344,15 +356,18 @@ def run_simple_import(
         def typed_rows(type_name: str) -> list[dict]:
             subj = {
                 r["subject_id"]
-                for r in all_triples.map_batches(
-                    lambda b, t=type_name: b.filter(
-                        pc.and_(
-                            pc.equal(b["predicate"], "typeOf"),
-                            pc.equal(b["object_id"], t),
-                        )
-                    ).select(["subject_id"]),
-                    batch_format="pyarrow",
-                ).take_all()
+                for r in take_all_bounded(
+                    all_triples.map_batches(
+                        lambda b, t=type_name: b.filter(
+                            pc.and_(
+                                pc.equal(b["predicate"], "typeOf"),
+                                pc.equal(b["object_id"], t),
+                            )
+                        ).select(["subject_id"]),
+                        batch_format="pyarrow",
+                    ),
+                    f"simple_runner: {type_name} subjects",
+                )
             }
             if not subj:
                 return []
@@ -364,7 +379,10 @@ def run_simple_import(
                 m = np.isin(b["subject_id"].to_numpy(zero_copy_only=False), arr)
                 return b.filter(pa.array(m))
 
-            return all_triples.map_batches(keep, batch_format="pyarrow").take_all()
+            return take_all_bounded(
+                all_triples.map_batches(keep, batch_format="pyarrow"),
+                f"simple_runner: {type_name} triples",
+            )
 
         cache_val = generate_svg_cache_value(
             typed_rows("StatVarGroup"), typed_rows("StatisticalVariable")

@@ -46,7 +46,10 @@ def _triples_rows(triples) -> list[dict]:
         return triples
     if isinstance(triples, pd.DataFrame):
         return triples.to_dict("records")
-    return triples.take_all()  # Dataset (schema-scale by contract)
+    from import_ray.core.context import take_all_bounded
+
+    # Dataset input: schema-scale by contract, now ENFORCED by budget
+    return take_all_bounded(triples, "nl: sentence-candidate triples")
 
 
 def generate_nl_sentences(triples, nl_dir: str) -> pd.DataFrame:

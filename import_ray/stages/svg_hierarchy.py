@@ -344,7 +344,11 @@ def generate_svg_hierarchy(
     )
 
     # vertical / Root attach over the tiny distinct pop rows
-    pop_rows = distinct.filter(expr="kind == 'pop'").take_all()
+    from import_ray.core.context import take_all_bounded
+
+    pop_rows = take_all_bounded(
+        distinct.filter(expr="kind == 'pop'"), "svg_hierarchy: distinct pop rows"
+    )
     pop_mprops: dict[str, set[str]] = {}
     pop_svg_of: dict[str, str] = {}
     for r in pop_rows:
