@@ -126,6 +126,79 @@ def ensure_stress_embeddings(copies: int) -> str:
     return out_dir
 
 
+def ensure_skewed_transcripts(n_convs: int) -> tuple[str, list]:
+    """(uniform_input, skewed_input): the same transcript corpus, plus
+    ONE planted mega-conversation holding ~1 % of all turns in the
+    skewed copy — real conversation-size skew (the generator's routine
+    mega-convs are ~25× the mean; this one is ~20,000×). The skewed
+    input exercises the conv-partial pseudo-row path: the mega conv's
+    turn rows spread over many read shards, each batch emits one
+    bounded partial, and only partials (not raw turns) meet at the
+    keyed exchange — wall time must stay within ~1.5× of uniform."""
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    uniform = ensure_transcripts("/root/testdata/sf0.1", n_convs=n_convs)
+    mega_dir = f"/tmp/raydc_stress/megaconv_{n_convs}"
+    if not (os.path.isdir(mega_dir) and glob.glob(os.path.join(mega_dir, "*.parquet"))):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        total = pads.dataset(uniform).count_rows()
+        mega_turns = max(1000, int(total * 0.0101))
+        words = np.array(
+            (
+                "the quick brown fox jumps over lazy dog data graph node "
+                "edge value count place year observation metric state city"
+            ).split(),
+            dtype=object,
+        )
+        os.makedirs(mega_dir + ".tmp", exist_ok=True)
+        rng = np.random.default_rng(777)
+        base_ts = np.datetime64("2025-06-01T00:00:00", "us")
+        per_shard = 250_000
+        shard = 0
+        for start in range(0, mega_turns, per_shard):
+            n = min(per_shard, mega_turns - start)
+            idx = np.arange(start, start + n, dtype=np.int32)
+            toks = words[rng.integers(0, len(words), (n, 12))]
+            texts = np.array([" ".join(row) for row in toks], dtype=object)
+            roles = np.where(idx % 2 == 0, "user", "assistant").astype(object)
+            t = pa.table(
+                {
+                    "conv_id": pa.array(np.full(n, "megaconv00000001", object)),
+                    "turn_idx": pa.array(idx, pa.int32()),
+                    "role": pa.array(roles, pa.string()),
+                    "text": pa.array(texts, pa.large_string()),
+                    "tool": pa.array(np.full(n, "", object), pa.string()),
+                    "ts": pa.array(
+                        base_ts + (idx.astype("timedelta64[s]") * 30).astype(
+                            "timedelta64[us]"
+                        ),
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+            pq.write_table(
+                t,
+                os.path.join(mega_dir + ".tmp", f"part-{shard:05d}.parquet"),
+                row_group_size=25_000,
+            )
+            shard += 1
+        os.rename(mega_dir + ".tmp", mega_dir)
+
+    def files(p: str) -> list:
+        # ray.data.read_parquet treats LIST entries as files, not dirs
+        return (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+
+    return uniform, files(uniform) + files(mega_dir)
+
+
 def spill_bytes() -> int:
     total = 0
     for d in glob.glob("/tmp/ray/**/session_*/logs/raylet.out", recursive=True):
@@ -166,7 +239,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=1_920_000)
     ap.add_argument("--doc-copies", type=int, default=200)
-    ap.add_argument("--skip", default="", help="comma list: flagship,minhash,semdedup")
+    ap.add_argument(
+        "--skip", default="", help="comma list: flagship,minhash,semdedup,skew"
+    )
+    ap.add_argument("--skew-convs", type=int, default=240_000)
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -202,6 +278,37 @@ def main() -> None:
             "spill_mb": spill_bytes(),
         }
         print(json.dumps({"flagship": results["flagship"]}), flush=True)
+
+    if "skew" not in skip:
+        from import_ray.pipelines.kg import build_triples
+
+        from import_ray.sources.transcripts import ensure_transcripts
+
+        uniform, skewed = ensure_skewed_transcripts(args.skew_convs)
+        # warm pass at small scale (worker + aggregator-pool spin-up),
+        # then uniform vs skewed back-to-back under the same conditions
+        build_triples(
+            ensure_transcripts("/root/testdata/sf0.001"),
+            dedup_strategy="broadcast",
+        ).count()
+        t0 = time.time()
+        n_u = build_triples(uniform, dedup_strategy="broadcast").count()
+        wall_u = time.time() - t0
+        t0 = time.time()
+        n_s = build_triples(skewed, dedup_strategy="broadcast").count()
+        wall_s = time.time() - t0
+        results["skew"] = {
+            "convs": args.skew_convs,
+            "uniform_triples": n_u,
+            "uniform_wall_sec": round(wall_u, 1),
+            "skewed_triples": n_s,
+            "skewed_wall_sec": round(wall_s, 1),
+            "mega_turn_share": 0.01,
+            "wall_ratio": round(wall_s / wall_u, 3),
+            "cluster_rss_gb": cluster_rss_gb(),
+            "spill_mb": spill_bytes(),
+        }
+        print(json.dumps({"skew": results["skew"]}), flush=True)
 
     docs_dir = ensure_stress_documents(args.doc_copies)
 
