@@ -19,6 +19,12 @@ drift, not a code regression.
 
 ``--scaling``: reruns the headline in fresh processes at 8 and 32 CPUs
 on the same input and reports both throughputs + scaling efficiency.
+
+``--cold``: one PROCESS-FRESH pass of the headline + 5 representative
+queries with NO warm passes (fresh Ray session, cold actor pools /
+shuffle aggregators / read planning), so the fixed costs that the warm
+min-of-2 methodology amortizes are visible per query. Recorded next to
+the warm numbers in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -375,8 +381,64 @@ def run_scaling() -> dict:
     }
 
 
+COLD_QUERIES = [
+    "q1_pricing_summary",
+    "kg_triples_planted",
+    "minhash_dedup_docs",
+    "sameas_canonical_planted",
+    "cms_heavy_hitter_users",
+]
+
+
+def run_cold() -> dict:
+    """Single cold pass per pipeline (see module docstring)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    from import_ray.pipelines.kg import build_triples
+    from import_ray.sources.transcripts import ensure_transcripts
+
+    machine = [_probe_point("start")]
+    tx_path = ensure_transcripts(SF_DIR)
+    t0 = time.time()
+    n_triples = build_triples(tx_path).count()
+    headline = time.time() - t0
+    qs = E.queries()
+    qtimes = {}
+    for name in COLD_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+    machine.append(_probe_point("end"))
+    out = {
+        "metric": "kg_transcripts_to_triples_cold_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "triples": int(n_triples),
+        "machine": machine,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--cold" in sys.argv:
+        print(json.dumps(run_cold()))
     else:
         print(json.dumps(run_bench()))
