@@ -450,7 +450,6 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
 
     # entropy-coded bytes: destuff FF00 and strip restart markers
-    end = pos
     raw = np.frombuffer(data, np.uint8)
     ff = np.flatnonzero(raw[pos:] == 0xFF) + pos
     stops = ff[
@@ -489,9 +488,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         ch, cv, _tq = comp_by_id[cid]
         grids[cid] = np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
 
-    sym_len = {
-        (tc, th): hlut[(tc, th)] for (tc, th) in hlut
-    }
+    sym_len = hlut
 
     def read_block(dc_th, ac_th):
         coef = np.zeros(64, np.int32)
