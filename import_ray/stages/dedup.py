@@ -390,17 +390,17 @@ def _dup_h1_block(batch: pa.Table) -> pa.Table:
     return pa.table({"h1": pa.array(dups)})
 
 
-# Bloom sizing for the dup-h1 prefilter: 2^26 bits = 8 MB broadcast,
-# <1 % false-positive rate up to ~6 M duplicated keys. False positives
-# only add singleton rows to the round-2 exchange (the winner election
-# on full (h1, h2) keys is exact); past ~tens of millions of dup keys
-# the FP rate degrades toward shipping everything — exactly the regime
-# where the prefilter stops paying anyway.
-_DUP_BLOOM_BITS = 1 << 26
+# Bloom sizing for the dup-h1 prefilter: 2^23 bits = 1 MB per partial,
+# <1 % false-positive rate up to ~800 k duplicated keys. False
+# positives only add singleton rows to the round-2 exchange (the
+# winner election on full (h1, h2) keys is exact); past that the FP
+# rate degrades toward shipping everything — exactly the regime where
+# the prefilter stops paying anyway.
+_DUP_BLOOM_BITS = 1 << 23
 _DUP_BLOOM_K = 4
 
 
-def broadcast_dedup_hashed(hashed, num_partitions: int, h1_prefilter: bool = True):
+def broadcast_dedup_hashed(hashed, num_partitions: int, h1_prefilter: bool = False):
     """The broadcast-strategy dedup core over an already-materialized
     dataset carrying (h1, h2, ph, tag): shuffle only the key rows,
     elect per-duplicated-key winners, filter blocks in place via an
@@ -411,10 +411,19 @@ def broadcast_dedup_hashed(hashed, num_partitions: int, h1_prefilter: bool = Tru
     duplicated h1 values, folds them into a fixed-size Bloom filter
     (distributed OR-reduce — dup keys never hit the driver), and round
     2 ships the full 32-byte key rows only for Bloom-candidate rows.
-    At low duplicate ratios (the norm after per-block local distinct)
-    this cuts winner-exchange bytes ~3.5× — 8 B/row + 32 B/candidate
-    vs 32 B/row — at the cost of one extra small exchange; a corpus
-    with no cross-block duplicates short-circuits round 2 entirely."""
+    At low duplicate ratios this cuts winner-exchange bytes ~3.5× —
+    8 B/row + 32 B/candidate vs 32 B/row — at the cost of one extra
+    pass over the blocks and one extra (narrow) exchange; a corpus
+    with no cross-block duplicates short-circuits round 2 entirely.
+
+    Default OFF: the prefilter trades a full extra block pass for
+    exchange BYTES, which pays only when shuffle bytes are the
+    bottleneck (multi-node, network-bound object transfers). Measured
+    single-node at 16 M triples / 32 CPUs: prefilter 15.2 s vs direct
+    12.5 s — the object store moves 32 B rows at memory speed, so the
+    byte saving cannot win locally. Enable it on real clusters where
+    cross-node winner-exchange traffic dominates. Both paths are
+    byte-equal (pytest-gated)."""
     import ray
 
     from import_ray.core.context import cluster_cpus

@@ -355,7 +355,7 @@ def test_broadcast_prefilter_dupfree_short_circuit(ray_session):
         .map_batches(_hash_tag_local_distinct, batch_format="pyarrow")
         .materialize()
     )
-    out = broadcast_dedup_hashed(hashed, 4)
+    out = broadcast_dedup_hashed(hashed, 4, h1_prefilter=True)
     df = out.to_pandas()
     assert len(df) == 100
     assert set(df.columns) == {
