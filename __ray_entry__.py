@@ -1067,6 +1067,72 @@ def _media_bmp_features(sf_dir: str):
     ).select_columns(["media_id", "media_type", "payload_bytes"])
 
 
+def _format_copy(sf_dir: str, table: str, fmt: str, columns=None) -> str:
+    """Cached /tmp copy of a testdata table in another file format —
+    input fixture for the ORC/JSONL/Feather reader oracle checks (the
+    DuckDB oracle reads the original parquet view; values identical)."""
+    import ray.data
+
+    from import_ray.sources import formats as F
+
+    out_dir = f"/tmp/raydc_formats/{os.path.basename(os.path.normpath(sf_dir))}_{table}_{fmt}"
+    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+        writer = {"orc": F.write_orc, "jsonl": F.write_jsonl, "feather": F.write_feather}[fmt]
+        tmp = out_dir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer(ds, tmp)
+        os.rename(tmp, out_dir)
+    return out_dir
+
+
+def _q6_from_orc(sf_dir: str):
+    """TPC-H Q6 computed from an ORC copy of lineitem via the ORC
+    reader (sources/formats.py) — the SAME q6 operator, the oracle
+    reads the original parquet view; a hash match certifies the ORC
+    decode end-to-end."""
+    from import_ray.pipelines import relational as R
+    from import_ray.sources import formats as F
+
+    cols = ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    orc_dir = _format_copy(sf_dir, "lineitem", "orc", columns=cols)
+    ds = F.read_orc(sorted(
+        os.path.join(orc_dir, f) for f in os.listdir(orc_dir)
+    )).map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return R.q6_discount_revenue(sf_dir, ds=ds)
+
+
+def _events_daily_from_jsonl(sf_dir: str):
+    """events_daily_counts from a JSONL copy of events via the JSONL
+    reader — certifies the JSONL roundtrip (timestamps inferred from
+    ISO strings) against the parquet-reading oracle."""
+    from import_ray.pipelines import relational as R
+    from import_ray.sources import formats as F
+
+    import pyarrow as pa
+
+    cols = ["event_type", "ts", "value"]
+    jl_dir = _format_copy(sf_dir, "events", "jsonl", columns=cols)
+
+    def restore_types(b: pa.Table) -> pa.Table:
+        # Arrow's JSON reader leaves microsecond-precision timestamps
+        # as strings (its inference stops at whole seconds); the cast
+        # restores the parquet schema exactly
+        b = b.select(cols).replace_schema_metadata(None)
+        return b.set_column(
+            b.schema.get_field_index("ts"),
+            "ts",
+            b["ts"].cast(pa.timestamp("us")),
+        )
+
+    ds = F.read_jsonl(sorted(
+        os.path.join(jl_dir, f) for f in os.listdir(jl_dir)
+    )).map_batches(restore_types, batch_format="pyarrow")
+    return R.events_daily_counts(sf_dir, ds=ds)
+
+
 def _media_jpeg_features(sf_dir: str):
     """REAL-codec media features over baseline-DCT JPEG payloads
     (pure-numpy encoder+decoder, stages/jpeg.py; rows-only: binary
@@ -4255,6 +4321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bmp_phash_pairs": _media_bmp_phash_pairs,
         "media_jpeg_features": _media_jpeg_features,
         "media_jpeg_phash_pairs": _media_jpeg_phash_pairs,
+        "q6_from_orc": _q6_from_orc,
+        "events_daily_from_jsonl": _events_daily_from_jsonl,
     }
     # The external driver samples the HEAD of this dict for its oracle
     # comparison, so the first 50 entries interleave every operator
@@ -4555,6 +4623,10 @@ def oracle_sql() -> dict[str, str]:
             "1 AS n FROM events GROUP BY user_id, event_type"
         ),
         "config_import_obs": CONFIG_IMPORT_SQL,
+        # format-reader certifications: same operator over an ORC/JSONL
+        # copy of the table; the oracle reads the original parquet view
+        "q6_from_orc": R.Q6_SQL,
+        "events_daily_from_jsonl": R.EVENTS_DAILY_SQL,
         # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
         # multimodal_features, kg_transcript_triples: not SQL-expressible
         # → rows-only checks

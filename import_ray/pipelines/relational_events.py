@@ -22,8 +22,10 @@ from import_ray.pipelines.relational_base import _cents, _np, _np_for, _read, _r
 #     simple/stats/events_importer.py:152-196,336-343) ------------------------
 
 
-def events_daily_counts(sf_dir: str):
-    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+def events_daily_counts(sf_dir: str, ds=None):
+    """``ds`` overrides the parquet read (see q6_discount_revenue)."""
+    if ds is None:
+        ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")

@@ -484,17 +484,22 @@ WHERE NOT EXISTS (
 # --- q6: filtered global aggregate (TPC-H Q6 shape; SURVEY §2.4+§2.7) --------
 
 
-def q6_discount_revenue(sf_dir: str):
+def q6_discount_revenue(sf_dir: str, ds=None):
     """Filter-heavy scan + single global sum: the filter and the partial
     sum both run inside map_batches (combiner pattern), so only one tiny
-    partial row per batch reaches the final aggregate."""
+    partial row per batch reaches the final aggregate.
+
+    ``ds`` overrides the parquet read with a caller-supplied lineitem
+    Dataset (any source format — the ORC/JSONL readers reuse this same
+    operator for their oracle checks)."""
     import pandas as pd
 
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-    )
+    if ds is None:
+        ds = _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
 
     lo = np.datetime64("1996-01-01")
     hi = np.datetime64("1997-01-01")
