@@ -1369,6 +1369,47 @@ def _pq_knn_planted(sf_dir: str):
     )
 
 
+def _ivfpq_knn_planted(sf_dir: str):
+    """IVF-PQ (IVFADC) ANN with planted EXACT copies as ground truth
+    (k=1, rerank_factor=8): the copy lands in the query's own coarse
+    cell (probed first) and encodes to the query's own residual
+    codewords (maximal ADC score → always in the candidate set); the
+    exact re-rank scores it at cosine exactly 1.0, strictly above
+    every natural vector — rank 1 must be vec_id + 1e6."""
+    import pyarrow as pa
+
+    from import_ray.stages.similarity import ivfpq_knn
+
+    n_q = 32
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids < n_q))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(
+                    sub["vec_id"].to_numpy(zero_copy_only=False) + _PLANT_OFFSET
+                ),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([b, copies.cast(b.schema)])
+
+    return ivfpq_knn(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        n_q,
+        k=1,
+        n_clusters=8,
+        n_probe=2,
+        m=8,
+        n_codes=32,
+        rerank_factor=8,
+    )
+
+
 def _knn_int8_planted(sf_dir: str):
     """int8-quantized kNN with planted exact copies: the copy's int8
     codes equal the query's own quantization, so its dequantized cosine
@@ -4212,6 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _ivf_knn,
         "ivf_knn_planted": _ivf_knn_planted,
         "pq_knn_planted": _pq_knn_planted,
+        "ivfpq_knn_planted": _ivfpq_knn_planted,
         "pack_docs_conservation": _pack_docs_conservation,
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
@@ -4545,6 +4587,10 @@ def oracle_sql() -> dict[str, str]:
             "1.0 AS cosine FROM embeddings WHERE vec_id % 20 = 0"
         ),
         "ivf_knn_planted": (
+            f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
+            "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
+        ),
+        "ivfpq_knn_planted": (
             f"SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS neighbor_id, "
             "CAST(1 AS BIGINT) AS rank FROM embeddings WHERE vec_id < 32"
         ),

@@ -726,6 +726,16 @@ def pq_knn(
     if not rerank_factor:
         return adc_top
 
+    return _exact_rerank(adc_top, embeddings_ds, query_vectors, k, n)
+
+
+def _exact_rerank(adc_top, embeddings_ds, query_vectors: dict, k: int, n: int):
+    """Second-stage refinement shared by pq_knn / ivfpq_knn: ONE hash
+    join ships the candidate (query_id, neighbor_id) rows to the
+    embeddings table for exact cosine rescoring — full-precision
+    vectors are touched for the candidate set only, never scanned."""
+    from import_ray.core.context import join_safe
+
     qids_sorted = np.array(sorted(query_vectors), dtype=np.int64)
     qm = _normalize(
         np.stack([query_vectors[q] for q in sorted(query_vectors)]).astype(np.float64)
@@ -772,3 +782,156 @@ def pq_knn(
     return join_safe(rescored).groupby("query_id", num_partitions=n).map_groups(
         _final_topk_factory(k), batch_format="pandas"
     )
+
+
+# --- IVF-PQ: coarse inverted file + residual product quantization ------------
+
+
+def train_ivfpq(
+    embeddings_ds,
+    n_clusters: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+):
+    """Train the IVF-PQ model (Jégou et al. 2011 §IV: IVFADC): a
+    spherical coarse quantizer (the IVF centroids) plus PQ codebooks
+    over the RESIDUALS x − c(x), pooled across cells. Residual
+    encoding is what makes the composition beat plain PQ: residual
+    magnitudes are a fraction of the vectors', so the same n_codes
+    spend their precision on a much smaller subspace. Both artifacts
+    are KB-sized broadcasts regardless of corpus scale."""
+    train = _normalize(_hash_sample(embeddings_ds, train_sample).astype(np.float64))
+    centroids = _kmeans(train, n_clusters)
+    assign = np.argmax(train @ centroids.T, axis=1)
+    resid = train - centroids[assign]
+    d = resid.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.stack(
+        [_kmeans_l2(resid[:, i * dsub : (i + 1) * dsub], n_codes) for i in range(m)]
+    )
+    return centroids, codebooks
+
+
+def ivfpq_encode(embeddings_ds, centroids: np.ndarray, codebooks: np.ndarray):
+    """One encode pass: vector → (cell: uint16, m residual codes).
+    Downstream search reads ONLY this table (2 + m bytes per vector);
+    the full-precision embeddings never leave storage again except for
+    the candidate-set re-rank join."""
+    m, n_codes, dsub = codebooks.shape
+    c_sq = (codebooks**2).sum(axis=2)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch))
+        n = len(emb)
+        assign = (
+            np.argmax(emb @ centroids.T, axis=1) if n else np.zeros(0, np.int64)
+        )
+        resid = emb - centroids[assign] if n else emb
+        codes = np.empty((n, m), dtype=np.uint8)
+        for i in range(m):
+            sub = resid[:, i * dsub : (i + 1) * dsub]
+            dist = c_sq[i][None, :] - 2.0 * (sub @ codebooks[i].T)
+            codes[:, i] = np.argmin(dist, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cell": pa.array(assign.astype(np.int32), pa.int32()),
+                "code": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(m), n, [None, pa.py_buffer(codes.tobytes())]
+                ),
+            }
+        )
+
+    return embeddings_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+class IVFPQPartialTopK:
+    """Per-batch IVFADC top-k over the codes table: score(q, x) ≈
+    q·c(x) + Σᵢ LUTᵢ[codeᵢ(x)] — one (Q, n_clusters) coarse term
+    gathered by cell id plus m uint8-indexed gathers, restricted to
+    each query's n_probe nearest cells. No float matmul against the
+    corpus; 2 + m bytes read per corpus vector."""
+
+    def __init__(self, queries: dict, k: int, centroids, codebooks, n_probe: int):
+        self.qids = np.array(sorted(queries), dtype=np.int64)
+        qm = _normalize(
+            np.stack([queries[q] for q in sorted(queries)]).astype(np.float64)
+        )
+        m, n_codes, dsub = codebooks.shape
+        self.m = m
+        self.q_cent = qm @ centroids.T  # (Q, C): the coarse term
+        order = np.argsort(-self.q_cent, axis=1)[:, :n_probe]
+        self.probe_matrix = np.zeros((len(self.qids), len(centroids)), bool)
+        np.put_along_axis(self.probe_matrix, order, True, axis=1)
+        self.lut = np.empty((len(self.qids), m, n_codes))
+        for i in range(m):
+            self.lut[:, i, :] = qm[:, i * dsub : (i + 1) * dsub] @ codebooks[i].T
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        col = batch["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8).reshape(-1, self.m)
+        codes = codes[col.offset : col.offset + len(col)]
+        scores = self.q_cent[:, cells].copy()
+        for i in range(self.m):
+            scores += self.lut[:, i, :][:, codes[:, i]]
+        allowed = self.probe_matrix[:, cells]
+        allowed &= vec_ids[None, :] != self.qids[:, None]
+        scores[~allowed] = -np.inf
+        return _emit_topk(self.qids, vec_ids, scores, self.k)
+
+
+def ivfpq_knn(
+    embeddings_ds,
+    n_queries: int,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    rerank_factor: int = 4,
+):
+    """Approximate cosine top-k via IVF + residual PQ (IVFADC) with
+    exact re-ranking — the standard billion-scale ANN shape:
+
+    1. train (driver, hash sample): coarse centroids + residual
+       codebooks — KB-sized broadcasts;
+    2. ONE encode pass: vector → (cell, m bytes); the codes table is
+       the only thing search scans (2+m bytes/vector vs 4d);
+    3. per-batch ADC restricted to each query's ``n_probe`` cells —
+       work drops ×(n_probe/n_clusters) ON TOP of the PQ byte savings;
+    4. partial top-(r·k) per block → tiny per-query merge → ONE hash
+       join re-ranks the r·k candidates against the full-precision
+       vectors (``rerank_factor=0`` skips the re-rank).
+
+    Recall vs brute force is pytest-gated on clustered data; the
+    planted-copy query (`ivfpq_knn_planted`) makes the path
+    hash-checkable end-to-end."""
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(embeddings_ds)
+    q = embeddings_ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
+    query_vectors = {r["vec_id"]: np.asarray(r["embedding"]) for r in q}
+    centroids, codebooks = train_ivfpq(
+        embeddings_ds, n_clusters=n_clusters, m=m, n_codes=n_codes,
+        train_sample=train_sample,
+    )
+    codes = ivfpq_encode(embeddings_ds, centroids, codebooks)
+    n = npartitions()
+    adc_k = k * rerank_factor if rerank_factor else k
+    partial = IVFPQPartialTopK(query_vectors, adc_k, centroids, codebooks, n_probe)
+    partials = join_safe(codes.map_batches(partial, batch_format="pyarrow"))
+    adc_top = partials.groupby("query_id", num_partitions=n).map_groups(
+        _final_topk_factory(adc_k), batch_format="pandas"
+    )
+    if not rerank_factor:
+        return adc_top
+    return _exact_rerank(adc_top, embeddings_ds, query_vectors, k, n)

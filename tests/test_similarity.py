@@ -301,3 +301,63 @@ def test_pq_encode_schema_and_determinism(embeddings):
     assert len(out1) == ds.count()
     assert all(isinstance(r["code"], bytes) and len(r["code"]) == 4 for r in out1)
     assert [r["code"] for r in out1] == [r["code"] for r in out2]
+
+
+def test_ivfpq_recall_clustered(ray_session):
+    """IVFADC (coarse cells + residual PQ + exact re-rank) must reach
+    recall ≥0.9 vs brute force on clustered data while scanning only
+    2+m bytes per corpus vector and probing half the cells."""
+    import ray.data
+
+    from import_ray.stages.similarity import ivfpq_knn, knn_cosine
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 32)) * 4
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(60):
+            v = centers[c] + 0.25 * rng.standard_normal(32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = ray.data.from_items(rows)
+
+    exact = knn_cosine(ds, 5, 10).take_all()
+    approx = ivfpq_knn(
+        ds, 5, 10, n_clusters=8, n_probe=4, m=8, n_codes=32,
+        train_sample=480, rerank_factor=8,
+    ).take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivfpq_encode_schema(ray_session):
+    """One (cell, m-byte code) row per vector; cells within range;
+    deterministic re-encode."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.similarity import ivfpq_encode, train_ivfpq
+
+    rng = np.random.default_rng(4)
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(32).tolist()}
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(rows)
+    centroids, codebooks = train_ivfpq(ds, n_clusters=8, m=4, n_codes=16,
+                                       train_sample=200)
+    t1 = ivfpq_encode(ds, centroids, codebooks).to_pandas().sort_values("vec_id")
+    t2 = ivfpq_encode(ds, centroids, codebooks).to_pandas().sort_values("vec_id")
+    assert len(t1) == 200
+    assert t1["cell"].between(0, 7).all()
+    assert (t1["cell"].to_numpy() == t2["cell"].to_numpy()).all()
+    assert list(t1["code"]) == list(t2["code"])
