@@ -777,12 +777,16 @@ def co_mention_pmi(
             }
         )
 
+    # the filter must sit INSIDE the join_safe re-block: a filter that
+    # empties a block emits it schema-less, and acero rejects
+    # schema-less blocks on a join side ("No match ... for key field")
     pair_counts = join_safe(
         mentions.repartition(n, keys=["conv"])
         .map_batches(pairs, batch_format="pyarrow", batch_size=None)
         .groupby(["ent_lo", "ent_hi"], num_partitions=n)
         .aggregate(Count(alias_name="n_pair"))
-    ).filter(expr=f"n_pair >= {int(min_pairs)}")
+        .filter(expr=f"n_pair >= {int(min_pairs)}")
+    )
 
     # join output partitions can be empty schema-less blocks; re-block
     # before the next keyed op (join_safe) — same guard as everywhere
