@@ -1067,6 +1067,42 @@ def _media_bmp_features(sf_dir: str):
     ).select_columns(["media_id", "media_type", "payload_bytes"])
 
 
+def _harmonic_star_planted(sf_dir: str):
+    """Exact harmonic centrality on a planted star graph over the
+    nation table's 25 ids (center = nation 0): all-seeds mode makes
+    the sampled estimator exact, so the closed form H(center) = 24,
+    H(leaf) = 1 + 23/2 is SQL-expressible (stages/graph.py
+    harmonic_centrality)."""
+    import pyarrow as pa
+    import ray.data
+
+    from import_ray.stages.graph import harmonic_centrality
+
+    nk = _read_table(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    ids = sorted(int(x) for x in nk["n_nationkey"])
+    center, leaves = ids[0], ids[1:]
+    edges = pa.table(
+        {
+            "doc_lo": pa.array([center] * len(leaves), pa.int64()),
+            "doc_hi": pa.array(leaves, pa.int64()),
+        }
+    )
+    return harmonic_centrality(
+        ray.data.from_arrow(edges), seeds=ids, max_hops=4
+    )
+
+
+HARMONIC_STAR_SQL = """
+WITH m AS (SELECT COUNT(*) - 1 AS leaves FROM nation)
+SELECT n_nationkey AS node,
+       CASE WHEN n_nationkey = (SELECT MIN(n_nationkey) FROM nation)
+            THEN CAST((SELECT leaves FROM m) AS DOUBLE)
+            ELSE 1.0 + ((SELECT leaves FROM m) - 1) / 2.0 END AS harmonic
+FROM nation
+ORDER BY node
+"""
+
+
 _ORDERS_PRIORITIES = [
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
 ]
@@ -4424,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_from_jsonl": _events_daily_from_jsonl,
         "ivfpq_knn_planted": _ivfpq_knn_planted,
         "expectations_orders": _expectations_orders,
+        "harmonic_star_planted": _harmonic_star_planted,
     }
     # The external driver samples the HEAD of this dict for its oracle
     # comparison, so the first 50 entries interleave every operator
@@ -4485,9 +4522,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_planted",
         "gopher_quality_docs",
         "lm_perplexity_planted",
-        # relational core
-        "q1_pricing_summary",
-        "events_daily_counts",
+        # relational core + round-5 additions (q6_from_orc is TPC-H Q6
+        # through the ORC reader — the relational representative AND
+        # the format-reader certification; expectations_orders is the
+        # table-contract operator — both hard SQL oracles)
+        "q6_from_orc",
+        "expectations_orders",
     ]
     head_set = set(head)
     return {k: q[k] for k in head} | {
@@ -4733,6 +4773,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_from_orc": R.Q6_SQL,
         "events_daily_from_jsonl": R.EVENTS_DAILY_SQL,
         "expectations_orders": EXPECTATIONS_ORDERS_SQL,
+        "harmonic_star_planted": HARMONIC_STAR_SQL,
         # lang_id_docs, minhash/simhash/ngram near-dup, doc_fingerprints,
         # multimodal_features, kg_transcript_triples: not SQL-expressible
         # → rows-only checks

@@ -1075,6 +1075,61 @@ def adamic_adar_topk(edges_ds, top_k: int = 50, max_wedges_per_node: int = 10_00
     )
 
 
+def _bfs_visited(edges, seeds: np.ndarray, max_hops: int, n: int):
+    """Multi-source BFS core shared by k_hop_reach / harmonic
+    centrality: DIRECTED (u, v) edge Dataset + seed array → visited
+    Dataset (seed, node, hop) with hop = the exact BFS distance.
+    Per hop: frontier ⋈ edges hash join on 8-byte keys + ONE
+    (seed, node) keyed min-hop fold; no driver-side adjacency."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from import_ray.core.context import join_safe
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(seeds, pa.int64()),
+                "node": pa.array(seeds, pa.int64()),
+                "hop": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+            }
+        )
+    )
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = join_safe(
+            frontier.select_columns(["seed", "node"]).join(
+                edges,
+                join_type="inner",
+                num_partitions=n,
+                on=("node",),
+                right_on=("u",),
+            )
+        )
+
+        def as_candidate(b: pa.Table, _h=hop) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": b["seed"],
+                    "node": b["v"],
+                    "hop": pa.array(
+                        np.full(b.num_rows, _h, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        candidates = nxt.map_batches(as_candidate, batch_format="pyarrow")
+        visited = join_safe(
+            visited.union(candidates)
+            .groupby(["seed", "node"], num_partitions=n)
+            .aggregate(Min("hop", alias_name="hop"))
+        ).materialize()
+        frontier = join_safe(visited.filter(expr=f"hop == {hop}"))
+        if frontier.count() == 0:
+            break
+    return visited
+
+
 def k_hop_reach(edges_ds, n_seeds: int = 16, max_hops: int = 3, seeds=None):
     """Multi-source k-hop reachability (distributed BFS frontier
     expansion) over an undirected edge set with ``doc_lo``/``doc_hi``
@@ -1121,48 +1176,7 @@ def k_hop_reach(edges_ds, n_seeds: int = 16, max_hops: int = 3, seeds=None):
         partials = edges.map_batches(block_min, batch_format="pyarrow").to_pandas()
         seeds = np.sort(partials["u"].unique())[: int(n_seeds)]
     seeds = np.asarray(sorted(int(s) for s in seeds), dtype=np.int64)
-
-    visited = ray.data.from_arrow(
-        pa.table(
-            {
-                "seed": pa.array(seeds, pa.int64()),
-                "node": pa.array(seeds, pa.int64()),
-                "hop": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
-            }
-        )
-    )
-    frontier = visited
-    for hop in range(1, int(max_hops) + 1):
-        nxt = join_safe(
-            frontier.select_columns(["seed", "node"]).join(
-                edges,
-                join_type="inner",
-                num_partitions=n,
-                on=("node",),
-                right_on=("u",),
-            )
-        )
-
-        def as_candidate(b: pa.Table, _h=hop) -> pa.Table:
-            return pa.table(
-                {
-                    "seed": b["seed"],
-                    "node": b["v"],
-                    "hop": pa.array(
-                        np.full(b.num_rows, _h, dtype=np.int64), pa.int64()
-                    ),
-                }
-            )
-
-        candidates = nxt.map_batches(as_candidate, batch_format="pyarrow")
-        visited = join_safe(
-            visited.union(candidates)
-            .groupby(["seed", "node"], num_partitions=n)
-            .aggregate(Min("hop", alias_name="hop"))
-        ).materialize()
-        frontier = join_safe(visited.filter(expr=f"hop == {hop}"))
-        if frontier.count() == 0:
-            break
+    visited = _bfs_visited(edges, seeds, int(max_hops), n)
 
     per_hop = (
         visited.groupby(["seed", "hop"], num_partitions=max(2, n // 4))
@@ -1181,6 +1195,113 @@ def k_hop_reach(edges_ds, n_seeds: int = 16, max_hops: int = 3, seeds=None):
     res["seed"] = res["seed"].astype(np.int64)
     res["hop"] = res["hop"].astype(np.int64)
     return res
+
+
+def harmonic_centrality(
+    edges_ds, n_seeds: int = 16, max_hops: int = 6, seeds=None
+):
+    """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u,v) over an undirected
+    edge set (``doc_lo``/``doc_hi`` int64 endpoints), estimated from
+    ``n_seeds`` BFS sources (Eppstein–Wang sampling): on an undirected
+    graph d(s,v) = d(v,s), so k sources give every node k distance
+    samples and Ĥ(v) = (n−1)·mean_{s∈S∖{v}} 1/d(s,v). Passing
+    ``seeds`` = all nodes makes the estimate EXACT (the planted oracle
+    uses this; the scale factor reduces to 1).
+
+    Scale shape: the BFS core is the shared ``_bfs_visited`` (per hop:
+    one 8-byte hash join + one keyed min fold; frontier Datasets, no
+    driver adjacency); the centrality fold is ONE (node)-keyed sum of
+    1/hop partials, bounded by seeds × nodes rows; unreachable
+    (s, v) pairs contribute 0 (the harmonic convention). Distance is
+    truncated at ``max_hops`` (contributions beyond add ≤ 1/max_hops
+    each — size max_hops to the graph's diameter for exactness).
+
+    Returns pandas (node:int64, harmonic:float64) sorted by node.
+    """
+    from ray.data.aggregate import Sum
+
+    from import_ray.core.context import ensure_hash_shuffle, join_safe, npartitions
+
+    ensure_hash_shuffle(edges_ds)
+    n = npartitions()
+
+    def directed(b: pa.Table) -> pa.Table:
+        lo = b["doc_lo"].to_numpy(zero_copy_only=False)
+        hi = b["doc_hi"].to_numpy(zero_copy_only=False)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "v": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(directed, batch_format="pyarrow").materialize()
+
+    # distinct node count: per-block unique partials → one 8-byte keyed
+    # exchange → per-partition distinct count (tiny fold rows)
+    def uniq_nodes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(np.unique(b["u"].to_numpy(zero_copy_only=False)))}
+        )
+
+    def count_block(b: pa.Table) -> pa.Table:
+        u = np.unique(b["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([len(u)], pa.int64())})
+
+    node_parts = (
+        join_safe(edges.map_batches(uniq_nodes, batch_format="pyarrow"))
+        .repartition(max(2, n // 4), keys=["node"])
+        .map_batches(count_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    n_nodes = int(node_parts["n"].sum())
+
+    if seeds is None:
+        # deterministic hash-spread sample of the node id space (the
+        # smallest-ids default of k_hop_reach would bias the sample)
+        def seed_partial(b: pa.Table) -> pa.Table:
+            u = np.unique(b["u"].to_numpy(zero_copy_only=False))
+            h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            order = np.argsort(h)[: int(n_seeds)]
+            return pa.table({"u": pa.array(u[order], pa.int64()),
+                             "h": pa.array(h[order].view(np.int64), pa.int64())})
+
+        sp = edges.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+        sp = sp.drop_duplicates("u").sort_values("h").head(int(n_seeds))
+        seeds = sp["u"].to_numpy(np.int64)
+    seeds = np.asarray(sorted(int(s) for s in seeds), dtype=np.int64)
+    k = len(seeds)
+
+    visited = _bfs_visited(edges, seeds, int(max_hops), n)
+
+    def inv_partial(b: pa.Table) -> pa.Table:
+        hop = b["hop"].to_numpy(zero_copy_only=False)
+        pos = hop > 0
+        return pa.table(
+            {
+                "node": b["node"].filter(pa.array(pos)),
+                "inv": pa.array(1.0 / hop[pos], pa.float64()),
+            }
+        )
+
+    sums = (
+        join_safe(visited.map_batches(inv_partial, batch_format="pyarrow"))
+        .groupby("node", num_partitions=max(2, n // 4))
+        .aggregate(Sum("inv", alias_name="inv_sum"))
+        .to_pandas()
+    )
+    in_seed = np.isin(sums["node"].to_numpy(np.int64), seeds)
+    denom = np.where(in_seed, max(1, k - 1), k).astype(np.float64)
+    scale = (n_nodes - 1) / denom
+    out = pd.DataFrame(
+        {
+            "node": sums["node"].astype(np.int64),
+            "harmonic": sums["inv_sum"].to_numpy(np.float64) * scale / 1.0,
+        }
+    )
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
 
 
 def label_propagation(edges_ds, max_rounds: int = 10):

@@ -854,3 +854,96 @@ def test_jump_broadcast_vs_join_byte_equal(ray_session, monkeypatch):
     b = sorted((r["node"], r["label"]) for r in joined)
     assert a == b
     assert all(lab == 100 for node, lab in a if 100 <= node < 100 + n)
+
+
+def test_harmonic_centrality_star_exact(ray_session):
+    """All-seeds mode is exact: star center = m, leaf = 1 + (m-1)/2."""
+    import ray.data
+
+    from import_ray.stages.graph import harmonic_centrality
+
+    m = 24
+    edges = pa.table(
+        {
+            "doc_lo": pa.array([0] * m, pa.int64()),
+            "doc_hi": pa.array(list(range(1, m + 1)), pa.int64()),
+        }
+    )
+    out = harmonic_centrality(
+        ray.data.from_arrow(edges), seeds=list(range(m + 1)), max_hops=4
+    )
+    assert out[out.node == 0].harmonic.iloc[0] == float(m)
+    assert (out[out.node != 0].harmonic == 1.0 + (m - 1) / 2.0).all()
+
+
+def test_harmonic_centrality_matches_driver_bfs(ray_session):
+    """All-seeds distributed result equals a driver-side BFS reference
+    on a random graph (exact harmonic centrality)."""
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from import_ray.stages.graph import harmonic_centrality
+
+    rng = np.random.default_rng(7)
+    lo = rng.integers(0, 40, 120)
+    hi = rng.integers(0, 40, 120)
+    m = lo != hi
+    lo, hi = lo[m], hi[m]
+    nodes = sorted(set(lo) | set(hi))
+    adj = collections.defaultdict(set)
+    for a, b in zip(lo, hi):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = [s]
+        while q:
+            nxt = []
+            for u in q:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            q = nxt
+        return dist
+
+    want = {}
+    for v in nodes:
+        want[v] = sum(
+            1.0 / d for u, d in bfs(v).items() if d > 0
+        )
+
+    edges = pa.table(
+        {"doc_lo": pa.array(lo, pa.int64()), "doc_hi": pa.array(hi, pa.int64())}
+    )
+    got = harmonic_centrality(
+        ray.data.from_arrow(edges), seeds=nodes, max_hops=20
+    )
+    for _, r in got.iterrows():
+        assert abs(r.harmonic - want[int(r.node)]) < 1e-9, (r.node,)
+
+
+def test_harmonic_centrality_sampled_close(ray_session):
+    """Sampled seeds give an unbiased estimate: mean relative error
+    small at 50% seed coverage on a connected-ish random graph."""
+    import numpy as np
+    import ray.data
+
+    from import_ray.stages.graph import harmonic_centrality
+
+    rng = np.random.default_rng(3)
+    lo = rng.integers(0, 60, 240)
+    hi = rng.integers(0, 60, 240)
+    m = lo != hi
+    et = pa.table(
+        {"doc_lo": pa.array(lo[m], pa.int64()), "doc_hi": pa.array(hi[m], pa.int64())}
+    )
+    nodes = sorted(set(lo[m]) | set(hi[m]))
+    exact = harmonic_centrality(ray.data.from_arrow(et), seeds=nodes, max_hops=10)
+    est = harmonic_centrality(ray.data.from_arrow(et), n_seeds=30, max_hops=10)
+    j = exact.merge(est, on="node", suffixes=("_x", "_e"))
+    rel = (abs(j.harmonic_e - j.harmonic_x) / j.harmonic_x.clip(lower=1e-9)).mean()
+    assert rel < 0.15, rel
