@@ -1115,6 +1115,7 @@ def _expectations_orders(sf_dir: str):
     from import_ray.stages.expectations import check_expectations
 
     ds = _read_table(sf_dir, "orders")
+    cust = _read_table(sf_dir, "customer", ["c_custkey"])
     return check_expectations(
         ds,
         [
@@ -1123,6 +1124,7 @@ def _expectations_orders(sf_dir: str):
             {"type": "range", "col": "o_totalprice", "min": 0.0},
             {"type": "in_set", "col": "o_orderpriority", "values": _ORDERS_PRIORITIES},
             {"type": "regex", "col": "o_orderstatus", "pattern": "[OFP]"},
+            {"type": "ref", "col": "o_custkey", "ref_ds": cust, "ref_col": "c_custkey"},
         ],
     )
 
@@ -1150,6 +1152,11 @@ FROM (
          COUNT(*) FILTER (WHERE o_orderpriority IS NULL
            OR o_orderpriority NOT IN
              ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+  FROM orders
+  UNION ALL
+  SELECT 'ref', 'o_custkey',
+         COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer))
   FROM orders
   UNION ALL
   SELECT 'regex', 'o_orderstatus',

@@ -11,6 +11,9 @@ is a dict:
                                             # either side optional; nulls skip
     {"type": "regex",    "col": c, "pattern": p}         # full match
     {"type": "in_set",   "col": c, "values": [...]}      # nulls violate
+    {"type": "ref",      "col": c, "ref_ds": d, "ref_col": rc}
+                                            # foreign key: non-null values
+                                            # absent from ref_ds[rc]; nulls skip
 
 Output: ONE row per expectation — (expectation, col, violations,
 n_rows, passed) — exactly reproducible in SQL (driver-oracle
@@ -24,6 +27,10 @@ batch, folded by a tiny keyed sum — no shuffle touches data rows.
 keys, per-batch (hash, count) partials move through one exchange
 bounded by distinct values per batch, and Σ(count−1) over duplicated
 hashes equals non-null − distinct without ever collecting values.
+``ref`` tags both sides' hashed keys and counts left rows whose hash
+never appears with the ref tag — one 8-byte exchange, neither table's
+values collected (a 64-bit hash collision masks a violation with odds
+~n²/2⁻⁶⁴ — the shared stance).
 """
 
 from __future__ import annotations
@@ -80,8 +87,11 @@ def check_expectations(ds, expectations: list[dict]):
     ensure_hash_shuffle(ds)
     batch_exps = [e for e in expectations if e["type"] in _BATCH_TYPES]
     uniq_exps = [e for e in expectations if e["type"] == "unique"]
+    ref_exps = [e for e in expectations if e["type"] == "ref"]
     unknown = [
-        e for e in expectations if e["type"] not in _BATCH_TYPES + ("unique",)
+        e
+        for e in expectations
+        if e["type"] not in _BATCH_TYPES + ("unique", "ref")
     ]
     if unknown:
         raise ValueError(f"unknown expectation types: {unknown}")
@@ -154,6 +164,66 @@ def check_expectations(ds, expectations: list[dict]):
             .to_pandas()
         )
         results.append(("unique", col, int(parts["extra"].sum()), total_rows))
+
+    for e in ref_exps:
+        col, ref_ds, ref_col = e["col"], e["ref_ds"], e["ref_col"]
+        ensure_hash_shuffle(ref_ds)
+
+        def side_partial(c, is_ref):
+            def fn(batch: pa.Table) -> pa.Table:
+                acol = batch[c]
+                if isinstance(acol, pa.ChunkedArray):
+                    acol = acol.combine_chunks()
+                s = pc.drop_null(acol).to_pandas()
+                h = pd.util.hash_array(
+                    s.to_numpy(dtype=object)
+                ).astype(np.uint64)
+                if is_ref:
+                    hv = np.unique(h)
+                    cnt = np.zeros(len(hv), np.int64)
+                else:
+                    hv, cnt = np.unique(h, return_counts=True)
+                return pa.table(
+                    {
+                        "h": pa.array(hv.view(np.int64), pa.int64()),
+                        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                        "is_ref": pa.array(
+                            np.full(len(hv), int(is_ref), np.int64), pa.int64()
+                        ),
+                    }
+                )
+
+            return fn
+
+        def missing_rows(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0 or batch.num_columns == 0:
+                return pa.table({"missing": pa.array([], pa.int64())})
+            df = batch.to_pandas().groupby("h", sort=False).agg(
+                n=("n", "sum"), present=("is_ref", "max")
+            )
+            return pa.table(
+                {
+                    "missing": pa.array(
+                        [int(df.loc[df["present"] == 0, "n"].sum())], pa.int64()
+                    )
+                }
+            )
+
+        tagged = join_safe(
+            ds.map_batches(side_partial(col, False), batch_format="pyarrow")
+        ).union(
+            join_safe(
+                ref_ds.map_batches(
+                    side_partial(ref_col, True), batch_format="pyarrow"
+                )
+            )
+        )
+        parts = (
+            tagged.repartition(4, keys=["h"])
+            .map_batches(missing_rows, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        results.append(("ref", col, int(parts["missing"].sum()), total_rows))
 
     results.sort(key=lambda r: (r[0], r[1]))
     out = pd.DataFrame(

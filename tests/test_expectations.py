@@ -90,3 +90,51 @@ def test_unknown_type_raises(ray_session):
         check_expectations(
             ray.data.range(5), [{"type": "frobnicate", "col": "id"}]
         )
+
+
+def test_ref_expectation_counts_missing_rows(ray_session):
+    """Foreign-key check: counts left ROWS (not distinct keys) whose
+    non-null value is absent from the reference column; nulls skip."""
+    import ray.data
+
+    from import_ray.stages.expectations import check_expectations
+
+    left = pa.table(
+        {"fk": pa.array([1, 2, 2, 9, 9, 9, None], pa.int64())}
+    )
+    ref = pa.table({"pk": pa.array([1, 2, 3], pa.int64())})
+    out = check_expectations(
+        ray.data.from_arrow(left).repartition(3),
+        [
+            {
+                "type": "ref",
+                "col": "fk",
+                "ref_ds": ray.data.from_arrow(ref).repartition(2),
+                "ref_col": "pk",
+            }
+        ],
+    ).set_index(["expectation", "col"])
+    # three rows of 9 are missing; the null skips
+    assert out.loc[("ref", "fk"), "violations"] == 3
+    assert out.loc[("ref", "fk"), "n_rows"] == 7
+
+
+def test_ref_expectation_clean(ray_session):
+    import ray.data
+
+    from import_ray.stages.expectations import check_expectations
+
+    left = pa.table({"fk": pa.array([1, 2, 3, 1], pa.int64())})
+    ref = pa.table({"pk": pa.array([1, 2, 3, 4], pa.int64())})
+    out = check_expectations(
+        ray.data.from_arrow(left),
+        [
+            {
+                "type": "ref",
+                "col": "fk",
+                "ref_ds": ray.data.from_arrow(ref),
+                "ref_col": "pk",
+            }
+        ],
+    )
+    assert out["passed"].all()
