@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "cms_heavy_hitter_users",
     "ddsketch_price_quantiles",
     "media_jpeg_features",
+    "q6_from_orc",
+    "events_daily_from_jsonl",
+    "expectations_orders",
+    "ivfpq_knn_planted",
+    "harmonic_star_planted",
 ]
 
 
