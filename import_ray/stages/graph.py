@@ -1167,6 +1167,11 @@ def k_hop_reach(edges_ds, n_seeds: int = 16, max_hops: int = 3, seeds=None):
         )
 
     edges = edges_ds.map_batches(directed, batch_format="pyarrow").materialize()
+    # per-round exchange width sized to the DATA (edges is materialized
+    # → count is metadata): every BFS round pays aggregator-pool
+    # spin-up ∝ partitions, and full cluster width on a small graph is
+    # pure fixed cost (same sizing as propagate_min_labels)
+    n = min(n, max(2, int(edges.count() // 1_000_000) + 1))
 
     if seeds is None:
         def block_min(b: pa.Table) -> pa.Table:
@@ -1238,6 +1243,9 @@ def harmonic_centrality(
         )
 
     edges = edges_ds.map_batches(directed, batch_format="pyarrow").materialize()
+    # exchange width sized to the edge table (see k_hop_reach): per-
+    # round fixed costs dominate small graphs at full cluster width
+    n = min(n, max(2, int(edges.count() // 1_000_000) + 1))
 
     # distinct node count: per-block unique partials → one 8-byte keyed
     # exchange → per-partition distinct count (tiny fold rows)
